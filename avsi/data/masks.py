@@ -1,0 +1,65 @@
+"""Random time-gap intrusion mask synthesis.
+
+Reimplements the sampling scheme of
+`/root/reference/av_speech_inpainting/dataset_generator.py:11-48` with
+numpy's Generator API: 1..n_max intrusions, total coverage ~ N(mu, sigma)
+clipped to [min_len*n/len, 0.8], per-intrusion lengths drawn with the same
+exponential shrink factor, onsets non-overlapping with >=1 frame spacing.
+Masks are (spec_len, frame_dim) float32 with zeros in the gaps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def get_intrusions_mask(
+    rng: np.random.Generator,
+    frame_dim: int,
+    spec_len: int,
+    cov_mean: float,
+    cov_std: float,
+    n_max_intr: int,
+    min_intr_len: int = 3,
+):
+    """Sample one binary time-gap mask. Returns (mask, true_coverage, n_intr)."""
+    n_intr = int(rng.integers(1, n_max_intr + 1))
+
+    mask_cov = max(
+        min_intr_len * n_intr / spec_len,
+        min(rng.normal(cov_mean, cov_std) if cov_std > 0 else cov_mean, 0.8),
+    )
+    mask_bins = int(np.around(spec_len * mask_cov))
+    true_mask_cov = mask_bins / spec_len
+
+    shrink = np.exp(-(n_intr - 1) / 6)
+    intr_lens: list[int] = []
+    for i in range(n_intr):
+        if i == n_intr - 1:
+            intr_lens.append(mask_bins - sum(intr_lens))
+        else:
+            remaining = mask_bins - sum(intr_lens) - min_intr_len * (n_intr - i - 1)
+            hi = max(min_intr_len, int(remaining * shrink))
+            intr_lens.append(int(rng.integers(min_intr_len, hi + 1)))
+    intr_lens = list(rng.permutation(intr_lens))
+
+    onset_pos: list[int] = []
+    for i, _l in enumerate(intr_lens):
+        if i == 0 and i == n_intr - 1:
+            onset_pos.append(int(rng.integers(0, spec_len - mask_bins + 1)))
+        elif i == 0:
+            onset_pos.append(int(rng.integers(0, spec_len - mask_bins - (n_intr - 1) + 1)) // 2)
+        elif i == n_intr - 1:
+            lo = onset_pos[-1] + intr_lens[i - 1] + 1
+            hi = min(lo + spec_len - intr_lens[i], spec_len - intr_lens[i])
+            onset_pos.append(int(rng.integers(lo, hi + 1)))
+        else:
+            lo = onset_pos[-1] + intr_lens[i - 1] + 1
+            hi = (lo + spec_len - sum(intr_lens[i:]) - (n_intr - i - 1)) // 2
+            onset_pos.append(int(rng.integers(lo, max(lo, hi) + 1)))
+
+    mask = np.ones([spec_len, frame_dim], dtype=np.float32)
+    for onset, length in zip(onset_pos, intr_lens):
+        mask[onset : onset + length] = 0.0
+
+    return mask, true_mask_cov, n_intr

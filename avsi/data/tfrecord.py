@@ -1,0 +1,336 @@
+"""Self-contained TFRecord + tf.train.SequenceExample codec (no TensorFlow).
+
+The reference stores its corpus as one SequenceExample per .tfrecord
+(`/root/reference/av_speech_inpainting/tfrecord_utils.py:19-41,113-120`,
+embedding variant tfrecord_emb_utils.py:19-42) and reads it with
+tf.parse_single_sequence_example (dataset_reader.py:62-99).  This module
+implements the protobuf wire format and TFRecord framing directly so the
+corpus stays byte-compatible with the reference while the framework has no
+TF dependency.  Golden-tested against tf.train in tests/test_tfrecord.py.
+
+Schema (fixed mode):
+  context:  sequence_length int64, labels_length int64,
+            target_audio_wav float[48000], sample_path bytes,
+            [embedding float[512]]            (emb variant)
+  lists:    labels float[50][1], video_features float[250][136],
+            mask float[250][257]
+
+TFRecord framing: {uint64 len}{u32 masked_crc(len)}{payload}{u32 masked_crc}.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+
+try:  # fast C crc32c (ships with the image); pure-python fallback below
+    import google_crc32c
+
+    def _crc32c(data: bytes) -> int:
+        return google_crc32c.value(data)
+
+except ImportError:  # pragma: no cover
+    _CRC_TABLE = None
+
+    def _crc32c(data: bytes) -> int:
+        global _CRC_TABLE
+        if _CRC_TABLE is None:
+            poly = 0x82F63B78
+            table = []
+            for i in range(256):
+                crc = i
+                for _ in range(8):
+                    crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+                table.append(crc)
+            _CRC_TABLE = table
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delimited(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+# ---------------------------------------------------------------------------
+# Feature / Features / FeatureList encoding
+# ---------------------------------------------------------------------------
+
+def feature_bytes(values: list[bytes]) -> bytes:
+    """Feature{bytes_list=1{value=1}}"""
+    inner = b"".join(_len_delimited(1, v) for v in values)
+    return _len_delimited(1, inner)
+
+
+def feature_floats(values) -> bytes:
+    """Feature{float_list=2{value=1 packed}}"""
+    arr = np.asarray(values, dtype="<f4")
+    inner = _len_delimited(1, arr.tobytes())
+    return _len_delimited(2, inner)
+
+
+def feature_int64s(values) -> bytes:
+    """Feature{int64_list=3{value=1 packed varints}}"""
+    inner = _len_delimited(1, b"".join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in values))
+    return _len_delimited(3, inner)
+
+
+def _map_entry(key: str, feature_payload: bytes) -> bytes:
+    return _len_delimited(1, key.encode()) + _len_delimited(2, feature_payload)
+
+
+def encode_features(feature_map: dict[str, bytes]) -> bytes:
+    """Features{map<string,Feature> feature=1}; values are encoded Features."""
+    return b"".join(_len_delimited(1, _map_entry(k, v)) for k, v in feature_map.items())
+
+
+def encode_feature_list(features: list[bytes]) -> bytes:
+    """FeatureList{repeated Feature feature=1}"""
+    return b"".join(_len_delimited(1, f) for f in features)
+
+
+def encode_sequence_example(
+    context: dict[str, bytes], feature_lists: dict[str, list[bytes]]
+) -> bytes:
+    """SequenceExample{context=1 Features, feature_lists=2 FeatureLists}"""
+    ctx = encode_features(context)
+    fls = b"".join(
+        _len_delimited(1, _map_entry(k, encode_feature_list(v)))
+        for k, v in feature_lists.items()
+    )
+    return _len_delimited(1, ctx) + _len_delimited(2, fls)
+
+
+# ---------------------------------------------------------------------------
+# decoding
+# ---------------------------------------------------------------------------
+
+def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            yield field, wire, buf[pos : pos + ln]
+            pos += ln
+        elif wire == 0:
+            val, pos = _read_varint(buf, pos)
+            yield field, wire, val
+        elif wire == 5:
+            yield field, wire, buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:
+            yield field, wire, buf[pos : pos + 8]
+            pos += 8
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def decode_feature(buf: bytes):
+    """Decode a Feature into a numpy array / list of bytes."""
+    for field, _wire, payload in _iter_fields(buf):
+        if field == 1:  # bytes_list
+            return [v for f, _, v in _iter_fields(payload) if f == 1]
+        if field == 2:  # float_list
+            vals = []
+            for f, w, v in _iter_fields(payload):
+                if f != 1:
+                    continue
+                if w == 2:  # packed
+                    vals.append(np.frombuffer(v, dtype="<f4"))
+                elif w == 5:  # unpacked
+                    vals.append(np.frombuffer(v, dtype="<f4"))
+            return np.concatenate(vals) if vals else np.zeros(0, np.float32)
+        if field == 3:  # int64_list
+            vals = []
+            for f, w, v in _iter_fields(payload):
+                if f != 1:
+                    continue
+                if w == 0:
+                    vals.append(np.int64(np.uint64(v)))
+                elif w == 2:  # packed varints
+                    pos = 0
+                    while pos < len(v):
+                        x, pos = _read_varint(v, pos)
+                        vals.append(np.int64(np.uint64(x)))
+            return np.asarray(vals, dtype=np.int64)
+    return np.zeros(0, np.float32)
+
+
+def decode_sequence_example(buf: bytes):
+    """Decode into (context: dict, feature_lists: dict[str, list])."""
+    context: dict = {}
+    feature_lists: dict = {}
+    for field, _w, payload in _iter_fields(buf):
+        if field == 1:  # context Features
+            for f, _, entry in _iter_fields(payload):
+                if f != 1:
+                    continue
+                key = None
+                val = None
+                for ef, _, ev in _iter_fields(entry):
+                    if ef == 1:
+                        key = ev.decode()
+                    elif ef == 2:
+                        val = decode_feature(ev)
+                context[key] = val
+        elif field == 2:  # FeatureLists
+            for f, _, entry in _iter_fields(payload):
+                if f != 1:
+                    continue
+                key = None
+                feats: list = []
+                for ef, _, ev in _iter_fields(entry):
+                    if ef == 1:
+                        key = ev.decode()
+                    elif ef == 2:  # FeatureList
+                        feats = [
+                            decode_feature(fv) for ff, _, fv in _iter_fields(ev) if ff == 1
+                        ]
+                feature_lists[key] = feats
+    return context, feature_lists
+
+
+# ---------------------------------------------------------------------------
+# TFRecord file framing
+# ---------------------------------------------------------------------------
+
+class TFRecordWriter:
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def write(self, record: bytes) -> None:
+        header = struct.pack("<Q", len(record))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", _masked_crc(header)))
+        self._f.write(record)
+        self._f.write(struct.pack("<I", _masked_crc(record)))
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 12 > n:
+            raise ValueError(f"truncated TFRecord header in {path}")
+        (length,) = struct.unpack_from("<Q", data, pos)
+        if pos + 16 + length > n:
+            raise ValueError(f"truncated TFRecord payload in {path}")
+        if verify_crc:
+            (crc,) = struct.unpack_from("<I", data, pos + 8)
+            if crc != _masked_crc(data[pos : pos + 8]):
+                raise ValueError(f"corrupt TFRecord length crc in {path}")
+        payload = data[pos + 12 : pos + 12 + length]
+        if verify_crc:
+            (crc,) = struct.unpack_from("<I", data, pos + 12 + length)
+            if crc != _masked_crc(payload):
+                raise ValueError(f"corrupt TFRecord data crc in {path}")
+        yield payload
+        pos += 16 + length
+
+
+# ---------------------------------------------------------------------------
+# reference sample schema (fixed mode, tfrecord_utils.py:19-41 + emb variant)
+# ---------------------------------------------------------------------------
+
+def serialize_sample_fixed(
+    seq_len: int,
+    lab_len: int,
+    target_audio_wav: np.ndarray,
+    video_features: np.ndarray,
+    mask: np.ndarray,
+    labels: np.ndarray,
+    sample_path: str,
+    embedding: np.ndarray | None = None,
+) -> bytes:
+    context = {
+        "sequence_length": feature_int64s([seq_len]),
+        "labels_length": feature_int64s([lab_len]),
+        "target_audio_wav": feature_floats(target_audio_wav),
+        "sample_path": feature_bytes([sample_path.encode()]),
+    }
+    if embedding is not None:
+        context["embedding"] = feature_floats(embedding)
+    feature_lists = {
+        "mask": [feature_floats(row) for row in np.asarray(mask)],
+        "video_features": [feature_floats(row) for row in np.asarray(video_features)],
+        "labels": [feature_floats([float(x)]) for x in np.asarray(labels)],
+    }
+    return encode_sequence_example(context, feature_lists)
+
+
+def parse_sample_fixed(record: bytes, with_embedding: bool = False) -> dict:
+    """Decode one fixed-mode sample into numpy arrays (dataset_reader.py:62-79)."""
+    context, lists = decode_sequence_example(record)
+    out = {
+        "sequence_length": np.int32(context["sequence_length"][0]),
+        "labels_length": np.int32(context["labels_length"][0]),
+        "target_audio_wav": np.asarray(context["target_audio_wav"], np.float32),
+        "sample_path": context["sample_path"][0].decode(),
+        "labels": np.asarray([f[0] for f in lists["labels"]], np.float32),
+        "video_features": np.stack(lists["video_features"]).astype(np.float32),
+        "mask": np.stack(lists["mask"]).astype(np.float32),
+    }
+    if with_embedding:
+        out["embedding"] = np.asarray(context["embedding"], np.float32)
+    return out
+
+
+def list_tfrecord_files(data_dir: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(data_dir, "*.tfrecord")))

@@ -1,0 +1,88 @@
+"""Tests for mask synthesis, AV sync, landmarks and phoneme labels."""
+
+import numpy as np
+import pytest
+
+from avsi.data import avsync, landmarks, masks, phonemes
+
+
+class TestIntrusionMask:
+    def test_invariants(self):
+        """Property tests on the sampling scheme of dataset_generator.py:11-48."""
+        rng = np.random.default_rng(0)
+        for _ in range(200):
+            n_max = int(rng.integers(1, 4))
+            mask, cov, n_intr = masks.get_intrusions_mask(
+                rng, 257, 250, cov_mean=800 / 3000, cov_std=100 / 3000, n_max_intr=n_max
+            )
+            assert mask.shape == (250, 257)
+            assert set(np.unique(mask)) <= {0.0, 1.0}
+            # all frequency bins zeroed together (time gaps only)
+            rowsum = mask.sum(axis=1)
+            assert set(np.unique(rowsum)) <= {0.0, 257.0}
+            assert 1 <= n_intr <= n_max
+            # coverage bounds: >= 3*n/250, <= 0.8 (plus rounding slack)
+            zeros = (rowsum == 0).sum()
+            assert zeros == int(np.around(250 * cov))
+            assert cov <= 0.8 + 1 / 250
+            # count contiguous gap runs == n_intr, each >= min len 3
+            gaps = np.flatnonzero(np.diff(np.concatenate([[1], rowsum > 0, [1]])))
+            runs = gaps.reshape(-1, 2)
+            assert len(runs) == n_intr
+            assert (np.diff(runs, axis=1) >= 3).all()
+
+    def test_coverage_distribution(self):
+        rng = np.random.default_rng(1)
+        covs = [
+            masks.get_intrusions_mask(rng, 10, 250, 0.27, 0.03, 1)[1] for _ in range(500)
+        ]
+        assert abs(np.mean(covs) - 0.27) < 0.01
+
+
+class TestAVSync:
+    def test_upsample_75_to_250(self):
+        feats = np.arange(75, dtype=np.float64)[:, None].repeat(3, 1)
+        mask = np.zeros((250, 257))
+        out = avsync.sync_audio_visual_features(mask, feats, tot_frames=75, min_frames=70)
+        assert out.shape == (250, 3)
+        # linearly increasing input stays (approximately) linear
+        d = np.diff(out[:, 0])
+        assert d.min() >= 0
+        np.testing.assert_allclose(out[0], 0.0)
+        assert out[-1, 0] <= 74.0
+
+    def test_pad_start_replication(self):
+        feats = np.random.RandomState(0).randn(72, 4)
+        mask = np.zeros((250, 1))
+        out = avsync.sync_audio_visual_features(mask, feats, tot_frames=75, min_frames=70)
+        assert out is not None and out.shape == (250, 4)
+
+    def test_rejects_corrupt(self):
+        mask = np.zeros((250, 1))
+        assert avsync.sync_audio_visual_features(mask, np.zeros(10)) is None
+        assert (
+            avsync.sync_audio_visual_features(mask, np.zeros((60, 4)), 75, 70) is None
+        )
+
+
+class TestLandmarks:
+    def test_motion_vector_delta1(self):
+        lm = np.random.RandomState(0).randn(10, 136)
+        mv = landmarks.get_motion_vector(lm, delta=1)
+        assert mv.shape == lm.shape
+        np.testing.assert_allclose(mv[0], 0.0)
+        np.testing.assert_allclose(mv[1:], lm[1:] - lm[:-1])
+
+
+class TestPhonemes:
+    def test_dictionary_and_labels(self, tmp_path):
+        dict_file = tmp_path / "dictionary.txt"
+        dict_file.write_text("ah b\nk s\nah iy\n")
+        d = phonemes.load_dictionary(str(dict_file))
+        assert d == ["ah", "b", "iy", "k", "s"]
+        labels = phonemes.get_labels("b,ah,SP,k", d)
+        np.testing.assert_array_equal(labels, [1, 0, 3])
+        assert phonemes.get_phonemes_from_labels([1, 0, 3], d) == ["b", "ah", "k"]
+
+    def test_linearize(self):
+        assert phonemes.linearize("0 100 SIL\n100 200 b\n200 300 ih\n") == "b,ih"
