@@ -1,0 +1,130 @@
+"""Model building blocks: dense layers and the bidirectional LSTM stack.
+
+This single implementation replaces the reference's dual graph construction
+(`tf.contrib.cudnn_rnn.CudnnLSTM` for training vs
+`CudnnCompatibleLSTMCell` + `stack_bidirectional_dynamic_rnn` for inference,
+`/root/reference/av_speech_inpainting/models.py:94-115`): one jitted
+`lax.scan` serves both, so there is no train/infer graph divergence.
+
+TPU mapping:
+  * the input projection for a whole layer is ONE (B*T, D) x (D, 4H) matmul
+    (MXU, amortized over all 250 timesteps);
+  * forward and backward directions run in a single scan with the direction
+    folded into a leading batch axis, so each recurrent step does one
+    (2, B, H) x (2, H, 4H) batched matmul instead of two half-size ones;
+  * cell state is kept in float32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def truncated_normal_init(rng, shape, stddev):
+    """tf.truncated_normal-style init (reference models.py:119)."""
+    return stddev * jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)
+
+
+def dense_init(rng, in_dim: int, out_dim: int, stddev: float | None = None) -> dict:
+    if stddev is None:
+        stddev = 1.0 / math.sqrt(float(in_dim))
+    return {
+        "w": truncated_normal_init(rng, (in_dim, out_dim), stddev),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def dense(params: dict, x: jax.Array) -> jax.Array:
+    return jnp.matmul(x, params["w"].astype(x.dtype)) + params["b"].astype(x.dtype)
+
+
+def lstm_layer_init(rng, in_dim: int, hidden: int) -> dict:
+    """One bidirectional layer. Leading axis 2 = (forward, backward)."""
+    k1, k2 = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(hidden)
+    wx = jax.random.uniform(k1, (2, in_dim, 4 * hidden), jnp.float32, -bound, bound)
+    wh = jax.random.uniform(k2, (2, hidden, 4 * hidden), jnp.float32, -bound, bound)
+    b = jnp.zeros((2, 4 * hidden), jnp.float32)
+    return {"wx": wx, "wh": wh, "b": b}
+
+
+def _lstm_cell(carry, xw_t, wh, hidden):
+    """One step for both directions: carry (2, B, H) f32 each."""
+    h, c = carry
+    gates = xw_t + jnp.einsum(
+        "dbh,dhg->dbg", h.astype(wh.dtype), wh, preferred_element_type=jnp.float32
+    )
+    i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return (h_new, c_new), h_new
+
+
+def bilstm_layer(params: dict, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    """Bidirectional LSTM layer: (B, T, D) -> (B, T, 2H)."""
+    b_sz, t_len, _ = x.shape
+    hidden = params["wh"].shape[1]
+    xc = x.astype(compute_dtype)
+    # direction axis: fwd sees x, bwd sees time-reversed x
+    x2 = jnp.stack([xc, jnp.flip(xc, axis=1)], axis=0)  # (2, B, T, D)
+    wx = params["wx"].astype(compute_dtype)
+    wh = params["wh"].astype(compute_dtype)
+    bias = params["b"].astype(jnp.float32)
+    # whole-sequence input projection: one batched MXU matmul
+    xw = (
+        jnp.einsum("dbti,dig->dbtg", x2, wx, preferred_element_type=jnp.float32)
+        + bias[:, None, None, :]
+    )
+    xw_t = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4H) time-major for scan
+
+    h0 = jnp.zeros((2, b_sz, hidden), jnp.float32)
+    c0 = jnp.zeros((2, b_sz, hidden), jnp.float32)
+    (_, _), hs = jax.lax.scan(partial(_lstm_cell, wh=wh, hidden=hidden), (h0, c0), xw_t)
+    # hs: (T, 2, B, H) -> fwd (B,T,H) and time-unreversed bwd
+    fwd = jnp.moveaxis(hs[:, 0], 0, 1)
+    bwd = jnp.flip(jnp.moveaxis(hs[:, 1], 0, 1), axis=1)
+    return jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)
+
+
+def blstm_stack_init(rng, in_dim: int, net_dim: list[int]) -> list[dict]:
+    layers = []
+    d = in_dim
+    for i, h in enumerate(net_dim):
+        rng, sub = jax.random.split(rng)
+        layers.append(lstm_layer_init(sub, d, h))
+        d = 2 * h
+    return layers
+
+
+def blstm_stack(
+    layers: list[dict],
+    x: jax.Array,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Stacked bidirectional LSTM: (B, T, D) -> (B, T, 2*H_last)."""
+    out = x
+    for layer in layers:
+        out = bilstm_layer(layer, out, compute_dtype)
+    return out
+
+
+def dropout(rng, x: jax.Array, rate: float, deterministic: bool) -> jax.Array:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def mlp_init(rng, dims: list[int], stddevs: list[float] | None = None) -> list[dict]:
+    """Chain of dense layers (used by the SSNN speaker-embedding branch)."""
+    params = []
+    for i in range(len(dims) - 1):
+        rng, sub = jax.random.split(rng)
+        std = stddevs[i] if stddevs else None
+        params.append(dense_init(sub, dims[i], dims[i + 1], std))
+    return params

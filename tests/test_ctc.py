@@ -1,0 +1,79 @@
+"""CTC loss / decode tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from avsi.ops import ctc
+
+
+def test_ctc_loss_perfect_alignment_low():
+    """Logits that spike the correct path must give near-zero loss."""
+    b, t, c = 1, 8, 5  # blank = 4
+    labels = np.array([[1, 2, 3]], np.float32)
+    path = [1, 4, 2, 4, 3, 4, 4, 4]
+    logits = np.full((b, t, c), -20.0, np.float32)
+    for i, s in enumerate(path):
+        logits[0, i, s] = 20.0
+    loss = float(
+        ctc.ctc_loss(
+            jnp.asarray(logits),
+            jnp.asarray([t]),
+            jnp.asarray(labels),
+            jnp.asarray([3]),
+        )
+    )
+    assert loss < 1e-3, loss
+
+
+def test_greedy_decode_collapse():
+    b, t, c = 1, 6, 4  # blank = 3
+    logits = np.full((b, t, c), -10.0, np.float32)
+    seq = [0, 0, 3, 1, 1, 2]  # collapses to [0, 1, 2]
+    for i, s in enumerate(seq):
+        logits[0, i, s] = 10.0
+    out = np.asarray(ctc.greedy_decode(jnp.asarray(logits), jnp.asarray([t])))
+    np.testing.assert_array_equal(out[0], [0, 1, 2, -1, -1, -1])
+
+
+def test_greedy_respects_length():
+    # frames: [0, blank, 1, | 2, 2, 2]  with length 3 -> decode [0, 1]
+    logits = np.full((1, 6, 4), -10.0, np.float32)
+    for i, s in enumerate([0, 3, 1, 2, 2, 2]):
+        logits[0, i, s] = 10.0
+    out = np.asarray(ctc.greedy_decode(jnp.asarray(logits), jnp.asarray([3])))
+    np.testing.assert_array_equal(out[0], [0, 1, -1, -1, -1, -1])
+
+
+def test_beam_search_agrees_with_greedy_on_peaked():
+    rng = np.random.RandomState(0)
+    t, c = 20, 6
+    logits = rng.randn(t, c).astype(np.float32) * 0.1
+    path = rng.randint(0, c, t)
+    for i, s in enumerate(path):
+        logits[i, s] += 15.0
+    beam = ctc.beam_search_decode(logits, t, beam_width=20)
+    g = np.asarray(
+        ctc.greedy_decode(jnp.asarray(logits[None]), jnp.asarray([t]))
+    )[0]
+    greedy = [int(x) for x in g if x >= 0]
+    assert beam == greedy
+
+
+def test_beam_search_merges_probability_mass():
+    """Classic case where beam search beats best-path: repeated mass on a
+    label split across alignments."""
+    # T=2, C=2 (label 0, blank 1)
+    # P(path [0,1]) = .6*.6, P([1,0]) = .4*.4 -- wait construct standard example:
+    logits = np.log(np.array([[0.4, 0.6], [0.4, 0.6]], np.float32))
+    # best path = [blank, blank] -> empty; but P(label '0') = .4*.6+.6*.4+.4*.4 = .64
+    beam = ctc.beam_search_decode(logits, 2, beam_width=4)
+    assert beam == [0]
+
+
+def test_edit_distance_and_per():
+    assert ctc.edit_distance([1, 2, 3], [1, 2, 3]) == 0
+    assert ctc.edit_distance([1, 2, 3], [1, 3]) == 1
+    assert ctc.edit_distance([], [1, 2]) == 2
+    per = ctc.per_metric([[1, 2], [1]], [[1, 2], [1, 2]])
+    assert abs(per - 0.25) < 1e-9
