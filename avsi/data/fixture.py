@@ -1,0 +1,112 @@
+"""Synthetic GRID-like corpus generator for CI and local end-to-end runs.
+
+The reference has no test assets (SURVEY.md §4); this builds a miniature
+corpus with the exact on-disk layout the toolchain consumes: per-speaker
+clean wavs + landmarks + phoneme transcriptions + video stats, from which
+`create_syn_dataset` -> `create_dataset` produce the TFRecord splits.
+
+Audio is a sum of vowel-like harmonics with amplitude modulation so the
+spectrograms have structure worth inpainting; landmarks are smooth random
+walks with a 'mouth' band correlated with the audio envelope.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from avsi.data import generator
+from avsi.utils import wav as wavio
+
+PHONEME_SET = [
+    "ah", "ao", "ay", "b", "d", "eh", "ey", "f", "g", "ih",
+    "iy", "k", "l", "m", "n", "ow", "p", "r", "s", "t",
+    "th", "uw", "v", "w", "y", "z", "aa", "ae", "er", "hh",
+    "jh", "sh", "ch",
+]  # 33 classes like GRID
+
+
+def make_fixture(
+    dest_dir: str,
+    n_speakers: int = 2,
+    n_samples: int = 4,
+    audio_len_ms: int = 3000,
+    sample_rate: int = 16000,
+    seed: int = 0,
+    splits=("training-set", "validation-set", "test-set"),
+    gap_ms: float = 800.0,
+    gap_std_ms: float = 100.0,
+    n_max_intr: int = 1,
+) -> dict:
+    """Build raw corpus + masked sample dirs + tfrecords. Returns paths."""
+    rng = np.random.default_rng(seed)
+    raw = os.path.join(dest_dir, "raw")
+    n_wav = audio_len_ms * sample_rate // 1000
+
+    # dictionary file
+    dict_file = os.path.join(dest_dir, "dictionary.txt")
+    os.makedirs(dest_dir, exist_ok=True)
+    with open(dict_file, "w") as f:
+        f.write(" ".join(PHONEME_SET) + "\n")
+
+    for spk in range(1, n_speakers + 1):
+        audio_dir = os.path.join(raw, f"s{spk}", f"s{spk}_16kHz")
+        lm_dir = os.path.join(raw, f"s{spk}", f"s{spk}.landmarks")
+        align_dir = os.path.join(raw, f"s{spk}", "align")
+        for d in (audio_dir, lm_dir, align_dir):
+            os.makedirs(d, exist_ok=True)
+        base_lm = rng.normal(0, 1, size=(68, 2))
+        all_lm = []
+        for i in range(n_samples):
+            name = f"utt{i:02d}"
+            # vowel-ish harmonic stack with slow AM + noise floor
+            f0 = float(rng.uniform(90, 160))
+            t = np.arange(n_wav) / sample_rate
+            env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t + rng.uniform(0, 6))
+            sig = sum(
+                np.sin(2 * np.pi * f0 * k * t + rng.uniform(0, 6)) / k
+                for k in range(1, 6)
+            )
+            wave = 6000 * env * sig + 50 * rng.normal(size=n_wav)
+            wavio.write_wav_int16(os.path.join(audio_dir, name + ".wav"), wave)
+
+            # smooth landmark random walk; mouth rows track the envelope
+            steps = rng.normal(0, 0.02, size=(75, 68, 2)).cumsum(axis=0)
+            lm = base_lm[None] + steps
+            env75 = np.interp(np.linspace(0, n_wav - 1, 75), np.arange(n_wav), env)
+            lm[:, 48:68, 1] += 0.3 * env75[:, None]
+            np.save(os.path.join(lm_dir, name + ".npy"), lm.reshape(75, 136))
+            all_lm.append(lm.reshape(75, 136))
+
+            n_ph = int(rng.integers(4, 9))
+            phs = rng.choice(PHONEME_SET, size=n_ph)
+            with open(os.path.join(align_dir, name + ".lbl"), "w") as f:
+                f.write(",".join(phs))
+        stacked = np.concatenate(all_lm, axis=0)
+        mv = np.zeros_like(stacked)
+        mv[1:] = stacked[1:] - stacked[:-1]
+        np.save(os.path.join(lm_dir, "video_feat_mean.npy"), mv.mean(axis=0))
+        np.save(os.path.join(lm_dir, "video_feat_std.npy"), mv.std(axis=0) + 1e-3)
+
+    # masked sample dirs per split, then tfrecords
+    out = {"raw": raw, "dictionary": dict_file}
+    for split in splits:
+        split_dir = os.path.join(dest_dir, "syn", split)
+        generator.create_syn_dataset(
+            raw,
+            split_dir,
+            speakers=list(range(1, n_speakers + 1)),
+            n_samples=0,
+            audio_len=audio_len_ms,
+            n_max_intr=n_max_intr,
+            cov_mean=gap_ms,
+            cov_std=gap_std_ms,
+        )
+        out[split] = split_dir
+    generator.create_dataset(
+        os.path.join(dest_dir, "syn"), os.path.join(dest_dir, "tfrecords"), dict_file
+    )
+    out["tfrecords"] = os.path.join(dest_dir, "tfrecords")
+    out["audio"] = os.path.join(dest_dir, "syn")
+    return out

@@ -1,0 +1,109 @@
+"""Offline feature statistics (per-bin mean/std for normalization).
+
+Reference: `audio_feat_preprocessing.compute_mean_std_features`
+(`/root/reference/av_speech_inpainting/audio_feat_preprocessing.py:23-129`):
+walk a split's sample dirs, compute log-spectrograms (or fbanks / mfcc)
+of `<file_prefix>.wav`, optionally apply the sample's mask, and save
+`<out_prefix>_mean.npy` / `<out_prefix>_std.npy`.
+
+Computed with the same jitted DSP ops the models use, batched on whatever
+backend is active (CPU during preprocessing).
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from avsi.ops import mel as mel_ops
+from avsi.ops import stft as stft_ops
+from avsi.utils import wav as wavio
+
+
+def _features_for(wave: np.ndarray, feat_type: str, n_fft: int, window_size: int,
+                  step_size: int, num_mel_bins: int, num_mfcc: int, n_delta: int,
+                  sample_rate: int):
+    fl = int(round(window_size / 1e3 * sample_rate))
+    fs = int(round(step_size / 1e3 * sample_rate))
+    re, im = stft_ops.stft_real_imag(wave[None], fl, fs, n_fft)
+    if feat_type == "spec":
+        feats = jnp.log(stft_ops.magnitude(re, im) + 1e-6)
+    else:
+        pow_spec = re * re + im * im
+        fbanks = mel_ops.log_mel_spectrogram(
+            pow_spec, sample_rate, pow_spec.shape[-1], num_mel_bins
+        )
+        feats = fbanks if feat_type == "fbanks" else mel_ops.mfcc(fbanks, num_mfcc)
+    if n_delta > 0:
+        feats = mel_ops.add_delta_features(feats, n_delta=n_delta)
+    return np.asarray(feats[0])
+
+
+def compute_mean_std_features(
+    audio_dir: str,
+    file_prefix: str,
+    out_prefix: str,
+    feat_type: str = "spec",
+    sample_rate: int = 16000,
+    n_fft: int = 512,
+    window_size: int = 24,
+    step_size: int = 12,
+    preemph: float = 0.0,
+    num_mel_bins: int = 80,
+    num_mfcc: int = 13,
+    n_delta: int = 0,
+    apply_mask: bool = False,
+    save_feat: bool = False,
+    ext: str = "wav",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Accumulate per-bin mean/std over all `<dir>/<file_prefix>.<ext>`."""
+    sample_dirs = sorted(
+        d for d in glob(os.path.join(audio_dir, "*")) if os.path.isdir(d)
+    )
+    total = None
+    total_sq = None
+    count = 0
+    for d in sample_dirs:
+        path = os.path.join(d, f"{file_prefix}.{ext}")
+        if not os.path.isfile(path):
+            continue
+        _, wave = wavio.read_wav_int16(path)
+        if preemph > 0:
+            wave = np.asarray(stft_ops.preemphasis(wave[None], preemph))[0]
+        feats = _features_for(
+            wave, feat_type, n_fft, window_size, step_size, num_mel_bins,
+            num_mfcc, n_delta, sample_rate,
+        )
+        if apply_mask:
+            mask = np.load(os.path.join(d, "mask.npy"))
+            t = min(len(mask), len(feats))
+            sel = feats[:t][mask[:t, 0] > 0]
+        else:
+            sel = feats
+        if save_feat:
+            np.save(os.path.join(d, f"{file_prefix}.npy"), feats)
+        if total is None:
+            total = sel.sum(axis=0)
+            total_sq = (sel**2).sum(axis=0)
+        else:
+            total += sel.sum(axis=0)
+            total_sq += (sel**2).sum(axis=0)
+        count += len(sel)
+    if count == 0:
+        raise ValueError(f"no samples found under {audio_dir}")
+    mean = total / count
+    std = np.sqrt(np.maximum(total_sq / count - mean**2, 1e-12))
+    np.save(out_prefix + "_mean.npy", mean.astype(np.float32))
+    np.save(out_prefix + "_std.npy", std.astype(np.float32))
+    return mean, std
+
+
+def load_stats(mean_path: str, std_path: str) -> tuple[np.ndarray, np.ndarray]:
+    return (
+        np.load(mean_path).astype(np.float32),
+        np.load(std_path).astype(np.float32),
+    )

@@ -1,0 +1,93 @@
+"""Checkpointing: params (+ optimizer state) as flat npz archives.
+
+Replaces tf.train.Saver with a transparent format: each leaf saved under
+its tree path.  Three checkpoint roles mirror the reference
+(SURVEY.md §5): periodic `ckpt` (every 1000 steps, training.py:266-268),
+best-validation `sinet` (training.py:334-342) / `asrnet` (by val PER,
+training_asr.py:307-312).  The checkpoint directory is self-contained:
+config.txt plus the mu/sigma .npy stats are copied next to the weights
+(training.py:121-127), so inference needs only the directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax
+
+
+def _flatten(tree) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(p).strip("[].'") for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_tree(path: str, tree, extra: dict | None = None) -> None:
+    flat = _flatten(tree)
+    if extra:
+        flat.update({f"__extra__/{k}": np.asarray(v) for k, v in extra.items()})
+    np.savez(path, **flat)
+
+
+def load_tree(path: str, template):
+    """Load leaves into the structure of `template` (order-stable)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    leaves_t, treedef = jax.tree_util.tree_flatten(template)
+    flat = _flatten(template)
+    keys = list(flat.keys())
+    if len(keys) != len(leaves_t):
+        raise ValueError("template flatten mismatch")
+    leaves = []
+    for key, leaf in zip(keys, leaves_t):
+        if key not in data:
+            raise KeyError(f"checkpoint {path} missing leaf {key}")
+        arr = data[key]
+        if arr.shape != np.shape(leaf):
+            raise ValueError(
+                f"shape mismatch for {key}: ckpt {arr.shape} vs template {np.shape(leaf)}"
+            )
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_extra(path: str) -> dict:
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    return {
+        k.split("/", 1)[1]: data[k] for k in data.files if k.startswith("__extra__/")
+    }
+
+
+def save_checkpoint(
+    ckpt_dir: str, name: str, params, opt_state=None, step: int = 0
+) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    prefix = os.path.join(ckpt_dir, name)
+    save_tree(prefix, params, extra={"step": step})
+    if opt_state is not None:
+        save_tree(prefix + ".opt", opt_state)
+    return prefix
+
+
+def restore_checkpoint(ckpt_dir: str, name: str, params_template, opt_template=None):
+    prefix = os.path.join(ckpt_dir, name)
+    params = load_tree(prefix, params_template)
+    step = int(load_extra(prefix).get("step", 0))
+    opt_state = None
+    if opt_template is not None and os.path.isfile(prefix + ".opt.npz"):
+        opt_state = load_tree(prefix + ".opt", opt_template)
+    return params, opt_state, step
+
+
+def write_meta(ckpt_dir: str, config: dict) -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump({k: v for k, v in config.items()}, f, indent=1, default=str)

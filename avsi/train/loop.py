@@ -1,0 +1,303 @@
+"""Unified training loop for inpainting and ASR models.
+
+One driver replaces the reference's four near-duplicate trainers
+(`training.py`, `training_emb.py`, `training_ctc.py`, `training_asr.py` —
+each ~400 LoC of copy-paste; SURVEY.md §2.1 C15-C18), keeping their
+behavior: epoch loop with per-epoch validation, NaN/Inf abort
+(training.py:244-249), periodic checkpoint every 1000 steps (:266-268),
+best-validation checkpoint `sinet` (inpainting; selection = val inpainting
+loss, training_ctc.py:383-389) or `asrnet` (ASR; selection = val PER,
+training_asr.py:307-312), early stopping after `n_earlystop_epochs`
+(:340-342), `training_log.txt` TSV (:167-185,357-360), and a self-contained
+checkpoint dir carrying config + mu/sigma stats (:121-127).
+
+TPU-native differences: the whole step (feature extraction -> model ->
+loss -> grads -> optimizer) is ONE jitted function, batches are sharded
+over the `data` mesh axis (grad all-reduce inserted by XLA), and PER is
+computed with the jittable greedy decoder instead of running beam search
+every step (a reference inefficiency — SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from avsi import config as config_lib
+from avsi.data import reader as reader_lib
+from avsi.data import stats as stats_lib
+from avsi.data.tfrecord import list_tfrecord_files
+from avsi.models import asr as asr_model
+from avsi.models import registry
+from avsi.ops import ctc as ctc_ops
+from avsi.parallel import mesh as mesh_lib
+from avsi.train import checkpoints, state as state_lib
+
+
+def _log(logfile, msg):
+    print(msg, flush=True)
+    if logfile:
+        with open(logfile, "a") as f:
+            f.write(msg + "\n")
+
+
+def _per_sample_l1(outputs, batch):
+    masks = batch["masks"]
+    diff = jnp.abs(outputs["target_spec_norm"] - outputs["prediction"])
+    hole = jnp.sum(diff * (1 - masks), axis=(1, 2)) / jnp.maximum(
+        jnp.sum(1 - masks, axis=(1, 2)), 1.0
+    )
+    total = jnp.mean(diff, axis=(1, 2))
+    return total, hole
+
+
+def make_train_step(model, tx, config, stats, is_asr=False):
+    stats = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
+
+    def loss_fn(params, batch, rng):
+        if is_asr:
+            out = model.forward(params, batch, config, stats, train=True, rng=rng)
+            l = asr_model.losses(out, batch, config)
+        else:
+            out = model.forward(params, batch, config, stats, train=True, rng=rng)
+            l = model.losses(out, batch, config)
+        return l["loss"], (l, out)
+
+    def train_step(train_state, batch, rng):
+        (loss, (ldict, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train_state.params, batch, rng
+        )
+        updates, new_opt = tx.update(grads, train_state.opt_state, train_state.params)
+        new_params = optax.apply_updates(train_state.params, updates)
+        if "bn_stats" in out:  # unet running statistics
+            from avsi.models import unet as unet_model
+
+            new_params = unet_model.apply_bn_update(new_params, out["bn_stats"])
+        new_state = state_lib.TrainState(new_params, new_opt, train_state.step + 1)
+        return new_state, ldict
+
+    return train_step
+
+
+def make_eval_step(model, config, stats, is_asr=False):
+    stats = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
+
+    def eval_step(params, batch):
+        out = model.forward(params, batch, config, stats, train=False)
+        if is_asr:
+            l = asr_model.losses(out, batch, config)
+            decoded = ctc_ops.greedy_decode(out["logits"], batch["sequence_lengths"])
+            return {"loss": l["loss"], "decoded": decoded}
+        l = model.losses(out, batch, config)
+        total, hole = _per_sample_l1(out, batch)
+        res = {"loss_ps": total, "loss_hole_ps": hole}
+        if "ctc_loss" in l:
+            res["ctc_loss"] = l["ctc_loss"]
+            res["decoded"] = ctc_ops.greedy_decode(
+                out["asr_logits"], batch["sequence_lengths"]
+            )
+        return res
+
+    return eval_step
+
+
+def _host_per(decoded: np.ndarray, batch: dict) -> float:
+    dec = []
+    labs = []
+    n = batch.get("num_real", len(batch["sequence_lengths"]))
+    for i in range(n):
+        dec.append([int(x) for x in decoded[i] if x >= 0])
+        ll = int(batch["labels_lengths"][i])
+        labs.append([int(x) for x in batch["labels"][i][:ll]])
+    return ctc_ops.per_metric(dec, labs)
+
+
+def train(config_file: str, is_asr: bool = False) -> dict:
+    """Train one model per the config file. Returns summary metrics."""
+    config = config_lib.check_trainconfiguration(config_lib.load_configfile(config_file))
+    model_name = config["model"]
+    exp_folder = config["exp_folder"]
+    ckpt_dir = os.path.join(exp_folder, "netmodel")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logfile = os.path.join(exp_folder, "training_log.txt")
+
+    # self-contained checkpoint dir: config + stats (training.py:121-127)
+    shutil.copy(config_file, os.path.join(ckpt_dir, "config.txt"))
+    stats = stats_lib.load_stats(config["audio_feat_mean"], config["audio_feat_std"])
+    np.save(os.path.join(ckpt_dir, "audio_features_mean.npy"), stats[0])
+    np.save(os.path.join(ckpt_dir, "audio_features_std.npy"), stats[1])
+    checkpoints.write_meta(ckpt_dir, config)
+
+    model = (
+        registry.get_asr_model(model_name) if is_asr else registry.get_model(model_name)
+    )
+
+    dm = reader_lib.DataManager(
+        num_audio_samples=config["audio_len"],
+        audio_feat_size=config["audio_feat_dim"],
+        video_feat_size=config["video_feat_dim"],
+        with_embedding=model.needs_embeddings,
+        seed=config.get("seed", 0),
+    )
+    train_files = list_tfrecord_files(os.path.join(config["root_folder"], "training-set"))
+    val_files = list_tfrecord_files(os.path.join(config["root_folder"], "validation-set"))
+    if not train_files:
+        raise ValueError(f"no training tfrecords under {config['root_folder']}")
+
+    rng = jax.random.PRNGKey(config.get("seed", 0))
+    rng, init_rng = jax.random.split(rng)
+    params = model.init(init_rng, config)
+
+    # optional warm starts (training.py:115-166)
+    if config["model_ckp"]:
+        params, _, _ = checkpoints.restore_checkpoint(
+            os.path.dirname(config["model_ckp"]) or ".",
+            os.path.basename(config["model_ckp"]),
+            params,
+        )
+        print(f"Restored model from {config['model_ckp']}")
+    if config["model_ckp_vnet"] and model_name == "av-blstm-twosteps":
+        vnet, _, _ = checkpoints.restore_checkpoint(
+            os.path.dirname(config["model_ckp_vnet"]) or ".",
+            os.path.basename(config["model_ckp_vnet"]),
+            params["vnet"],
+        )
+        params = dict(params, vnet=vnet)
+        print(f"Restored vnet from {config['model_ckp_vnet']}")
+
+    mask = model.trainable_mask(params) if model.trainable_mask else None
+    tx = state_lib.make_optimizer(config, mask)
+    train_state = state_lib.TrainState(params, tx.init(params), jnp.int32(0))
+
+    mesh = mesh_lib.get_mesh(config.get("num_data_shards", 0))
+    n_dev = mesh.devices.size
+    batch_size = int(config["batch_size"])
+    use_mesh = batch_size % n_dev == 0 and n_dev > 1
+
+    train_step = jax.jit(make_train_step(model, tx, config, stats, is_asr), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(model, config, stats, is_asr))
+
+    def place(batch):
+        if use_mesh:
+            return mesh_lib.shard_batch(batch, mesh)
+        return mesh_lib.device_batch(batch)
+
+    if use_mesh:
+        train_state = mesh_lib.replicate(train_state, mesh)
+
+    header = " | ".join(f"{k}={config[k]}" for k in (
+        "model", "net_dim", "batch_size", "optimizer_type", "starter_learning_rate",
+        "dropout_rate", "max_n_epochs", "n_earlystop_epochs",
+    ))
+    _log(logfile, f"# {header}")
+    _log(logfile, f"# devices={n_dev} mesh={'on' if use_mesh else 'off'}")
+
+    best_val = math.inf
+    best_epoch = -1
+    cneg_epochs = 0
+    step = 0
+    summary = {}
+    for epoch in range(int(config["max_n_epochs"])):
+        t_epoch = time.time()
+        train_losses = []
+        for batch in dm.prefetch_batches(
+            train_files, batch_size, shuffle=True, drop_remainder=True
+        ):
+            rng, step_rng = jax.random.split(rng)
+            train_state, ldict = train_step(train_state, place(batch), step_rng)
+            step += 1
+            loss = float(ldict["loss"])
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"NaN/Inf loss at step {step} — aborting (reference "
+                    "training.py:244-249 semantics)"
+                )
+            train_losses.append({k: float(v) for k, v in ldict.items()})
+            if step % 200 == 0:
+                msg = f"epoch {epoch} step {step} " + " ".join(
+                    f"{k}={np.mean([d[k] for d in train_losses[-200:]]):.5f}"
+                    for k in train_losses[-1]
+                )
+                print(msg, flush=True)
+            if step % 1000 == 0:
+                checkpoints.save_checkpoint(
+                    ckpt_dir, "ckpt", jax.device_get(train_state.params), step=step
+                )
+
+        # validation pass; selection metric follows the model's own loss:
+        # mean-all for base blstm/unet (training.py), hole-only for the
+        # ssnn/emb/ctc variants (training_ctc.py:383-389)
+        spec = model.extra.get("spec") if model.extra else None
+        select_hole = bool(spec and spec.loss_on_hole_only)
+        val_metric, val_report = _validate(
+            dm, val_files, batch_size, eval_step, train_state.params, place, is_asr,
+            select_hole,
+        )
+
+        dt = time.time() - t_epoch
+        tr = {k: float(np.mean([d[k] for d in train_losses])) for k in train_losses[0]} if train_losses else {}
+        _log(
+            logfile,
+            f"epoch {epoch}\t"
+            + "\t".join(f"train_{k}={v:.5f}" for k, v in tr.items())
+            + "\t"
+            + val_report
+            + f"\ttime={dt:.1f}s",
+        )
+
+        if val_metric < best_val:
+            best_val = val_metric
+            best_epoch = epoch
+            cneg_epochs = 0
+            name = "asrnet" if is_asr else "sinet"
+            checkpoints.save_checkpoint(
+                ckpt_dir, name, jax.device_get(train_state.params), step=step
+            )
+            _log(logfile, f"# new best val metric {best_val:.5f} -> saved {name}")
+        else:
+            cneg_epochs += 1
+            if cneg_epochs >= int(config["n_earlystop_epochs"]):
+                _log(logfile, f"# early stop at epoch {epoch} (best epoch {best_epoch})")
+                break
+
+        summary = {"best_val": best_val, "best_epoch": best_epoch, "steps": step}
+    summary = {"best_val": best_val, "best_epoch": best_epoch, "steps": step}
+    _log(logfile, f"# done: best_val={best_val:.5f} at epoch {best_epoch}")
+    return summary
+
+
+def _validate(dm, val_files, batch_size, eval_step, params, place, is_asr, select_hole=True):
+    """Per-epoch validation. Returns (selection_metric, report_string)."""
+    if not val_files:
+        return math.inf, "val=none"
+    if is_asr:
+        losses, pers = [], []
+        for batch in dm.batches(val_files, batch_size, pad_final=True):
+            res = eval_step(params, place(batch))
+            losses.append(float(res["loss"]))
+            pers.append(_host_per(np.asarray(res["decoded"]), batch))
+        per = float(np.mean(pers))
+        return per, f"val_loss={np.mean(losses):.5f}\tval_per={per:.5f}"
+    tot, hole, ctcs, pers = [], [], [], []
+    for batch in dm.batches(val_files, batch_size, pad_final=True):
+        res = eval_step(params, place(batch))
+        n = batch.get("num_real", batch_size)
+        tot.extend(np.asarray(res["loss_ps"])[:n].tolist())
+        hole.extend(np.asarray(res["loss_hole_ps"])[:n].tolist())
+        if "ctc_loss" in res:
+            ctcs.append(float(res["ctc_loss"]))
+            pers.append(_host_per(np.asarray(res["decoded"]), batch))
+    report = f"val_loss={np.mean(tot):.5f}\tval_loss_hole={np.mean(hole):.5f}"
+    if ctcs:
+        report += f"\tval_ctc={np.mean(ctcs):.5f}\tval_per={np.mean(pers):.5f}"
+    metric = float(np.mean(hole)) if select_hole else float(np.mean(tot))
+    return metric, report

@@ -1,0 +1,136 @@
+"""End-to-end training tests on the synthetic fixture.
+
+Covers the reference test strategy the rebuild adds (SURVEY.md §4): a tiny
+GRID-like corpus is generated, tfrecords built, and a model overfit for a
+couple of epochs — exercising L1->L6 of the stack (config, DSP, data,
+model, trainer, checkpointing).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from avsi import config as config_lib
+from avsi.data import fixture, reader, stats as stats_lib
+from avsi.data.tfrecord import list_tfrecord_files
+from avsi.train import checkpoints, loop
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("fix"))
+    # small utterances (600 ms -> 50 frames) keep CPU CI fast
+    paths = fixture.make_fixture(
+        dest, n_speakers=1, n_samples=6, audio_len_ms=600, gap_ms=150.0, gap_std_ms=20.0
+    )
+    # feature stats from the training split
+    stats_prefix = os.path.join(dest, "spec_norm")
+    stats_lib.compute_mean_std_features(
+        paths["training-set"], "target", stats_prefix, feat_type="spec",
+        window_size=24, step_size=12, n_fft=512,
+    )
+    paths["mean"] = stats_prefix + "_mean.npy"
+    paths["std"] = stats_prefix + "_std.npy"
+    return paths
+
+
+def _write_config(tmp_path, corpus, model="a-blstm", **kw):
+    cfg = {
+        "model": model,
+        "audio_feat_dim": 257,
+        "video_feat_dim": 136,
+        "audio_len": 9600,  # 600 ms
+        "batch_size": 2,
+        "net_dim": [16, 16],
+        "integration_layer": 0,
+        "dropout_rate": 0.0,
+        "max_n_epochs": 2,
+        "n_earlystop_epochs": 5,
+        "num_asr_labels": 33,
+        "ctc_loss": 0.001,
+        "optimizer_type": "adam",
+        "starter_learning_rate": 0.003,
+        "lr_decay": 1.0,
+        "l2": 0.0,
+        "root_folder": corpus["tfrecords"],
+        "exp_folder": str(tmp_path / "exp"),
+        "audio_feat_mean": corpus["mean"],
+        "audio_feat_std": corpus["std"],
+    }
+    cfg.update(kw)
+    path = str(tmp_path / "train.config")
+    config_lib.save_configfile(cfg, path)
+    return path
+
+
+def test_reader_batches(corpus):
+    dm = reader.DataManager(num_audio_samples=9600)
+    files = list_tfrecord_files(os.path.join(corpus["tfrecords"], "training-set"))
+    assert len(files) == 6
+    batches = list(dm.batches(files, batch_size=4, pad_final=True))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["target_sources"].shape == (4, 9600)
+    assert b["masks"].shape == (4, 50, 257)
+    assert b["video_features"].shape == (4, 50, 136)
+    assert batches[1]["num_real"] == 2
+    # prefetch path yields identical content when unshuffled
+    pf = list(dm.prefetch_batches(files, batch_size=4, pad_final=True))
+    np.testing.assert_array_equal(pf[0]["masks"], batches[0]["masks"])
+
+
+def test_train_a_blstm_overfits(corpus, tmp_path):
+    cfg_path = _write_config(tmp_path, corpus, model="a-blstm", max_n_epochs=4)
+    summary = loop.train(cfg_path)
+    assert np.isfinite(summary["best_val"])
+    ckpt_dir = str(tmp_path / "exp" / "netmodel")
+    assert os.path.isfile(os.path.join(ckpt_dir, "sinet.npz"))
+    assert os.path.isfile(os.path.join(ckpt_dir, "config.txt"))
+    assert os.path.isfile(os.path.join(ckpt_dir, "audio_features_mean.npy"))
+    log = open(str(tmp_path / "exp" / "training_log.txt")).read()
+    assert "epoch 0" in log and "val_loss" in log
+    # loss must decrease over epochs (overfit trend on 6 samples)
+    import re
+
+    losses = [float(m) for m in re.findall(r"train_loss=([0-9.]+)", log)]
+    assert losses[-1] < losses[0]
+
+
+def test_train_mtl_ctc(corpus, tmp_path):
+    cfg_path = _write_config(
+        tmp_path, corpus, model="a-blstm-ssnn-ctc", max_n_epochs=1
+    )
+    summary = loop.train(cfg_path)
+    assert np.isfinite(summary["best_val"])
+    log = open(str(tmp_path / "exp" / "training_log.txt")).read()
+    assert "val_ctc" in log and "val_per" in log
+
+
+def test_train_asr(corpus, tmp_path):
+    # ASR uses fbanks stats (80 bins)
+    stats_prefix = os.path.join(os.path.dirname(corpus["mean"]), "fbanks_norm")
+    stats_lib.compute_mean_std_features(
+        corpus["training-set"], "target", stats_prefix, feat_type="fbanks",
+        window_size=24, step_size=12, n_fft=512,
+    )
+    cfg_path = _write_config(
+        tmp_path, corpus, model="a-blstm", max_n_epochs=1,
+        audio_feat_mean=stats_prefix + "_mean.npy",
+        audio_feat_std=stats_prefix + "_std.npy",
+    )
+    summary = loop.train(cfg_path, is_asr=True)
+    assert np.isfinite(summary["best_val"])  # val PER
+    assert os.path.isfile(str(tmp_path / "exp" / "netmodel" / "asrnet.npz"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3), "b": [np.ones(4), np.zeros(2)]}
+    checkpoints.save_checkpoint(str(tmp_path), "sinet", tree, step=42)
+    template = jax.tree_util.tree_map(np.zeros_like, tree)
+    restored, _, step = checkpoints.restore_checkpoint(str(tmp_path), "sinet", template)
+    assert step == 42
+    np.testing.assert_array_equal(restored["a"], tree["a"])
+    np.testing.assert_array_equal(restored["b"][0], tree["b"][0])
