@@ -1,0 +1,192 @@
+"""Speech-quality metrics (host-side numpy).
+
+Reference surface: `/root/reference/av_speech_inpainting/eval_metrics.py`
+(L1/L2 spectral distance :8-41, SDR via mir_eval :44-54, SI-SDR :57-74,
+PESQ via the ITU binary :77-96) plus `pystoi` and `editdistance` imported
+by evaluation.py:10-11.  None of those packages ship in this environment,
+so STOI and BSS-eval SDR are implemented natively below (STOI per Taal et
+al. 2011, the pystoi algorithm; SDR per the BSS_EVAL v3 definition with a
+512-tap allowed distortion filter).  PESQ remains an external-binary call,
+gracefully NaN when unavailable.
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+
+import numpy as np
+from scipy.linalg import solve_toeplitz
+from scipy.signal import resample_poly, stft as scipy_stft
+
+
+# ---------------------------------------------------------------------------
+# spectral distances (eval_metrics.py:8-41)
+# ---------------------------------------------------------------------------
+
+def _log_specs(target, estimated, sample_rate, n_fft, window_size, step_size):
+    window_frame_len = int(window_size / 1e3 * sample_rate)
+    overlap = int((window_size - step_size) / 1e3 * sample_rate)
+    n = min(len(target), len(estimated))
+    _, _, t_stft = scipy_stft(target[:n], nperseg=window_frame_len, noverlap=overlap, nfft=n_fft)
+    _, _, e_stft = scipy_stft(estimated[:n], nperseg=window_frame_len, noverlap=overlap, nfft=n_fft)
+    return np.log(np.abs(t_stft) + 1e-6), np.log(np.abs(e_stft) + 1e-6)
+
+
+def l1_eval(target, estimated, sample_rate=16e3, n_fft=512, window_size=25, step_size=10):
+    t, e = _log_specs(target, estimated, sample_rate, n_fft, window_size, step_size)
+    return float(np.abs(t - e).sum())
+
+
+def l2_eval(target, estimated, sample_rate=16e3, n_fft=512, window_size=25, step_size=10):
+    t, e = _log_specs(target, estimated, sample_rate, n_fft, window_size, step_size)
+    return float(np.square(t - e).sum())
+
+
+# ---------------------------------------------------------------------------
+# SI-SDR (eval_metrics.py:57-74)
+# ---------------------------------------------------------------------------
+
+def sisdr_eval(ref_sig, out_sig, eps=1e-8):
+    assert len(ref_sig) == len(out_sig)
+    ref_sig = ref_sig - np.mean(ref_sig)
+    out_sig = out_sig - np.mean(out_sig)
+    ref_energy = np.sum(ref_sig**2) + eps
+    proj = np.sum(ref_sig * out_sig) * ref_sig / ref_energy
+    noise = out_sig - proj
+    ratio = np.sum(proj**2) / (np.sum(noise**2) + eps)
+    return float(10 * np.log10(ratio + eps))
+
+
+# ---------------------------------------------------------------------------
+# BSS-eval SDR, single source (replaces mir_eval.separation.bss_eval_sources)
+# ---------------------------------------------------------------------------
+
+def sdr_eval(target, estimated, filt_len: int = 512):
+    """SDR with a 512-tap allowed distortion filter (BSS_EVAL definition).
+
+    Single-source case of bss_eval_sources(compute_permutation=False): the
+    target projection is the least-squares filtering of `target` that best
+    matches `estimated`; everything else is distortion."""
+    n = min(len(target), len(estimated))
+    target = np.asarray(target[:n], np.float64)
+    estimated = np.asarray(estimated[:n], np.float64)
+    if not np.any(estimated):
+        return float("nan")
+    # autocorrelation (Toeplitz system) and cross-correlation
+    full = np.concatenate([target, np.zeros(filt_len - 1)])
+    acf = np.correlate(full, target, mode="valid")  # lags 0..filt_len-1
+    xcorr = np.correlate(
+        np.concatenate([estimated, np.zeros(filt_len - 1)]), target, mode="valid"
+    )
+    try:
+        h = solve_toeplitz(acf + 1e-10 * acf[0], xcorr)
+    except np.linalg.LinAlgError:  # pragma: no cover
+        return float("nan")
+    s_target = np.convolve(target, h)[:n]
+    e_artif = estimated - s_target
+    denom = np.sum(e_artif**2)
+    if denom == 0:
+        return float("inf")
+    return float(10 * np.log10(np.sum(s_target**2) / denom))
+
+
+# ---------------------------------------------------------------------------
+# STOI (Taal et al. 2011; the pystoi algorithm, fs=10 kHz internals)
+# ---------------------------------------------------------------------------
+
+_STOI_FS = 10000
+_STOI_NFRAME = 256
+_STOI_NFFT = 512
+_STOI_NBANDS = 15
+_STOI_MINFREQ = 150
+_STOI_N = 30  # analysis segment length (frames)
+_STOI_BETA = -15.0
+_STOI_DYN_RANGE = 40.0
+
+
+def _thirdoct(fs, nfft, num_bands, min_freq):
+    f = np.linspace(0, fs, nfft + 1)[: nfft // 2 + 1]
+    k = np.arange(num_bands)
+    cf = min_freq * np.power(2.0, k / 3.0)
+    freq_low = cf * np.power(2.0, -1.0 / 6.0)
+    freq_high = cf * np.power(2.0, 1.0 / 6.0)
+    obm = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        lo = np.argmin((f - freq_low[i]) ** 2)
+        hi = np.argmin((f - freq_high[i]) ** 2)
+        obm[i, lo:hi] = 1
+    return obm
+
+
+def _stoi_frames(x, hop=128):
+    w = np.hanning(_STOI_NFRAME + 2)[1:-1]
+    n = (len(x) - _STOI_NFRAME) // hop + 1
+    idx = np.arange(n)[:, None] * hop + np.arange(_STOI_NFRAME)[None, :]
+    return x[idx] * w
+
+
+def _remove_silent(x, y):
+    frames_x = _stoi_frames(x)
+    frames_y = _stoi_frames(y)
+    energy = 20 * np.log10(np.linalg.norm(frames_x, axis=1) + 1e-12)
+    keep = energy > (energy.max() - _STOI_DYN_RANGE)
+    return frames_x[keep], frames_y[keep]
+
+
+def stoi_eval(target, estimated, sample_rate=16000):
+    """Short-time objective intelligibility in [~0, 1]."""
+    n = min(len(target), len(estimated))
+    x = np.asarray(target[:n], np.float64)
+    y = np.asarray(estimated[:n], np.float64)
+    if sample_rate != _STOI_FS:
+        g = np.gcd(int(sample_rate), _STOI_FS)
+        x = resample_poly(x, _STOI_FS // g, int(sample_rate) // g)
+        y = resample_poly(y, _STOI_FS // g, int(sample_rate) // g)
+    fx, fy = _remove_silent(x, y)
+    if len(fx) < _STOI_N:
+        return 1e-5  # too little speech (reference maps these to NaN later)
+    X = np.fft.rfft(fx, _STOI_NFFT, axis=1)
+    Y = np.fft.rfft(fy, _STOI_NFFT, axis=1)
+    obm = _thirdoct(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
+    Xb = np.sqrt((np.abs(X) ** 2) @ obm.T)  # (frames, bands)
+    Yb = np.sqrt((np.abs(Y) ** 2) @ obm.T)
+
+    d_sum = 0.0
+    count = 0
+    clip = np.power(10.0, -_STOI_BETA / 20.0)
+    for m in range(_STOI_N, len(Xb) + 1):
+        Xseg = Xb[m - _STOI_N : m]  # (N, bands)
+        Yseg = Yb[m - _STOI_N : m]
+        alpha = np.linalg.norm(Xseg, axis=0) / (np.linalg.norm(Yseg, axis=0) + 1e-12)
+        Yprime = np.minimum(Yseg * alpha[None, :], Xseg * (1 + clip))
+        xn = Xseg - Xseg.mean(axis=0)
+        yn = Yprime - Yprime.mean(axis=0)
+        xn = xn / (np.linalg.norm(xn, axis=0) + 1e-12)
+        yn = yn / (np.linalg.norm(yn, axis=0) + 1e-12)
+        d_sum += float((xn * yn).sum())
+        count += _STOI_NBANDS
+    return d_sum / count if count else 1e-5
+
+
+# ---------------------------------------------------------------------------
+# PESQ (external ITU binary, eval_metrics.py:77-96)
+# ---------------------------------------------------------------------------
+
+def pesq_eval(source_file_path, estimation_file_path, pesq_bin_path, mode="wb"):
+    if mode == "nb":
+        args = [pesq_bin_path, "+16000", source_file_path, estimation_file_path]
+    else:
+        args = [pesq_bin_path, "+16000", "+wb", source_file_path, estimation_file_path]
+    try:
+        output = subprocess.check_output(args)
+        text = output.decode().replace("\r", "")
+        if mode == "nb":
+            m = re.search(
+                r"\(Raw MOS, MOS-LQO\):\s+= (-?[0-9.]+?)\t([0-9.]+?)$", text, re.MULTILINE
+            )
+            return float(m.group(1)), float(m.group(2))
+        m = re.search(r"\(MOS-LQO\):\s+= ([0-9.]+?)$", text, re.MULTILINE)
+        return float(m.group(1)), None
+    except (subprocess.CalledProcessError, AttributeError, FileNotFoundError, OSError):
+        return np.nan, np.nan

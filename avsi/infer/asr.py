@@ -1,0 +1,93 @@
+"""ASR inference: restore `asrnet`, decode, write `.lbl` transcriptions.
+
+Reference: `/root/reference/av_speech_inpainting/inference_asr.py:18-135` —
+CTC decode, map labels -> phonemes, write `<audio_dir>/<sample>/<prefix>.lbl`
+(comma-joined), report mean loss + PER; `--apply_mask` evaluates on masked
+audio.  Decode is greedy on device by default; `beam_width > 0` switches to
+the host beam search (TF default width 100 in models_asr.py:135).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from avsi.data import phonemes as ph_lib
+from avsi.data import reader as reader_lib
+from avsi.data.tfrecord import list_tfrecord_files
+from avsi.models import asr as asr_model
+from avsi.ops import ctc as ctc_ops
+from avsi.parallel import mesh as mesh_lib
+from avsi.infer.inpaint import load_model_bundle
+
+
+def make_asr_step(config, stats, apply_mask: bool):
+    stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
+
+    def step(params, batch):
+        out = asr_model.forward(params, batch, config, stats_j, apply_mask=apply_mask)
+        losses = asr_model.losses(out, batch, config)
+        decoded = ctc_ops.greedy_decode(out["logits"], batch["sequence_lengths"])
+        return out["logits"], decoded, losses["loss"]
+
+    return step
+
+
+def infer(
+    model_path: str,
+    data_path_test: str,
+    audio_path: str,
+    out_file_prefix: str,
+    dictionary_file: str,
+    apply_mask: bool = False,
+    norm: bool = True,
+    batch_size: int = 1,
+    beam_width: int = 0,
+) -> dict:
+    batch_size = batch_size or 1
+    config, stats, model, params = load_model_bundle(model_path, norm, is_asr=True)
+    dictionary = ph_lib.load_dictionary(dictionary_file)
+    dm = reader_lib.DataManager(
+        num_audio_samples=config["audio_len"],
+        audio_feat_size=config["audio_feat_dim"],
+        video_feat_size=config["video_feat_dim"],
+    )
+    files = list_tfrecord_files(data_path_test)
+    if not files:
+        raise ValueError(f"no tfrecords under {data_path_test}")
+    step = jax.jit(make_asr_step(config, stats, apply_mask))
+
+    total = 0
+    losses = []
+    decs, labs = [], []
+    for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
+        n_real = batch.get("num_real", batch_size)
+        logits, decoded, loss = step(params, mesh_lib.device_batch(batch))
+        losses.append(float(loss))
+        decoded = np.asarray(decoded)
+        logits = np.asarray(logits)
+        for i in range(n_real):
+            if beam_width > 0:
+                seq = ctc_ops.beam_search_decode(
+                    logits[i], int(batch["sequence_lengths"][i]), beam_width
+                )
+            else:
+                seq = [int(x) for x in decoded[i] if x >= 0]
+            sample_dir = batch["sample_paths"][i]
+            text = ",".join(ph_lib.get_phonemes_from_labels(seq, dictionary))
+            os.makedirs(os.path.join(audio_path, sample_dir), exist_ok=True)
+            with open(
+                os.path.join(audio_path, sample_dir, out_file_prefix + ".lbl"), "w"
+            ) as f:
+                f.write(text)
+            decs.append(seq)
+            ll = int(batch["labels_lengths"][i])
+            labs.append([int(x) for x in batch["labels"][i][:ll]])
+        total += n_real
+    per = ctc_ops.per_metric(decs, labs)
+    print(f"Wrote {total} transcriptions. Loss: {np.mean(losses):.5f}  PER: {per:.5f}")
+    return {"num_samples": total, "loss": float(np.mean(losses)), "per": per}

@@ -1,0 +1,55 @@
+"""Checkpoint re-export / variable surgery.
+
+Reference: `inference_model_generator.save_inference_model`
+(`/root/reference/av_speech_inpainting/inference_model_generator.py:14-48`)
+rebuilt the graph without a fixed batch size and re-saved — necessary only
+because TF1 froze batch size and the CudnnLSTM training kernel into the
+checkpoint.  In this framework one parameter tree serves any batch size and
+both train/infer paths, so re-export reduces to a copy; it still exists for
+CLI parity, and `rename_vars` reproduces `scripts/rename_vars_tf_ckp.py:9-34`
+(key surgery inside a checkpoint).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import numpy as np
+
+
+def save_inference_model(
+    config_file: str, input_model: str, output_model: str, model_kind: str = "enh"
+) -> None:
+    """Copy a training checkpoint to an inference checkpoint path."""
+    for suffix in (".npz", ".opt.npz"):
+        src = input_model + suffix
+        if os.path.isfile(src):
+            if suffix == ".opt.npz":
+                continue  # inference checkpoints drop optimizer state
+            os.makedirs(os.path.dirname(output_model) or ".", exist_ok=True)
+            shutil.copy(src, output_model + ".npz")
+    # carry the self-contained sidecars when exporting across directories
+    src_dir = os.path.dirname(input_model)
+    dst_dir = os.path.dirname(output_model)
+    if src_dir != dst_dir:
+        for name in ("config.txt", "audio_features_mean.npy", "audio_features_std.npy"):
+            p = os.path.join(src_dir, name)
+            if os.path.isfile(p):
+                shutil.copy(p, os.path.join(dst_dir, name))
+    print(f"Exported inference model to {output_model}.npz")
+
+
+def rename_vars(
+    checkpoint: str, out_checkpoint: str, pattern: str, replacement: str
+) -> int:
+    """Regex-rename leaf keys inside a checkpoint npz."""
+    path = checkpoint if checkpoint.endswith(".npz") else checkpoint + ".npz"
+    data = dict(np.load(path))
+    renamed = {re.sub(pattern, replacement, k): v for k, v in data.items()}
+    out = out_checkpoint if out_checkpoint.endswith(".npz") else out_checkpoint + ".npz"
+    np.savez(out, **renamed)
+    changed = sum(1 for a, b in zip(data, renamed) if a != b)
+    print(f"Renamed {changed} keys -> {out}")
+    return changed

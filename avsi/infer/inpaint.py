@@ -1,0 +1,136 @@
+"""Batch inpainting inference: restore `sinet`, enhance, write wavs.
+
+Reference: `/root/reference/av_speech_inpainting/inference.py:20-170`.
+Differences by design: the model forward, magnitude denormalization,
+phase handling and (optionally) the Griffin-Lim hole-phase reconstruction
+all run inside ONE jitted function on device — the reference instead did a
+serial per-utterance host loop through the C lws library (SURVEY.md §3.2).
+Output layout is identical: `<audio_dir>/<sample>/enhanced/<prefix>.wav`,
+int16, trimmed to seq_len * 192 samples.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from avsi import config as config_lib
+from avsi.data import reader as reader_lib, stats as stats_lib
+from avsi.data.tfrecord import list_tfrecord_files
+from avsi.models import registry
+from avsi.ops import phase as phase_ops
+from avsi.parallel import mesh as mesh_lib
+from avsi.train import checkpoints
+from avsi.utils import wav as wavio
+
+SAMPLES_PER_FRAME = 192  # inference.py:160
+
+
+def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False):
+    """Load (config, stats, model, params) from a self-contained ckpt dir."""
+    config = config_lib.check_trainconfiguration(
+        config_lib.load_configfile(os.path.join(model_path, "config.txt"))
+    )
+    if norm:
+        stats = stats_lib.load_stats(
+            os.path.join(model_path, "audio_features_mean.npy"),
+            os.path.join(model_path, "audio_features_std.npy"),
+        )
+    else:
+        dim = 80 if is_asr else config["audio_feat_dim"]
+        stats = (np.zeros(dim, np.float32), np.ones(dim, np.float32))
+    model = (
+        registry.get_asr_model(config["model"])
+        if is_asr
+        else registry.get_model(config["model"])
+    )
+    template = model.init(jax.random.PRNGKey(0), config)
+    name = "asrnet" if is_asr else "sinet"
+    params, _, _ = checkpoints.restore_checkpoint(model_path, name, template)
+    return config, stats, model, params
+
+
+def make_infer_step(model, config, stats, oracle_phase: bool, phase_recon: str, gl_iters: int):
+    stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
+
+    def step(params, batch):
+        out = model.forward(params, batch, config, stats_j, train=False)
+        losses = model.losses(out, batch, config)
+        if oracle_phase or phase_recon == "none":
+            wav = model.enhanced_sources(out, batch, config, stats_j, oracle_phase)
+        else:
+            mean, std = stats_j
+            mag = jnp.exp(out["prediction"] * std + mean)
+            known_phase = jnp.arctan2(out["stft_im"], out["stft_re"])
+            wav = phase_ops.griffin_lim_blend(
+                mag,
+                known_phase,
+                batch["masks"],
+                num_samples=int(config["audio_len"]),
+                n_iters=gl_iters,
+            )
+        return wav, losses["loss"], losses["loss_hole"]
+
+    return step
+
+
+def infer(
+    model_path: str,
+    data_path_test: str,
+    audio_path: str,
+    out_file_prefix: str,
+    norm: bool = True,
+    oracle_phase: bool = False,
+    batch_size: int = 1,
+    phase_recon: str = "gl",
+    gl_iters: int = 50,
+) -> dict:
+    batch_size = batch_size or 1
+    config, stats, model, params = load_model_bundle(model_path, norm)
+    dm = reader_lib.DataManager(
+        num_audio_samples=config["audio_len"],
+        audio_feat_size=config["audio_feat_dim"],
+        video_feat_size=config["video_feat_dim"],
+        with_embedding=model.needs_embeddings,
+    )
+    files = list_tfrecord_files(data_path_test)
+    if not files:
+        raise ValueError(f"no tfrecords under {data_path_test}")
+
+    step = jax.jit(make_infer_step(model, config, stats, oracle_phase, phase_recon, gl_iters))
+
+    total = 0
+    losses, holes = [], []
+    t0 = time.time()
+    for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
+        n_real = batch.get("num_real", batch_size)
+        wav, loss, loss_hole = step(params, mesh_lib.device_batch(batch))
+        wav = np.asarray(wav)
+        losses.append(float(loss))
+        holes.append(float(loss_hole))
+        for i in range(n_real):
+            sample_dir = batch["sample_paths"][i]
+            seq_len = int(batch["sequence_lengths"][i])
+            out_dir = os.path.join(audio_path, sample_dir, "enhanced")
+            os.makedirs(out_dir, exist_ok=True)
+            wavio.write_wav_int16(
+                os.path.join(out_dir, out_file_prefix + ".wav"),
+                wav[i][: seq_len * SAMPLES_PER_FRAME],
+            )
+        total += n_real
+    dt = time.time() - t0
+    print(
+        f"Wrote {total} enhanced wavs in {dt:.2f}s ({total / dt:.1f} utt/s). "
+        f"Loss: {np.mean(losses):.5f}  Loss hole: {np.mean(holes):.5f}"
+    )
+    return {
+        "num_samples": total,
+        "loss": float(np.mean(losses)),
+        "loss_hole": float(np.mean(holes)),
+        "utt_per_sec": total / dt,
+    }

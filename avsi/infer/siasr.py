@@ -1,0 +1,143 @@
+"""Fused speech-inpainting -> ASR pipeline.
+
+Reference: `/root/reference/av_speech_inpainting/inference_siasr_ctc.py:22-271`
+(CLI-wired) and its non-CTC twin: two graphs in one session, with the
+enhanced waveform made to take a device->host->device round trip between
+them (:190-218 — SURVEY.md §3.3).  Here the SI forward, waveform
+reconstruction, ASR feature extraction and CTC logits are ONE jitted
+function with no host bounce; only the final decode/label mapping and file
+writes run on the host.
+
+Outputs match the reference layout:
+  `<audio_dir>/<sample>/enhanced/<prefix>.wav`
+  `<audio_dir>/<sample>/transcriptions/<prefix>.lbl`
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from avsi.data import phonemes as ph_lib
+from avsi.data import reader as reader_lib
+from avsi.data.tfrecord import list_tfrecord_files
+from avsi.infer.inpaint import SAMPLES_PER_FRAME, load_model_bundle
+from avsi.models import asr as asr_model
+from avsi.ops import ctc as ctc_ops
+from avsi.ops import phase as phase_ops
+from avsi.parallel import mesh as mesh_lib
+from avsi.utils import wav as wavio
+
+
+def make_siasr_step(
+    si_model, si_config, si_stats, asr_config, asr_stats,
+    oracle_phase: bool, phase_recon: str, gl_iters: int,
+):
+    si_stats_j = (jnp.asarray(si_stats[0]), jnp.asarray(si_stats[1]))
+    asr_stats_j = (jnp.asarray(asr_stats[0]), jnp.asarray(asr_stats[1]))
+
+    def step(si_params, asr_params, batch):
+        out = si_model.forward(si_params, batch, si_config, si_stats_j, train=False)
+        si_losses = si_model.losses(out, batch, si_config)
+        if oracle_phase or phase_recon == "none":
+            wav = si_model.enhanced_sources(out, batch, si_config, si_stats_j, oracle_phase)
+        else:
+            mean, std = si_stats_j
+            mag = jnp.exp(out["prediction"] * std + mean)
+            known_phase = jnp.arctan2(out["stft_im"], out["stft_re"])
+            wav = phase_ops.griffin_lim_blend(
+                mag, known_phase, batch["masks"],
+                num_samples=int(si_config["audio_len"]), n_iters=gl_iters,
+            )
+        # feed the enhanced waveform straight into the ASR front-end
+        asr_out = asr_model.forward(
+            asr_params, batch, asr_config, asr_stats_j, audio_sources=wav
+        )
+        decoded = ctc_ops.greedy_decode(asr_out["logits"], batch["sequence_lengths"])
+        return wav, asr_out["logits"], decoded, si_losses["loss"], si_losses["loss_hole"]
+
+    return step
+
+
+def infer(
+    model_path_si: str,
+    model_path_asr: str,
+    data_path_test: str,
+    audio_path: str,
+    out_file_prefix: str,
+    dictionary_file: str,
+    norm: bool = True,
+    oracle_phase: bool = False,
+    batch_size: int = 1,
+    phase_recon: str = "gl",
+    gl_iters: int = 50,
+    beam_width: int = 0,
+) -> dict:
+    batch_size = batch_size or 1
+    si_config, si_stats, si_model, si_params = load_model_bundle(model_path_si, norm)
+    asr_config, asr_stats, _asr_def, asr_params = load_model_bundle(
+        model_path_asr, norm, is_asr=True
+    )
+    dictionary = ph_lib.load_dictionary(dictionary_file)
+    dm = reader_lib.DataManager(
+        num_audio_samples=si_config["audio_len"],
+        audio_feat_size=si_config["audio_feat_dim"],
+        video_feat_size=si_config["video_feat_dim"],
+        with_embedding=si_model.needs_embeddings,
+    )
+    files = list_tfrecord_files(data_path_test)
+    if not files:
+        raise ValueError(f"no tfrecords under {data_path_test}")
+    step = jax.jit(
+        make_siasr_step(
+            si_model, si_config, si_stats, asr_config, asr_stats,
+            oracle_phase, phase_recon, gl_iters,
+        )
+    )
+
+    total = 0
+    losses, holes, decs, labs = [], [], [], []
+    for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
+        n_real = batch.get("num_real", batch_size)
+        wav, logits, decoded, loss, loss_hole = step(
+            si_params, asr_params, mesh_lib.device_batch(batch)
+        )
+        wav, logits, decoded = np.asarray(wav), np.asarray(logits), np.asarray(decoded)
+        losses.append(float(loss))
+        holes.append(float(loss_hole))
+        for i in range(n_real):
+            sample_dir = batch["sample_paths"][i]
+            seq_len = int(batch["sequence_lengths"][i])
+            enh_dir = os.path.join(audio_path, sample_dir, "enhanced")
+            tr_dir = os.path.join(audio_path, sample_dir, "transcriptions")
+            os.makedirs(enh_dir, exist_ok=True)
+            os.makedirs(tr_dir, exist_ok=True)
+            wavio.write_wav_int16(
+                os.path.join(enh_dir, out_file_prefix + ".wav"),
+                wav[i][: seq_len * SAMPLES_PER_FRAME],
+            )
+            if beam_width > 0:
+                seq = ctc_ops.beam_search_decode(logits[i], seq_len, beam_width)
+            else:
+                seq = [int(x) for x in decoded[i] if x >= 0]
+            with open(os.path.join(tr_dir, out_file_prefix + ".lbl"), "w") as f:
+                f.write(",".join(ph_lib.get_phonemes_from_labels(seq, dictionary)))
+            decs.append(seq)
+            ll = int(batch["labels_lengths"][i])
+            labs.append([int(x) for x in batch["labels"][i][:ll]])
+        total += n_real
+    per = ctc_ops.per_metric(decs, labs)
+    print(
+        f"Wrote {total} enhanced wavs + transcriptions. "
+        f"Loss: {np.mean(losses):.5f}  Loss hole: {np.mean(holes):.5f}  PER: {per:.5f}"
+    )
+    return {
+        "num_samples": total,
+        "loss": float(np.mean(losses)),
+        "loss_hole": float(np.mean(holes)),
+        "per": per,
+    }

@@ -1,0 +1,111 @@
+"""Tests for Griffin-Lim phase reconstruction and the native eval metrics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from avsi.eval import metrics
+from avsi.ops import phase as phase_ops
+from avsi.ops import stft as stft_ops
+
+
+def _speechlike(n=16000, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000.0
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 2.5 * t)
+    sig = sum(np.sin(2 * np.pi * 120 * k * t + rng.rand() * 6) / k for k in range(1, 6))
+    return (3000 * env * sig + 20 * rng.randn(n)).astype(np.float32)
+
+
+class TestGriffinLim:
+    def test_improves_spectral_consistency_in_hole(self):
+        """Success metric is spectral consistency: |STFT(x_rec)| must match
+        the intended magnitude in the hole far better than the masked-phase
+        baseline (waveform L1 is meaningless under phase shifts)."""
+        wave = _speechlike()[None]
+        re, im = stft_ops.stft_real_imag(wave)
+        re, im = np.asarray(re), np.asarray(im)
+        t, f = re.shape[1], re.shape[2]
+        mask = np.ones((1, t, f), np.float32)
+        mask[:, 30:45] = 0.0  # 15-frame hole
+        mag = np.hypot(re, im)
+        known_phase = np.arctan2(im, re)
+
+        def hole_spec_err(x):
+            r2, i2 = stft_ops.stft_real_imag(jnp.asarray(x))
+            m2 = np.hypot(np.asarray(r2)[:, :t, :f], np.asarray(i2)[:, :t, :f])
+            return float((np.abs(m2 - mag) * (1 - mask)).sum() / (1 - mask).sum())
+
+        base = np.asarray(
+            stft_ops.waveform_from_mag_phase(
+                jnp.asarray(mag), jnp.asarray(known_phase * mask), num_samples=16000
+            )
+        )
+        gl = np.asarray(
+            phase_ops.griffin_lim_blend(
+                jnp.asarray(mag), jnp.asarray(known_phase), jnp.asarray(mask),
+                num_samples=16000, n_iters=40,
+            )
+        )
+        err_base = hole_spec_err(base)
+        err_gl = hole_spec_err(gl)
+        assert err_gl < 0.25 * err_base, (err_gl, err_base)
+
+    def test_preserves_known_region(self):
+        wave = _speechlike(seed=1)[None]
+        re, im = stft_ops.stft_real_imag(wave)
+        t, f = re.shape[1], re.shape[2]
+        mask = np.ones((1, t, f), np.float32)
+        mask[:, 40:50] = 0.0
+        mag = jnp.hypot(re, im)
+        phase = jnp.arctan2(im, re)
+        gl = np.asarray(
+            phase_ops.griffin_lim_blend(mag, phase, jnp.asarray(mask), 16000, n_iters=10)
+        )
+        # far from the hole, reconstruction matches the original closely
+        seg = slice(5 * 192, 30 * 192)
+        rel = np.abs(gl[0, seg] - wave[0, seg]).mean() / np.abs(wave[0, seg]).mean()
+        assert rel < 0.05, rel
+
+
+class TestMetrics:
+    def test_l1_zero_for_identical(self):
+        x = _speechlike()
+        assert metrics.l1_eval(x, x) == 0.0
+        assert metrics.l2_eval(x, x) == 0.0
+        assert metrics.l1_eval(x, x + 500) > 0
+
+    def test_sisdr(self):
+        x = _speechlike()
+        assert metrics.sisdr_eval(x, x) > 60
+        assert metrics.sisdr_eval(x, x * 0.5) > 60  # scale-invariant
+        noisy = x + 0.5 * x.std() * np.random.RandomState(0).randn(len(x))
+        v = metrics.sisdr_eval(x, noisy)
+        assert 0 < v < 20
+
+    def test_sdr(self):
+        x = _speechlike()
+        assert metrics.sdr_eval(x, x) > 40
+        noisy = x + x.std() * np.random.RandomState(0).randn(len(x))
+        assert metrics.sdr_eval(x, noisy) < 10
+        assert np.isnan(metrics.sdr_eval(x, np.zeros_like(x)))
+        # allowed distortion: a small delay-filter should barely hurt SDR
+        delayed = np.roll(x, 3)
+        assert metrics.sdr_eval(x, delayed) > 30
+
+    def test_stoi(self):
+        x = _speechlike(n=32000)
+        self_score = metrics.stoi_eval(x, x, 16000)
+        assert self_score > 0.99
+        noise = x.std() * np.random.RandomState(1).randn(len(x))
+        noisy_score = metrics.stoi_eval(x, x + 3 * noise, 16000)
+        assert noisy_score < self_score - 0.1
+        # zeroed gap reduces intelligibility
+        gapped = x.copy()
+        gapped[8000:20000] = 0
+        assert metrics.stoi_eval(x, gapped, 16000) < self_score
+
+    def test_pesq_graceful_without_binary(self):
+        mos, lqo = metrics.pesq_eval("a.wav", "b.wav", "/nonexistent/pesq")
+        assert np.isnan(mos)
