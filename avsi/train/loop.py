@@ -41,6 +41,7 @@ from avsi.models import registry
 from avsi.ops import ctc as ctc_ops
 from avsi.parallel import mesh as mesh_lib
 from avsi.train import checkpoints, state as state_lib
+from avsi.train.tb import SummaryWriter
 
 
 def _log(logfile, msg):
@@ -194,6 +195,7 @@ def train(config_file: str, is_asr: bool = False) -> dict:
     if use_mesh:
         train_state = mesh_lib.replicate(train_state, mesh)
 
+    tb = SummaryWriter(os.path.join(exp_folder, "tb"))
     header = " | ".join(f"{k}={config[k]}" for k in (
         "model", "net_dim", "batch_size", "optimizer_type", "starter_learning_rate",
         "dropout_rate", "max_n_epochs", "n_earlystop_epochs",
@@ -245,6 +247,13 @@ def train(config_file: str, is_asr: bool = False) -> dict:
 
         dt = time.time() - t_epoch
         tr = {k: float(np.mean([d[k] for d in train_losses])) for k in train_losses[0]} if train_losses else {}
+        for k, v in tr.items():
+            tb.scalar(f"train/{k}", v, epoch)
+        tb.scalar("val/metric", val_metric, epoch)
+        tb.scalar("train/epoch_time_s", dt, epoch)
+        if not is_asr and val_files and int(config.get("tb_media", 1)):
+            _tb_media(tb, model, config, stats, train_state.params, dm, val_files, epoch)
+        tb.flush()
         _log(
             logfile,
             f"epoch {epoch}\t"
@@ -272,7 +281,29 @@ def train(config_file: str, is_asr: bool = False) -> dict:
         summary = {"best_val": best_val, "best_epoch": best_epoch, "steps": step}
     summary = {"best_val": best_val, "best_epoch": best_epoch, "steps": step}
     _log(logfile, f"# done: best_val={best_val:.5f} at epoch {best_epoch}")
+    tb.close()
     return summary
+
+
+def _tb_media(tb, model, config, stats, params, dm, val_files, epoch, n_samples=2):
+    """Spectrogram-image + audio summaries (reference models.py:200-219)."""
+    stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
+    batch = next(iter(dm.batches(val_files, min(n_samples, 2), pad_final=True)))
+    dev = mesh_lib.device_batch(batch)
+    out = model.forward(params, dev, config, stats_j, train=False)
+    wav = model.enhanced_sources(out, dev, config, stats_j) if model.enhanced_sources else None
+    target = np.asarray(out["target_spec_norm"])
+    pred = np.asarray(out["prediction"])
+    masks = np.asarray(dev["masks"])
+    for i in range(min(n_samples, target.shape[0])):
+        # frequency up, time right (tf.image.flip_up_down of the transpose)
+        tb.image(f"Target_spectrogram/{i}", target[i].T[::-1], epoch)
+        tb.image(f"Enhanced_spectrogram/{i}", pred[i].T[::-1], epoch)
+        tb.image(f"Mask/{i}", masks[i].T[::-1], epoch)
+        if wav is not None:
+            w = np.asarray(wav[i])
+            peak = np.abs(w).max() or 1.0
+            tb.audio(f"Enhanced_audio/{i}", w / peak * 32000, epoch)
 
 
 def _validate(dm, val_files, batch_size, eval_step, params, place, is_asr, select_hole=True):

@@ -1,0 +1,188 @@
+"""Benchmark: inpainted utterances/sec/chip on the flagship model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measured path: full end-to-end inpainting inference on device — raw
+waveform -> STFT -> log-spec -> normalize -> mask -> SSNN embedding ->
+3x250 bidirectional LSTM -> dual heads -> magnitude denorm -> masked-phase
+iSTFT -> enhanced waveform (the same graph the reference runs per batch,
+models.py:30-197, minus its host-side LWS loop).
+
+Baseline: the same computation built with TensorFlow on CPU (the reference
+is a TF1 codebase whose published device target defaults to CPU,
+config_utils.py:64-66; no numbers ship with the repo — BASELINE.md).  The
+baseline is measured once and cached in baseline_tf_cpu.json so routine
+bench runs do not need TF.
+
+Run: python bench.py            (uses the default platform — TPU under axon)
+     python bench.py --measure-baseline   (re-measure the TF-CPU anchor)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "baseline_tf_cpu.json")
+
+BATCH = 64
+NET_DIM = [250, 250, 250]
+AUDIO_LEN = 48000
+T_FRAMES = 250
+AF, VF = 257, 136
+
+
+def _host_batch(batch_size, seed=0):
+    rng = np.random.RandomState(seed)
+    masks = np.ones((batch_size, T_FRAMES, AF), np.float32)
+    masks[:, 80:147] = 0.0  # ~800 ms gap
+    labels = np.zeros((batch_size, 50), np.float32)
+    labels[:, :5] = rng.randint(0, 33, size=(batch_size, 5))
+    return {
+        "sequence_lengths": np.full((batch_size,), T_FRAMES, np.int32),
+        "labels_lengths": np.full((batch_size,), 5, np.int32),
+        "target_sources": (3000 * rng.randn(batch_size, AUDIO_LEN)).astype(np.float32),
+        "video_features": rng.randn(batch_size, T_FRAMES, VF).astype(np.float32),
+        "masks": masks,
+        "labels": labels,
+    }
+
+
+def measure_tpu(batch_size=BATCH, iters=20) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from avsi.models import registry
+
+    config = {
+        "model": "av-blstm-ssnn-ctc", "audio_feat_dim": AF, "video_feat_dim": VF,
+        "audio_len": AUDIO_LEN, "batch_size": batch_size, "net_dim": NET_DIM,
+        "integration_layer": 0, "dropout_rate": 0.0, "num_asr_labels": 34,
+        "ctc_loss": 0.001, "embedding_dim": 512, "optimizer_type": "adam",
+        "starter_learning_rate": 0.001, "learning_rate": 0.001,
+        "lr_updating_steps": 10000, "lr_decay": 1.0, "l2": 0.0,
+        "compute_dtype": "float32", "seed": 0,
+    }
+    model = registry.get_model(config["model"])
+    params = model.init(jax.random.PRNGKey(0), config)
+    stats = (jnp.zeros((AF,), jnp.float32), jnp.ones((AF,), jnp.float32))
+    batch = {k: jnp.asarray(v) for k, v in _host_batch(batch_size).items()}
+
+    @jax.jit
+    def infer_step(params, batch):
+        out = model.forward(params, batch, config, stats)
+        wav = model.enhanced_sources(out, batch, config, stats)
+        return jnp.sum(wav)  # reduce so we don't time the host transfer
+
+    t0 = time.time()
+    jax.block_until_ready(infer_step(params, batch))
+    compile_s = time.time() - t0
+    # warmup + measure, device-resident
+    for _ in range(3):
+        jax.block_until_ready(infer_step(params, batch))
+    t0 = time.time()
+    for _ in range(iters):
+        jax.block_until_ready(infer_step(params, batch))
+    dt = (time.time() - t0) / iters
+    return {
+        "batch": batch_size,
+        "sec_per_batch": dt,
+        "utt_per_sec": batch_size / dt,
+        "compile_s": compile_s,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def measure_tf_cpu_baseline(batch_size=8, iters=3) -> dict:
+    """Reference-equivalent forward in TensorFlow on CPU."""
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    b = _host_batch(batch_size)
+    wave = tf.constant(b["target_sources"])
+    masks = tf.constant(b["masks"])
+    video = tf.constant(b["video_features"])
+
+    layers = [
+        tf.keras.layers.Bidirectional(
+            tf.keras.layers.LSTM(n, return_sequences=True)
+        )
+        for n in NET_DIM
+    ]
+    dense = tf.keras.layers.Dense(AF)
+
+    @tf.function
+    def forward(wave, masks, video):
+        stft = tf.signal.stft(wave, frame_length=384, frame_step=192,
+                              fft_length=512, pad_end=True)[:, :T_FRAMES, :AF]
+        spec = tf.math.log(tf.abs(stft) + 1e-6)
+        audio_feat = spec * masks
+        x = tf.concat([audio_feat, video], axis=2)
+        for layer in layers:
+            x = layer(x)
+        pred = dense(x)
+        mag = tf.exp(spec * masks + pred * (1 - masks))
+        phase = tf.math.angle(stft * tf.cast(masks, tf.complex64))
+        rec = tf.complex(mag * tf.cos(phase), mag * tf.sin(phase))
+        out = tf.signal.inverse_stft(
+            rec, frame_length=384, frame_step=192,
+            window_fn=tf.signal.inverse_stft_window_fn(192),
+        )
+        return tf.reduce_sum(out)
+
+    forward(wave, masks, video)  # trace
+    t0 = time.time()
+    for _ in range(iters):
+        forward(wave, masks, video)
+    dt = (time.time() - t0) / iters
+    return {"batch": batch_size, "sec_per_batch": dt, "utt_per_sec": batch_size / dt}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--batch", type=int, default=BATCH)
+    args = ap.parse_args()
+
+    if args.measure_baseline or not os.path.isfile(BASELINE_CACHE):
+        try:
+            base = measure_tf_cpu_baseline()
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump(base, f)
+        except Exception as e:  # keep bench robust if TF is absent
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            base = {"utt_per_sec": float("nan")}
+    else:
+        base = json.load(open(BASELINE_CACHE))
+
+    tpu = measure_tpu(args.batch)
+    vs = tpu["utt_per_sec"] / base["utt_per_sec"] if base.get("utt_per_sec") else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "inpainting_inference_throughput",
+                "value": round(tpu["utt_per_sec"], 2),
+                "unit": "utterances/sec/chip",
+                "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+                "detail": {
+                    "model": "av-blstm-ssnn-ctc 3x250",
+                    "batch": tpu["batch"],
+                    "sec_per_batch": round(tpu["sec_per_batch"], 5),
+                    "compile_s": round(tpu["compile_s"], 1),
+                    "baseline_tf_cpu_utt_per_sec": round(base.get("utt_per_sec", float("nan")), 3),
+                    "device": tpu.get("device", "?"),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Multi-device data-parallel tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from avsi.models import registry
+from avsi.parallel import mesh as mesh_lib
+from avsi.train import loop as loop_lib, state as state_lib
+from tests.helpers import identity_stats, synth_batch, tiny_config
+
+
+def test_virtual_mesh_present():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, (params, batch) = ge.entry()
+    # full flagship is too slow to run on CPU CI; compile-check via lowering
+    lowered = jax.jit(fn).lower(params, batch)
+    assert "loss" not in ("",)  # lowering succeeded
+    assert lowered is not None
+
+
+def test_sharded_step_matches_single_device():
+    """The 8-way sharded train step must produce the same loss and params
+    as the single-device step (gradient all-reduce correctness)."""
+    cfg = tiny_config(model="a-blstm", net_dim=(8, 8), audio_len=4800)
+    batch = synth_batch(cfg, batch_size=8)
+    model = registry.get_model(cfg["model"])
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    stats = identity_stats()
+    tx = state_lib.make_optimizer(cfg)
+    step_fn = loop_lib.make_train_step(model, tx, cfg, stats)
+    rng = jax.random.PRNGKey(1)
+
+    # single device
+    st1 = state_lib.TrainState(params, tx.init(params), jnp.int32(0))
+    st1_new, l1 = jax.jit(step_fn)(st1, batch, rng)
+
+    # 8-device mesh
+    mesh = mesh_lib.get_mesh(8)
+    repl = NamedSharding(mesh, P())
+    st8 = jax.device_put(
+        state_lib.TrainState(params, tx.init(params), jnp.int32(0)), repl
+    )
+    sb = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+          for k, v in mesh_lib.device_batch(batch).items()}
+    st8_new, l8 = jax.jit(step_fn)(st8, sb, jax.device_put(rng, repl))
+
+    np.testing.assert_allclose(float(l1["loss"]), float(l8["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st1_new.params),
+        jax.tree_util.tree_leaves(st8_new.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_inference_batch():
+    """Batched inference sharded over the mesh produces per-device shards
+    that concatenate to the single-device result."""
+    cfg = tiny_config(model="a-blstm", net_dim=(8, 8), audio_len=4800)
+    batch = synth_batch(cfg, batch_size=8)
+    model = registry.get_model(cfg["model"])
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    stats = identity_stats()
+
+    def fwd(p, b):
+        out = model.forward(p, b, cfg, stats)
+        return model.enhanced_sources(out, b, cfg, stats)
+
+    want = np.asarray(jax.jit(fwd)(params, mesh_lib.device_batch(batch)))
+
+    mesh = mesh_lib.get_mesh(8)
+    sb = mesh_lib.shard_batch(batch, mesh)
+    pr = mesh_lib.replicate(params, mesh)
+    got = np.asarray(jax.jit(fwd)(pr, sb))
+    np.testing.assert_allclose(got, want, atol=1e-4)
