@@ -1,0 +1,143 @@
+"""Fused bidirectional LSTM recurrence as a Pallas TPU kernel.
+
+The `lax.scan` implementation in models/core.py pays ~45 us of XLA loop
+overhead per timestep (dynamic-slice + two small matmuls + elementwise +
+dynamic-update-slice per step); at 250 frames x 3 layers that is a ~34 ms
+floor per batch regardless of batch size.  This kernel runs the whole time
+loop inside one `pallas_call`:
+
+  * grid = (T,): Pallas pipelines the HBM->VMEM DMA of step t+1's input
+    projection while step t computes;
+  * recurrent weights (2, H, 4H) stay resident in VMEM across the grid;
+  * h/c carries live in VMEM scratch (persist across grid steps — the TPU
+    grid is sequential);
+  * both directions are one kernel: the forward block reads xw[t], the
+    backward block reads xw[T-1-t], and each does its own (B,H)x(H,4H) MXU
+    matmul per step.
+
+Used on the inference/eval path (no custom VJP yet — training keeps the
+scan, whose backward XLA derives automatically).  Numerics match the scan
+implementation to float32 tolerance (tests/test_pallas_lstm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xw_f_ref, xw_b_ref, wh_ref, out_f_ref, out_b_ref, h_scr, c_scr):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    h = h_scr[...]  # (2, B, H) f32
+    c = c_scr[...]
+    wh = wh_ref[...]  # (2, H, 4H)
+    gates_f = xw_f_ref[0, 0] + jnp.dot(
+        h[0], wh[0], preferred_element_type=jnp.float32
+    )
+    gates_b = xw_b_ref[0, 0] + jnp.dot(
+        h[1], wh[1], preferred_element_type=jnp.float32
+    )
+    gates = jnp.stack([gates_f, gates_b])  # (2, B, 4H)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    h_scr[...] = h_new
+    c_scr[...] = c_new
+    out_f_ref[0] = h_new[0]
+    out_b_ref[0] = h_new[1]
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("hidden", "interpret"))
+def bilstm_recurrence(
+    xw: jax.Array, wh: jax.Array, hidden: int, interpret: bool | None = None
+) -> jax.Array:
+    """Run the bidirectional recurrence.
+
+    xw: (T, 2, B, 4H) input projections (+bias), fwd at [:,0], bwd at [:,1]
+        — bwd entries are in ORIGINAL time order; the kernel reads them
+        reversed.
+    wh: (2, H, 4H) recurrent weights.
+    Returns (T, 2, B, H): fwd hidden states at [:,0] (time order) and bwd
+    hidden states at [:,1] (already un-reversed to original time order).
+    """
+    t_len, _, b_sz, four_h = xw.shape
+    assert four_h == 4 * hidden
+    if interpret is None:
+        interpret = _use_interpret()
+
+    grid = (t_len,)
+    last = t_len - 1
+    out_shape = [
+        jax.ShapeDtypeStruct((t_len, b_sz, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((t_len, b_sz, hidden), jnp.float32),
+    ]
+    out_f, out_b = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, b_sz, four_h), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, b_sz, four_h),
+                lambda t: (last - t, 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2, hidden, four_h), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, b_sz, hidden), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, b_sz, hidden),
+                lambda t: (last - t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b_sz, hidden), jnp.float32),
+            pltpu.VMEM((2, b_sz, hidden), jnp.float32),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xw, xw, wh)
+    return jnp.stack([out_f, out_b], axis=1)
+
+
+def bilstm_layer_pallas(params: dict, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    """Drop-in replacement for core.bilstm_layer using the fused kernel."""
+    b_sz, t_len, _ = x.shape
+    hidden = params["wh"].shape[1]
+    xc = x.astype(compute_dtype)
+    # input projections are pointwise in t, so both directions read the
+    # un-flipped sequence; the kernel walks the bwd entries in reverse
+    x2 = jnp.stack([xc, xc], axis=0)  # (2, B, T, D)
+    wx = params["wx"].astype(compute_dtype)
+    bias = params["b"].astype(jnp.float32)
+    xw = (
+        jnp.einsum("dbti,dig->dbtg", x2, wx, preferred_element_type=jnp.float32)
+        + bias[:, None, None, :]
+    )
+    xw_t = jnp.transpose(xw, (2, 0, 1, 3))  # (T, 2, B, 4H)
+    hs = bilstm_recurrence(xw_t, params["wh"].astype(jnp.float32), hidden)
+    fwd = jnp.moveaxis(hs[:, 0], 0, 1)  # (B, T, H)
+    bwd = jnp.moveaxis(hs[:, 1], 0, 1)
+    return jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)

@@ -31,7 +31,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "baseline_tf_cpu.json")
 
-BATCH = 64
+BATCH = 256
 NET_DIM = [250, 250, 250]
 AUDIO_LEN = 48000
 T_FRAMES = 250
@@ -54,7 +54,26 @@ def _host_batch(batch_size, seed=0):
     }
 
 
-def measure_tpu(batch_size=BATCH, iters=20) -> dict:
+def _measure_fetched(f, *args, n=3):
+    """Wall time of submit+host-fetch of a scalar result, best of n.
+
+    NOTE: jax.block_until_ready does NOT await execution under the axon
+    relay — only a host fetch forces completion, so all timing goes through
+    float(...).  The scalar-fetch tunnel floor is measured separately and
+    subtracted by the caller.
+    """
+    import time as _t
+
+    float(f(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(n):
+        t0 = _t.time()
+        float(f(*args))
+        best = min(best, _t.time() - t0)
+    return best
+
+
+def measure_tpu(batch_size=BATCH, inner_iters=10) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -74,26 +93,35 @@ def measure_tpu(batch_size=BATCH, iters=20) -> dict:
     stats = (jnp.zeros((AF,), jnp.float32), jnp.ones((AF,), jnp.float32))
     batch = {k: jnp.asarray(v) for k, v in _host_batch(batch_size).items()}
 
-    @jax.jit
-    def infer_step(params, batch):
-        out = model.forward(params, batch, config, stats)
-        wav = model.enhanced_sources(out, batch, config, stats)
-        return jnp.sum(wav)  # reduce so we don't time the host transfer
+    floor = _measure_fetched(jax.jit(lambda x: jnp.sum(x)), jnp.ones((8, 8)))
+
+    def make_rep(k):
+        @jax.jit
+        def rep(params, batch):
+            def body(i, carry):
+                b = dict(batch)
+                # data dependency prevents loop-invariant hoisting
+                b["target_sources"] = batch["target_sources"] + carry * 1e-9
+                out = model.forward(params, b, config, stats)
+                wav = model.enhanced_sources(out, b, config, stats)
+                return jnp.sum(wav) * 1e-9
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return rep
 
     t0 = time.time()
-    jax.block_until_ready(infer_step(params, batch))
+    rep = make_rep(inner_iters)
+    total = _measure_fetched(rep, params, batch)
     compile_s = time.time() - t0
-    # warmup + measure, device-resident
-    for _ in range(3):
-        jax.block_until_ready(infer_step(params, batch))
-    t0 = time.time()
-    for _ in range(iters):
-        jax.block_until_ready(infer_step(params, batch))
-    dt = (time.time() - t0) / iters
+    dt = max(total - floor, 1e-9) / inner_iters
+
+    # single-batch latency (p50 proxy): one iteration, tunnel floor removed
+    lat = max(_measure_fetched(make_rep(1), params, batch) - floor, 0.0)
     return {
         "batch": batch_size,
         "sec_per_batch": dt,
         "utt_per_sec": batch_size / dt,
+        "latency_s_per_batch": lat,
+        "tunnel_floor_s": floor,
         "compile_s": compile_s,
         "device": str(jax.devices()[0]),
     }
@@ -175,6 +203,7 @@ def main():
                     "model": "av-blstm-ssnn-ctc 3x250",
                     "batch": tpu["batch"],
                     "sec_per_batch": round(tpu["sec_per_batch"], 5),
+                    "latency_ms_per_batch": round(tpu["latency_s_per_batch"] * 1e3, 3),
                     "compile_s": round(tpu["compile_s"], 1),
                     "baseline_tf_cpu_utt_per_sec": round(base.get("utt_per_sec", float("nan")), 3),
                     "device": tpu.get("device", "?"),
