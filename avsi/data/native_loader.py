@@ -1,0 +1,123 @@
+"""ctypes bindings for the C++ TFRecord batch loader (native/avsi_loader.cc).
+
+The shared library is built lazily with g++ on first use and cached next to
+the source; everything degrades to the pure-Python codec when a toolchain
+is unavailable (`is_available()` -> False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libavsi_loader.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "avsi_loader.cc")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+             _SRC_PATH, "-o", _SO_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.isfile(_SO_PATH) or (
+            os.path.isfile(_SRC_PATH)
+            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+        ):
+            if not os.path.isfile(_SRC_PATH) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.avsi_load_batch.restype = ctypes.c_int
+        lib.avsi_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ] + [ctypes.c_void_p] * 8
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def load_batch(
+    paths: list[str],
+    num_audio_samples: int,
+    t_frames: int,
+    audio_dim: int = 257,
+    video_dim: int = 136,
+    num_labels: int = 50,
+    emb_dim: int = 0,
+    threads: int = 0,
+    verify_crc: bool = False,
+) -> dict:
+    """Parse one TFRecord file per path into a stacked batch dict."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable (no toolchain?)")
+    n = len(paths)
+    if threads <= 0:
+        threads = min(n, os.cpu_count() or 4)
+    wav = np.empty((n, num_audio_samples), np.float32)
+    video = np.empty((n, t_frames, video_dim), np.float32)
+    mask = np.empty((n, t_frames, audio_dim), np.float32)
+    labels = np.empty((n, num_labels), np.float32)
+    emb = np.empty((n, emb_dim), np.float32) if emb_dim else None
+    seq_lens = np.empty((n,), np.int32)
+    lab_lens = np.empty((n,), np.int32)
+    path_buf = ctypes.create_string_buffer(n * 256)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    rc = lib.avsi_load_batch(
+        c_paths, n, threads, num_audio_samples, t_frames, audio_dim,
+        video_dim, num_labels, emb_dim, int(verify_crc),
+        ptr(wav), ptr(video), ptr(mask), ptr(labels), ptr(emb),
+        ptr(seq_lens), ptr(lab_lens),
+        ctypes.cast(path_buf, ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError(f"native loader failed with code {rc} on batch {paths[:2]}...")
+    sample_paths = [
+        path_buf.raw[i * 256 : (i + 1) * 256].split(b"\x00", 1)[0].decode()
+        for i in range(n)
+    ]
+    out = {
+        "sequence_lengths": seq_lens,
+        "labels_lengths": lab_lens,
+        "target_sources": wav,
+        "labels": labels,
+        "video_features": video,
+        "masks": mask,
+        "sample_paths": sample_paths,
+    }
+    if emb is not None:
+        out["embeddings"] = emb
+    return out

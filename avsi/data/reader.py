@@ -17,6 +17,7 @@ import threading
 
 import numpy as np
 
+from avsi.data import native_loader
 from avsi.data import tfrecord as tfr
 
 BATCH_KEYS = (
@@ -39,12 +40,46 @@ class DataManager:
         video_feat_size: int = 136,
         with_embedding: bool = False,
         seed: int | None = None,
+        use_native: bool | None = None,
     ):
         self.num_audio_samples = num_audio_samples
         self.audio_feat_size = audio_feat_size
         self.video_feat_size = video_feat_size
         self.with_embedding = with_embedding
         self.rng = np.random.default_rng(seed)
+        # native C++ loader: auto-enable when built/buildable (use_native=None)
+        self.use_native = (
+            native_loader.is_available() if use_native is None else use_native
+        )
+        self._native_probe: tuple | None = None  # (t_frames, emb_dim) or ()
+
+    def _probe_native(self, path: str) -> bool:
+        """Native fast path needs single-record files; probe the first file
+        once for layout (t_frames) and record count."""
+        if self._native_probe is not None:
+            return bool(self._native_probe)
+        try:
+            records = list(tfr.read_records(path))
+            if len(records) != 1:
+                self._native_probe = ()
+                return False
+            sample = tfr.parse_sample_fixed(records[0], self.with_embedding)
+            if (
+                len(sample["target_audio_wav"]) != self.num_audio_samples
+                or sample["mask"].shape[1] != self.audio_feat_size
+                or sample["video_features"].shape[1] != self.video_feat_size
+            ):
+                self._native_probe = ()
+                return False
+            emb_dim = len(sample.get("embedding", ())) if self.with_embedding else 0
+            if self.with_embedding and emb_dim == 0:
+                self._native_probe = ()
+                return False
+            self._native_probe = (sample["mask"].shape[0], emb_dim)
+            return True
+        except Exception:
+            self._native_probe = ()
+            return False
 
     def _iter_samples(self, file_list: list[str]):
         for path in file_list:
@@ -85,6 +120,9 @@ class DataManager:
         files = list(file_list)
         if shuffle:
             self.rng.shuffle(files)
+        if self.use_native and files and self._probe_native(files[0]):
+            yield from self._native_batches(files, batch_size, drop_remainder, pad_final)
+            return
         buf: list[dict] = []
         for sample in self._iter_samples(files):
             buf.append(sample)
@@ -99,6 +137,29 @@ class DataManager:
                 while len(buf) < batch_size:
                     buf.append(buf[-1])
             batch = self._stack(buf)
+            batch["num_real"] = n_real
+            yield batch
+
+    def _native_batches(self, files, batch_size, drop_remainder, pad_final):
+        t_frames, emb_dim = self._native_probe
+        for i in range(0, len(files), batch_size):
+            group = files[i : i + batch_size]
+            n_real = len(group)
+            if n_real < batch_size:
+                if drop_remainder:
+                    return
+                if pad_final:
+                    group = group + [group[-1]] * (batch_size - n_real)
+            batch = native_loader.load_batch(
+                group,
+                num_audio_samples=self.num_audio_samples,
+                t_frames=t_frames,
+                audio_dim=self.audio_feat_size,
+                video_dim=self.video_feat_size,
+                emb_dim=emb_dim,
+            )
+            if not self.with_embedding:
+                batch.pop("embeddings", None)
             batch["num_real"] = n_real
             yield batch
 

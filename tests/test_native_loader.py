@@ -1,0 +1,100 @@
+"""Native C++ TFRecord loader: parity with the pure-Python codec."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from avsi.data import native_loader, reader, tfrecord as tfr
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("native"))
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(7):
+        rec = tfr.serialize_sample_fixed(
+            seq_len=50,
+            lab_len=4,
+            target_audio_wav=rng.randn(9600).astype(np.float32),
+            video_features=rng.randn(50, 136).astype(np.float32),
+            mask=(rng.rand(50, 257) > 0.2).astype(np.float32),
+            labels=np.pad(rng.randint(0, 33, 4).astype(np.float32), (0, 46)),
+            sample_path=f"s1_utt{i:02d}_800_1",
+            embedding=rng.randn(512).astype(np.float32),
+        )
+        p = os.path.join(d, f"data_{i:05d}.tfrecord")
+        with tfr.TFRecordWriter(p) as w:
+            w.write(rec)
+        paths.append(p)
+    return paths
+
+
+def test_native_available():
+    assert native_loader.is_available(), "g++ build of the native loader failed"
+
+
+def test_native_matches_python(corpus):
+    batch = native_loader.load_batch(
+        corpus[:4], num_audio_samples=9600, t_frames=50, emb_dim=512,
+        verify_crc=True,
+    )
+    for i, path in enumerate(corpus[:4]):
+        want = tfr.parse_sample_fixed(
+            next(iter(tfr.read_records(path))), with_embedding=True
+        )
+        assert batch["sequence_lengths"][i] == want["sequence_length"]
+        assert batch["labels_lengths"][i] == want["labels_length"]
+        assert batch["sample_paths"][i] == want["sample_path"]
+        np.testing.assert_array_equal(batch["target_sources"][i], want["target_audio_wav"])
+        np.testing.assert_array_equal(batch["video_features"][i], want["video_features"])
+        np.testing.assert_array_equal(batch["masks"][i], want["mask"])
+        np.testing.assert_array_equal(batch["labels"][i], want["labels"])
+        np.testing.assert_array_equal(batch["embeddings"][i], want["embedding"])
+
+
+def test_reader_uses_native_path(corpus):
+    dm = reader.DataManager(num_audio_samples=9600, with_embedding=True)
+    assert dm.use_native
+    batches = list(dm.batches(corpus, batch_size=4, pad_final=True))
+    assert dm._native_probe  # probe succeeded -> native path taken
+    assert len(batches) == 2
+    assert batches[0]["target_sources"].shape == (4, 9600)
+    assert batches[1]["num_real"] == 3
+    # python fallback yields identical content
+    dm_py = reader.DataManager(num_audio_samples=9600, with_embedding=True, use_native=False)
+    py = list(dm_py.batches(corpus, batch_size=4, pad_final=True))
+    np.testing.assert_array_equal(py[0]["masks"], batches[0]["masks"])
+    np.testing.assert_array_equal(py[1]["target_sources"], batches[1]["target_sources"])
+    assert py[0]["sample_paths"] == batches[0]["sample_paths"]
+
+
+def test_native_corrupt_file_raises(corpus, tmp_path):
+    bad = str(tmp_path / "bad.tfrecord")
+    with open(corpus[0], "rb") as f:
+        blob = f.read()
+    with open(bad, "wb") as f:
+        f.write(blob[:20])
+    with pytest.raises(ValueError):
+        native_loader.load_batch([bad], num_audio_samples=9600, t_frames=50)
+
+
+def test_native_faster_than_python(corpus):
+    files = corpus * 12  # 84 parses
+    dm_py = reader.DataManager(num_audio_samples=9600, with_embedding=True, use_native=False)
+
+    t0 = time.time()
+    for _ in dm_py.batches(files, batch_size=7):
+        pass
+    t_py = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(len(files) // 7):
+        native_loader.load_batch(
+            files[:7], num_audio_samples=9600, t_frames=50, emb_dim=512
+        )
+    t_nat = time.time() - t0
+    # the C++ loader must be significantly faster (typically 10x+)
+    assert t_nat < t_py / 2, (t_nat, t_py)
