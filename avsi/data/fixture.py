@@ -38,6 +38,7 @@ def make_fixture(
     gap_ms: float = 800.0,
     gap_std_ms: float = 100.0,
     n_max_intr: int = 1,
+    with_embeddings: bool = False,
 ) -> dict:
     """Build raw corpus + masked sample dirs + tfrecords. Returns paths."""
     rng = np.random.default_rng(seed)
@@ -104,8 +105,23 @@ def make_fixture(
             cov_std=gap_std_ms,
         )
         out[split] = split_dir
+        if with_embeddings:
+            # speaker-consistent 512-d "VGG" embeddings (tfrecord_emb_utils
+            # reads <sample>/vgg_embeddings/target.npy)
+            from glob import glob as _glob
+
+            for sd in _glob(os.path.join(split_dir, "*")):
+                if not os.path.isdir(sd):
+                    continue
+                spk = os.path.basename(sd).split("_")[0]
+                spk_rng = np.random.default_rng(abs(hash(spk)) % (2**31))
+                emb = spk_rng.normal(size=512) + 0.05 * rng.normal(size=512)
+                emb_dir = os.path.join(sd, "vgg_embeddings")
+                os.makedirs(emb_dir, exist_ok=True)
+                np.save(os.path.join(emb_dir, "target.npy"), emb.astype(np.float32))
     generator.create_dataset(
-        os.path.join(dest_dir, "syn"), os.path.join(dest_dir, "tfrecords"), dict_file
+        os.path.join(dest_dir, "syn"), os.path.join(dest_dir, "tfrecords"), dict_file,
+        with_embedding=with_embeddings,
     )
     out["tfrecords"] = os.path.join(dest_dir, "tfrecords")
     out["audio"] = os.path.join(dest_dir, "syn")

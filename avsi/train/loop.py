@@ -158,14 +158,6 @@ def train(config_file: str, is_asr: bool = False) -> dict:
     rng, init_rng = jax.random.split(rng)
     params = model.init(init_rng, config)
 
-    # optional warm starts (training.py:115-166)
-    if config["model_ckp"]:
-        params, _, _ = checkpoints.restore_checkpoint(
-            os.path.dirname(config["model_ckp"]) or ".",
-            os.path.basename(config["model_ckp"]),
-            params,
-        )
-        print(f"Restored model from {config['model_ckp']}")
     if config["model_ckp_vnet"] and model_name == "av-blstm-twosteps":
         vnet, _, _ = checkpoints.restore_checkpoint(
             os.path.dirname(config["model_ckp_vnet"]) or ".",
@@ -177,7 +169,24 @@ def train(config_file: str, is_asr: bool = False) -> dict:
 
     mask = model.trainable_mask(params) if model.trainable_mask else None
     tx = state_lib.make_optimizer(config, mask)
-    train_state = state_lib.TrainState(params, tx.init(params), jnp.int32(0))
+    opt_state = tx.init(params)
+    start_step = 0
+
+    # optional warm start / resume (training.py:115-166; optimizer moments
+    # and the global step are restored too when the sidecar .opt exists,
+    # mirroring tf.train.Saver's save-all-variables behavior)
+    if config["model_ckp"]:
+        params, restored_opt, start_step = checkpoints.restore_checkpoint(
+            os.path.dirname(config["model_ckp"]) or ".",
+            os.path.basename(config["model_ckp"]),
+            params,
+            opt_template=opt_state,
+        )
+        if restored_opt is not None:
+            opt_state = restored_opt
+        print(f"Restored model from {config['model_ckp']} (step {start_step})")
+
+    train_state = state_lib.TrainState(params, opt_state, jnp.int32(start_step))
 
     mesh = mesh_lib.get_mesh(config.get("num_data_shards", 0))
     n_dev = mesh.devices.size
@@ -206,7 +215,7 @@ def train(config_file: str, is_asr: bool = False) -> dict:
     best_val = math.inf
     best_epoch = -1
     cneg_epochs = 0
-    step = 0
+    step = start_step
     summary = {}
     for epoch in range(int(config["max_n_epochs"])):
         t_epoch = time.time()
@@ -232,7 +241,8 @@ def train(config_file: str, is_asr: bool = False) -> dict:
                 print(msg, flush=True)
             if step % 1000 == 0:
                 checkpoints.save_checkpoint(
-                    ckpt_dir, "ckpt", jax.device_get(train_state.params), step=step
+                    ckpt_dir, "ckpt", jax.device_get(train_state.params),
+                    opt_state=jax.device_get(train_state.opt_state), step=step,
                 )
 
         # validation pass; selection metric follows the model's own loss:

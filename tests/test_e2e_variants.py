@@ -1,0 +1,122 @@
+"""End-to-end coverage for the remaining model families:
+external-embedding corpus, unet, and the two-steps composition with a
+pretrained (frozen) vnet — mirroring the reference training_emb.py /
+unet.config / training.py:115-166 workflows.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from avsi import config as config_lib
+from avsi.data import fixture, stats as stats_lib
+from avsi.infer import inpaint
+from avsi.train import loop
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("embfix"))
+    paths = fixture.make_fixture(
+        d, n_speakers=2, n_samples=3, audio_len_ms=600, gap_ms=150.0,
+        gap_std_ms=20.0, with_embeddings=True,
+    )
+    stats_prefix = os.path.join(d, "spec_norm")
+    stats_lib.compute_mean_std_features(
+        paths["training-set"], "target", stats_prefix, "spec",
+        window_size=24, step_size=12,
+    )
+    paths["mean"] = stats_prefix + "_mean.npy"
+    paths["std"] = stats_prefix + "_std.npy"
+    paths["base"] = d
+    return paths
+
+
+def _config(tmp_path, corpus, model, exp, **kw):
+    cfg = {
+        "model": model, "audio_feat_dim": 257, "video_feat_dim": 136,
+        "audio_len": 9600, "batch_size": 2, "net_dim": [16, 16],
+        "integration_layer": 0, "dropout_rate": 0.0, "max_n_epochs": 1,
+        "n_earlystop_epochs": 5, "optimizer_type": "adam",
+        "starter_learning_rate": 0.003, "lr_decay": 1.0,
+        "root_folder": corpus["tfrecords"], "exp_folder": str(tmp_path / exp),
+        "audio_feat_mean": corpus["mean"], "audio_feat_std": corpus["std"],
+    }
+    cfg.update(kw)
+    p = str(tmp_path / (exp + ".config"))
+    config_lib.save_configfile(cfg, p)
+    return p
+
+
+def test_embedding_model_train_and_infer(emb_corpus, tmp_path):
+    cfg = _config(tmp_path, emb_corpus, "av-blstm-emb", "exp_emb",
+                  integration_layer=1, net_dim=[16, 16])
+    summary = loop.train(cfg)
+    assert np.isfinite(summary["best_val"])
+    ckpt = str(tmp_path / "exp_emb" / "netmodel")
+    res = inpaint.infer(
+        ckpt, os.path.join(emb_corpus["tfrecords"], "test-set"),
+        os.path.join(emb_corpus["audio"], "test-set"), "embtest",
+        norm=True, batch_size=2, phase_recon="none",
+    )
+    assert res["num_samples"] == 6
+    assert np.isfinite(res["loss_hole"])
+
+
+def test_unet_train(emb_corpus, tmp_path):
+    # unet needs T and F to be multiples of 64: audio_len 8192 -> T=64, F=128.
+    # The 600 ms fixture has T=50 masks at 257 bins, so build a unet-shaped
+    # corpus via masks directly: reuse the fixture wavs, crop to 8192.
+    import glob as _glob
+
+    from avsi.data import tfrecord as tfr
+    from avsi.utils import wav as wavio
+
+    d = str(tmp_path / "unet_tfr")
+    for split in ("training-set", "validation-set"):
+        os.makedirs(os.path.join(d, split), exist_ok=True)
+        dirs = sorted(
+            x for x in _glob.glob(os.path.join(emb_corpus[split], "*"))
+            if os.path.isdir(x)
+        )
+        for i, sd in enumerate(dirs):
+            _, wave = wavio.read_wav_int16(os.path.join(sd, "target.wav"))
+            wave = wave[:8192]
+            mask = np.ones((64, 128), np.float32)
+            mask[20:30] = 0.0
+            rec = tfr.serialize_sample_fixed(
+                64, 2, wave.astype(np.float32),
+                np.zeros((64, 136), np.float32), mask,
+                np.pad(np.array([1.0, 2.0]), (0, 48)), os.path.basename(sd),
+            )
+            with tfr.TFRecordWriter(os.path.join(d, split, f"data_{i:05d}.tfrecord")) as w:
+                w.write(rec)
+    # 128-bin spec stats
+    mean = np.zeros(128, np.float32)
+    std = np.ones(128, np.float32)
+    np.save(str(tmp_path / "unet_mean.npy"), mean)
+    np.save(str(tmp_path / "unet_std.npy"), std)
+    cfg = _config(
+        tmp_path, dict(emb_corpus, tfrecords=d), "unet", "exp_unet",
+        audio_len=8192, audio_feat_dim=128, net_dim=[1],
+        audio_feat_mean=str(tmp_path / "unet_mean.npy"),
+        audio_feat_std=str(tmp_path / "unet_std.npy"),
+    )
+    summary = loop.train(cfg)
+    assert np.isfinite(summary["best_val"])
+
+
+def test_twosteps_with_pretrained_vnet(emb_corpus, tmp_path):
+    # 1. train the vnet (v-blstm) alone
+    vcfg = _config(tmp_path, emb_corpus, "v-blstm", "exp_v")
+    loop.train(vcfg)
+    vnet_ckpt = str(tmp_path / "exp_v" / "netmodel" / "sinet")
+    # 2. train the two-steps model with the frozen restored vnet
+    tcfg = _config(
+        tmp_path, emb_corpus, "av-blstm-twosteps", "exp_2s",
+        model_ckp_vnet=vnet_ckpt,
+    )
+    summary = loop.train(tcfg)
+    assert np.isfinite(summary["best_val"])
+    assert os.path.isfile(str(tmp_path / "exp_2s" / "netmodel" / "sinet.npz"))
