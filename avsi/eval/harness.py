@@ -37,8 +37,8 @@ def _eval_one(args):
         return None
     n = min(len(target), len(enhanced))
     target, enhanced = target[:n], enhanced[:n]
-    with open(os.path.join(ex_dir, "transcription.lbl")) as f:
-        labels_text = f.read()
+    tr_path = os.path.join(ex_dir, "transcription.lbl")
+    labels_text = open(tr_path).read() if os.path.isfile(tr_path) else ""
     labels = [x for x in labels_text.split(",") if x]
     dec_enh_path = os.path.join(ex_dir, "transcriptions", enhanced_file + ".lbl")
     if os.path.isfile(dec_enh_path):
@@ -179,3 +179,23 @@ def speech_inpainting_eval(
             wr.writerow([r.get(k, "") for k in header])
     print(f"Results written to {results_file}")
     return summary
+
+
+def speech_enhancement_eval(
+    test_audio_dir: str,
+    enhanced_file: str,
+    out_file: str,
+    masked_eval: bool = True,
+    pesq_path: str | None = None,
+    pesq_mode: str = "nb",
+    n_fft: int = 512,
+    window_size: int = 25,
+    step_size: int = 10,
+    num_workers: int = 0,
+) -> dict:
+    """L1/PESQ/STOI-only variant (reference evaluation_asr.py:13-100 —
+    same walk without PER/transcription columns)."""
+    return speech_inpainting_eval(
+        test_audio_dir, enhanced_file, out_file, masked_eval, pesq_path,
+        pesq_mode, n_fft, window_size, step_size, num_workers,
+    )
