@@ -61,14 +61,32 @@ def make_fixture(
         all_lm = []
         for i in range(n_samples):
             name = f"utt{i:02d}"
-            # vowel-ish harmonic stack with slow AM + noise floor
-            f0 = float(rng.uniform(90, 160))
             t = np.arange(n_wav) / sample_rate
             env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t + rng.uniform(0, 6))
-            sig = sum(
-                np.sin(2 * np.pi * f0 * k * t + rng.uniform(0, 6)) / k
-                for k in range(1, 6)
-            )
+
+            # phoneme-dependent audio: the utterance is a sequence of
+            # segments whose fundamental + formant encode the phoneme id,
+            # so the CTC/ASR models have something learnable to latch onto
+            n_ph = int(rng.integers(4, 9))
+            ph_ids = rng.integers(0, len(PHONEME_SET), size=n_ph)
+            bounds = np.linspace(0, n_wav, n_ph + 1).astype(int)
+            sig = np.zeros(n_wav)
+            for ph, lo, hi in zip(ph_ids, bounds[:-1], bounds[1:]):
+                seg_t = t[lo:hi]
+                f0 = 100.0 + 6.0 * float(ph)
+                formant = 700.0 + 90.0 * float(ph)
+                seg = sum(
+                    np.sin(2 * np.pi * f0 * k * seg_t + rng.uniform(0, 6)) / k
+                    for k in range(1, 5)
+                ) + 0.5 * np.sin(2 * np.pi * formant * seg_t + rng.uniform(0, 6))
+                # short raised-cosine fades avoid clicks at segment joins
+                fade = min(160, (hi - lo) // 4)
+                w = np.ones(hi - lo)
+                if fade > 0:
+                    ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / fade)
+                    w[:fade] = ramp
+                    w[-fade:] = ramp[::-1]
+                sig[lo:hi] = seg * w
             wave = 6000 * env * sig + 50 * rng.normal(size=n_wav)
             wavio.write_wav_int16(os.path.join(audio_dir, name + ".wav"), wave)
 
@@ -80,8 +98,7 @@ def make_fixture(
             np.save(os.path.join(lm_dir, name + ".npy"), lm.reshape(75, 136))
             all_lm.append(lm.reshape(75, 136))
 
-            n_ph = int(rng.integers(4, 9))
-            phs = rng.choice(PHONEME_SET, size=n_ph)
+            phs = [PHONEME_SET[p] for p in ph_ids]
             with open(os.path.join(align_dir, name + ".lbl"), "w") as f:
                 f.write(",".join(phs))
         stacked = np.concatenate(all_lm, axis=0)

@@ -31,8 +31,9 @@ def make_asr_step(config, stats, apply_mask: bool):
     def step(params, batch):
         out = asr_model.forward(params, batch, config, stats_j, apply_mask=apply_mask)
         losses = asr_model.losses(out, batch, config)
-        decoded = ctc_ops.greedy_decode(out["logits"], batch["sequence_lengths"])
-        return out["logits"], decoded, losses["loss"]
+        decoded = asr_model.decode_greedy(out, batch)
+        lengths = out.get("logit_lengths", batch["sequence_lengths"])
+        return out["logits"], decoded, losses["loss"], lengths
 
     return step
 
@@ -66,14 +67,15 @@ def infer(
     decs, labs = [], []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        logits, decoded, loss = step(params, mesh_lib.device_batch(batch))
+        logits, decoded, loss, lengths = step(params, mesh_lib.device_batch(batch))
         losses.append(float(loss))
         decoded = np.asarray(decoded)
         logits = np.asarray(logits)
+        lengths = np.asarray(lengths)
         for i in range(n_real):
             if beam_width > 0:
                 seq = ctc_ops.beam_search_decode(
-                    logits[i], int(batch["sequence_lengths"][i]), beam_width
+                    logits[i], int(lengths[i]), beam_width
                 )
             else:
                 seq = [int(x) for x in decoded[i] if x >= 0]

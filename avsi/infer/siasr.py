@@ -57,8 +57,12 @@ def make_siasr_step(
         asr_out = asr_model.forward(
             asr_params, batch, asr_config, asr_stats_j, audio_sources=wav
         )
-        decoded = ctc_ops.greedy_decode(asr_out["logits"], batch["sequence_lengths"])
-        return wav, asr_out["logits"], decoded, si_losses["loss"], si_losses["loss_hole"]
+        decoded = asr_model.decode_greedy(asr_out, batch)
+        lengths = asr_out.get("logit_lengths", batch["sequence_lengths"])
+        return (
+            wav, asr_out["logits"], decoded, lengths,
+            si_losses["loss"], si_losses["loss_hole"],
+        )
 
     return step
 
@@ -103,10 +107,11 @@ def infer(
     losses, holes, decs, labs = [], [], [], []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        wav, logits, decoded, loss, loss_hole = step(
+        wav, logits, decoded, lengths, loss, loss_hole = step(
             si_params, asr_params, mesh_lib.device_batch(batch)
         )
         wav, logits, decoded = np.asarray(wav), np.asarray(logits), np.asarray(decoded)
+        lengths = np.asarray(lengths)
         losses.append(float(loss))
         holes.append(float(loss_hole))
         for i in range(n_real):
@@ -121,7 +126,7 @@ def infer(
                 wav[i][: seq_len * SAMPLES_PER_FRAME],
             )
             if beam_width > 0:
-                seq = ctc_ops.beam_search_decode(logits[i], seq_len, beam_width)
+                seq = ctc_ops.beam_search_decode(logits[i], int(lengths[i]), beam_width)
             else:
                 seq = [int(x) for x in decoded[i] if x >= 0]
             with open(os.path.join(tr_dir, out_file_prefix + ".lbl"), "w") as f:

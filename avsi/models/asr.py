@@ -28,11 +28,26 @@ def init(rng, config: dict) -> dict:
         "v": config["video_feat_dim"],
         "av": NUM_MEL_BINS + config["video_feat_dim"],
     }[input_type]
+    # frame stacking (Pundak & Sainath 2017, arXiv 1705.05992): stack k
+    # consecutive frames and subsample time k-fold — a TPU-friendly
+    # sequence-length reduction the reference does not have (optional,
+    # config `frame_stack`, default off)
+    in_dim *= int(config.get("frame_stack", 1))
     k1, k2 = jax.random.split(rng)
     return {
         "blstm": core.blstm_stack_init(k1, in_dim, config["net_dim"]),
         "head": core.dense_init(k2, 2 * config["net_dim"][-1], config["num_asr_labels"]),
     }
+
+
+def _stack_frames(feats: jax.Array, k: int) -> jax.Array:
+    """(B, T, F) -> (B, ceil(T/k), F*k), zero-padded at the end."""
+    b, t, f = feats.shape
+    t_out = -(-t // k)
+    pad = t_out * k - t
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    return feats.reshape(b, t_out, f * k)
 
 
 def asr_features(
@@ -85,18 +100,23 @@ def forward(
         net_in = jnp.concatenate([feats, batch["video_features"]], axis=2)
     else:
         net_in = feats
+    k = int(config.get("frame_stack", 1))
+    logit_lengths = batch["sequence_lengths"]
+    if k > 1:
+        net_in = _stack_frames(net_in, k)
+        logit_lengths = -(-logit_lengths // k)
     rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype)
     rnn_out = core.dropout(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train
     )
     logits = core.dense(params["head"], rnn_out).astype(jnp.float32)
-    return {"logits": logits, "features": feats}
+    return {"logits": logits, "features": feats, "logit_lengths": logit_lengths}
 
 
 def losses(outputs: dict, batch: dict, config: dict) -> dict:
     loss = ctc_ops.ctc_loss(
         outputs["logits"],
-        batch["sequence_lengths"],
+        outputs.get("logit_lengths", batch["sequence_lengths"]),
         batch["labels"],
         batch["labels_lengths"],
     )
@@ -104,4 +124,6 @@ def losses(outputs: dict, batch: dict, config: dict) -> dict:
 
 
 def decode_greedy(outputs: dict, batch: dict) -> jax.Array:
-    return ctc_ops.greedy_decode(outputs["logits"], batch["sequence_lengths"])
+    return ctc_ops.greedy_decode(
+        outputs["logits"], outputs.get("logit_lengths", batch["sequence_lengths"])
+    )

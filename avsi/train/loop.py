@@ -96,7 +96,7 @@ def make_eval_step(model, config, stats, is_asr=False):
         out = model.forward(params, batch, config, stats, train=False)
         if is_asr:
             l = asr_model.losses(out, batch, config)
-            decoded = ctc_ops.greedy_decode(out["logits"], batch["sequence_lengths"])
+            decoded = asr_model.decode_greedy(out, batch)
             return {"loss": l["loss"], "decoded": decoded}
         l = model.losses(out, batch, config)
         total, hole = _per_sample_l1(out, batch)

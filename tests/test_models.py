@@ -124,6 +124,22 @@ def test_asr_model():
     assert not np.allclose(np.asarray(out_m["logits"]), np.asarray(out["logits"]))
 
 
+def test_asr_frame_stacking():
+    """frame_stack=k shortens the scan k-fold (arXiv 1705.05992)."""
+    cfg = tiny_config(model="a-blstm", frame_stack=3)
+    batch = synth_batch(cfg)
+    stats = (jnp.zeros((80,)), jnp.ones((80,)))
+    params = asr.init(jax.random.PRNGKey(0), cfg)
+    out = asr.forward(params, batch, cfg, stats)
+    t_stacked = -(-T // 3)
+    assert out["logits"].shape == (2, t_stacked, 34)
+    np.testing.assert_array_equal(np.asarray(out["logit_lengths"]), [t_stacked] * 2)
+    losses = asr.losses(out, batch, cfg)
+    assert np.isfinite(float(losses["loss"])) and float(losses["loss"]) > 0
+    decoded = asr.decode_greedy(out, batch)
+    assert decoded.shape == (2, t_stacked)
+
+
 def test_forward_is_jittable():
     cfg = tiny_config(model="av-blstm-ssnn-ctc")
     batch = synth_batch(cfg)
