@@ -8,9 +8,7 @@ standalone ASR models of training_asr.py:80-93).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable
-
-import jax
+from typing import Callable
 
 from avsi.models import asr, blstm, twosteps, unet
 

@@ -13,7 +13,6 @@ stop_gradient on the video prediction.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from avsi.models import blstm
 

@@ -12,8 +12,6 @@ MXU (each iteration is two DFT matmuls) instead of a serial host loop.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

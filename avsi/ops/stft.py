@@ -25,7 +25,6 @@ Golden-tested against `tf.signal` in tests/test_stft.py.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

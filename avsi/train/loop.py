@@ -24,7 +24,6 @@ import math
 import os
 import shutil
 import time
-from functools import partial
 
 import numpy as np
 
