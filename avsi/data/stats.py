@@ -17,30 +17,57 @@ from glob import glob
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from avsi.ops import mel as mel_ops
 from avsi.ops import stft as stft_ops
 from avsi.utils import wav as wavio
 
 
+def _np_frames(wave: np.ndarray, fl: int, fs: int) -> np.ndarray:
+    nf = -(-len(wave) // fs)
+    pad = max(0, (nf - 1) * fs + fl - len(wave))
+    xp = np.pad(wave.astype(np.float64), (0, pad))
+    idx = np.arange(nf)[:, None] * fs + np.arange(fl)[None, :]
+    return xp[idx]
+
+
 def _features_for(wave: np.ndarray, feat_type: str, n_fft: int, window_size: int,
                   step_size: int, num_mel_bins: int, num_mfcc: int, n_delta: int,
                   sample_rate: int):
+    """Pure-numpy twin of the on-device front-end (identical DFT/mel
+    matrices).  This is offline host preprocessing: routing it through the
+    accelerator would serialize thousands of tiny transfers."""
     fl = int(round(window_size / 1e3 * sample_rate))
     fs = int(round(step_size / 1e3 * sample_rate))
-    re, im = stft_ops.stft_real_imag(wave[None], fl, fs, n_fft)
+    frames = _np_frames(wave, fl, fs)
+    dft = stft_ops._dft_matrix(fl, n_fft).astype(np.float64)
+    out = frames @ dft
+    nbins = n_fft // 2 + 1
+    re, im = out[:, :nbins], out[:, nbins:]
     if feat_type == "spec":
-        feats = jnp.log(stft_ops.magnitude(re, im) + 1e-6)
+        feats = np.log(np.hypot(re, im) + 1e-6)
     else:
         pow_spec = re * re + im * im
-        fbanks = mel_ops.log_mel_spectrogram(
-            pow_spec, sample_rate, pow_spec.shape[-1], num_mel_bins
-        )
-        feats = fbanks if feat_type == "fbanks" else mel_ops.mfcc(fbanks, num_mfcc)
+        melmat = mel_ops.linear_to_mel_matrix(
+            num_mel_bins, nbins, sample_rate, 125.0, 7600.0
+        ).astype(np.float64)
+        fbanks = np.log(pow_spec @ melmat + 1e-6)
+        if feat_type == "fbanks":
+            feats = fbanks
+        else:
+            feats = fbanks @ mel_ops._dct2_matrix(num_mel_bins).astype(np.float64)[:, :num_mfcc]
     if n_delta > 0:
-        feats = mel_ops.add_delta_features(feats, n_delta=n_delta)
-    return np.asarray(feats[0])
+        full = [feats]
+        cur = feats[None]
+        for _ in range(n_delta):
+            nxt = np.zeros_like(cur)
+            padded = cur
+            for i in range(1, 3):
+                padded = np.pad(padded, [(0, 0), (1, 1), (0, 0)], mode="symmetric")
+                nxt = nxt + i * (padded[:, i * 2 :, :] - padded[:, : -i * 2, :])
+            cur = nxt / 10.0  # 2 * (1^2 + 2^2)
+            full.append(cur[0])
+        feats = np.concatenate(full, axis=1)
+    return feats.astype(np.float32)
 
 
 def compute_mean_std_features(
@@ -73,7 +100,7 @@ def compute_mean_std_features(
             continue
         _, wave = wavio.read_wav_int16(path)
         if preemph > 0:
-            wave = np.asarray(stft_ops.preemphasis(wave[None], preemph))[0]
+            wave = wave - preemph * np.concatenate([[0.0], wave[:-1]]).astype(wave.dtype)
         feats = _features_for(
             wave, feat_type, n_fft, window_size, step_size, num_mel_bins,
             num_mfcc, n_delta, sample_rate,

@@ -29,6 +29,7 @@ def make_asr_step(config, stats, apply_mask: bool):
     stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
 
     def step(params, batch):
+        batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         out = asr_model.forward(params, batch, config, stats_j, apply_mask=apply_mask)
         losses = asr_model.losses(out, batch, config)
         decoded = asr_model.decode_greedy(out, batch)
@@ -67,7 +68,7 @@ def infer(
     decs, labs = [], []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        logits, decoded, loss, lengths = step(params, mesh_lib.device_batch(batch))
+        logits, decoded, loss, lengths = step(params, mesh_lib.compact_batch(batch))
         losses.append(float(loss))
         decoded = np.asarray(decoded)
         logits = np.asarray(logits)

@@ -59,6 +59,7 @@ def make_infer_step(model, config, stats, oracle_phase: bool, phase_recon: str, 
     stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
 
     def step(params, batch):
+        batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         out = model.forward(params, batch, config, stats_j, train=False)
         losses = model.losses(out, batch, config)
         if oracle_phase or phase_recon == "none":
@@ -109,7 +110,7 @@ def infer(
     t0 = time.time()
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        wav, loss, loss_hole = step(params, mesh_lib.device_batch(batch))
+        wav, loss, loss_hole = step(params, mesh_lib.compact_batch(batch))
         wav = np.asarray(wav)
         losses.append(float(loss))
         holes.append(float(loss_hole))

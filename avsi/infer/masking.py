@@ -25,11 +25,12 @@ from avsi.utils import wav as wavio
 SAMPLES_PER_FRAME = 192
 
 
-def make_mask_step(num_audio_samples: int, stats):
+def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257):
     mean = jnp.asarray(stats[0])
     std = jnp.asarray(stats[1])
 
     def step(batch, oracle_phase: bool):
+        batch = mesh_lib.expand_batch(batch, audio_feat_dim)
         masks = batch["masks"]
         t, f = masks.shape[1], masks.shape[2]
         re, im = stft_ops.stft_real_imag(batch["target_sources"])
@@ -78,13 +79,13 @@ def mask_app(
     files = list_tfrecord_files(data_path)
     if not files:
         raise ValueError(f"no tfrecords under {data_path}")
-    step = jax.jit(make_mask_step(num_audio_samples, stats), static_argnums=1)
+    step = jax.jit(make_mask_step(num_audio_samples, stats, audio_feat_dim), static_argnums=1)
 
     total = 0
     holes = []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        wav, loss_hole = step(mesh_lib.device_batch(batch), oracle_phase)
+        wav, loss_hole = step(mesh_lib.compact_batch(batch), oracle_phase)
         wav = np.asarray(wav)
         holes.append(float(loss_hole))
         for i in range(n_real):

@@ -41,6 +41,7 @@ def make_siasr_step(
     asr_stats_j = (jnp.asarray(asr_stats[0]), jnp.asarray(asr_stats[1]))
 
     def step(si_params, asr_params, batch):
+        batch = mesh_lib.expand_batch(batch, int(si_config["audio_feat_dim"]))
         out = si_model.forward(si_params, batch, si_config, si_stats_j, train=False)
         si_losses = si_model.losses(out, batch, si_config)
         if oracle_phase or phase_recon == "none":
@@ -108,7 +109,7 @@ def infer(
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
         wav, logits, decoded, lengths, loss, loss_hole = step(
-            si_params, asr_params, mesh_lib.device_batch(batch)
+            si_params, asr_params, mesh_lib.compact_batch(batch)
         )
         wav, logits, decoded = np.asarray(wav), np.asarray(logits), np.asarray(decoded)
         lengths = np.asarray(lengths)

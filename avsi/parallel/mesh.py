@@ -28,6 +28,7 @@ DEVICE_BATCH_KEYS = (
     "labels",
     "video_features",
     "masks",
+    "mask_frames",
     "embeddings",
 )
 
@@ -59,6 +60,52 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+def compact_batch(batch: dict) -> dict:
+    """Shrink a host batch before the host->device transfer.
+
+    Two lossless compactions for the reference data model:
+      * masks are pure time-gaps (every frequency bin zeroed together,
+        dataset_generator.py:44-46) -> ship one int8 per frame
+        ('mask_frames') instead of (T, F) float32;
+      * waveforms hold int16-scale values (utils/wav.py convention) ->
+        ship int16.
+    ~5x fewer bytes per batch; `expand_batch` restores them inside the
+    jitted step.  Falls back silently when an assumption does not hold.
+    """
+    out = device_batch(batch)
+    m = out.get("masks")
+    if m is not None and m.ndim == 3:
+        m = np.asarray(m)
+        mf = m[:, :, 0]
+        if np.array_equal(m, np.broadcast_to(mf[:, :, None], m.shape)):
+            out["mask_frames"] = mf.astype(np.int8)
+            del out["masks"]
+    w = out.get("target_sources")
+    if w is not None:
+        w = np.asarray(w)
+        if w.dtype == np.float32 and np.abs(w).max() < 32767.5:
+            wi = w.astype(np.int16)
+            if np.array_equal(wi.astype(np.float32), w):
+                out["target_sources"] = wi
+    return out
+
+
+def expand_batch(batch: dict, audio_feat_dim: int) -> dict:
+    """Inverse of compact_batch, traced inside the jitted step."""
+    import jax.numpy as jnp
+
+    out = dict(batch)
+    mf = out.pop("mask_frames", None)
+    if mf is not None:
+        out["masks"] = jnp.broadcast_to(
+            mf.astype(jnp.float32)[:, :, None],
+            (mf.shape[0], mf.shape[1], audio_feat_dim),
+        )
+    if out["target_sources"].dtype != jnp.float32:
+        out["target_sources"] = out["target_sources"].astype(jnp.float32)
+    return out
 
 
 def pad_batch_to(batch: dict, total: int) -> tuple[dict, int]:

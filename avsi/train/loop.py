@@ -73,6 +73,7 @@ def make_train_step(model, tx, config, stats, is_asr=False):
         return l["loss"], (l, out)
 
     def train_step(train_state, batch, rng):
+        batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         (loss, (ldict, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             train_state.params, batch, rng
         )
@@ -92,6 +93,7 @@ def make_eval_step(model, config, stats, is_asr=False):
     stats = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
 
     def eval_step(params, batch):
+        batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         out = model.forward(params, batch, config, stats, train=False)
         if is_asr:
             l = asr_model.losses(out, batch, config)
@@ -196,9 +198,11 @@ def train(config_file: str, is_asr: bool = False) -> dict:
     eval_step = jax.jit(make_eval_step(model, config, stats, is_asr))
 
     def place(batch):
+        compacted = mesh_lib.compact_batch(batch)
         if use_mesh:
-            return mesh_lib.shard_batch(batch, mesh)
-        return mesh_lib.device_batch(batch)
+            sharding = mesh_lib.batch_sharding(mesh)
+            return {k: jax.device_put(v, sharding) for k, v in compacted.items()}
+        return compacted
 
     if use_mesh:
         train_state = mesh_lib.replicate(train_state, mesh)
