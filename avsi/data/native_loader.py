@@ -57,6 +57,12 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ] + [ctypes.c_void_p] * 8
+        lib.avsi_parse_file_multi.restype = ctypes.c_int
+        lib.avsi_parse_file_multi.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 8
         _lib = lib
         return _lib
 
@@ -120,4 +126,64 @@ def load_batch(
     }
     if emb is not None:
         out["embeddings"] = emb
+    return out
+
+
+def load_file_records(
+    path: str,
+    max_samples: int,
+    num_audio_samples: int,
+    t_frames: int,
+    audio_dim: int = 257,
+    video_dim: int = 136,
+    num_labels: int = 50,
+    emb_dim: int = 0,
+    verify_crc: bool = False,
+) -> dict:
+    """Parse all records of ONE (possibly grouped) TFRecord file.
+
+    Returns the same dict as load_batch with leading dim = record count.
+    Raises if the file holds more than max_samples records.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable (no toolchain?)")
+    cap = max_samples + 1  # detect overflow
+    wav = np.empty((cap, num_audio_samples), np.float32)
+    video = np.empty((cap, t_frames, video_dim), np.float32)
+    mask = np.empty((cap, t_frames, audio_dim), np.float32)
+    labels = np.empty((cap, num_labels), np.float32)
+    emb = np.empty((cap, emb_dim), np.float32) if emb_dim else None
+    seq_lens = np.empty((cap,), np.int32)
+    lab_lens = np.empty((cap,), np.int32)
+    path_buf = ctypes.create_string_buffer(cap * 256)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    rc = lib.avsi_parse_file_multi(
+        path.encode(), int(verify_crc), num_audio_samples, t_frames,
+        audio_dim, video_dim, num_labels, emb_dim, 0, cap,
+        ptr(wav), ptr(video), ptr(mask), ptr(labels), ptr(emb),
+        ptr(seq_lens), ptr(lab_lens), ctypes.cast(path_buf, ctypes.c_void_p),
+    )
+    if rc < 0:
+        raise ValueError(f"native loader failed with code {rc} on {path}")
+    if rc > max_samples:
+        raise ValueError(f"{path} holds more than {max_samples} records")
+    n = rc
+    out = {
+        "sequence_lengths": seq_lens[:n],
+        "labels_lengths": lab_lens[:n],
+        "target_sources": wav[:n],
+        "labels": labels[:n],
+        "video_features": video[:n],
+        "masks": mask[:n],
+        "sample_paths": [
+            path_buf.raw[i * 256 : (i + 1) * 256].split(b"\x00", 1)[0].decode()
+            for i in range(n)
+        ],
+    }
+    if emb is not None:
+        out["embeddings"] = emb[:n]
     return out

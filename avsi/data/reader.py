@@ -54,15 +54,12 @@ class DataManager:
         self._native_probe: tuple | None = None  # (t_frames, emb_dim) or ()
 
     def _probe_native(self, path: str) -> bool:
-        """Native fast path needs single-record files; probe the first file
-        once for layout (t_frames) and record count."""
+        """Probe the first file once for layout (t_frames), embedding dim
+        and records-per-file (1 = zero-copy path, >1 = grouped path)."""
         if self._native_probe is not None:
             return bool(self._native_probe)
         try:
             records = list(tfr.read_records(path))
-            if len(records) != 1:
-                self._native_probe = ()
-                return False
             sample = tfr.parse_sample_fixed(records[0], self.with_embedding)
             if (
                 len(sample["target_audio_wav"]) != self.num_audio_samples
@@ -75,7 +72,7 @@ class DataManager:
             if self.with_embedding and emb_dim == 0:
                 self._native_probe = ()
                 return False
-            self._native_probe = (sample["mask"].shape[0], emb_dim)
+            self._native_probe = (sample["mask"].shape[0], emb_dim, len(records))
             return True
         except Exception:
             self._native_probe = ()
@@ -121,7 +118,12 @@ class DataManager:
         if shuffle:
             self.rng.shuffle(files)
         if self.use_native and files and self._probe_native(files[0]):
-            yield from self._native_batches(files, batch_size, drop_remainder, pad_final)
+            if self._native_probe[2] == 1:
+                yield from self._native_batches(files, batch_size, drop_remainder, pad_final)
+            else:
+                yield from self._native_batches_grouped(
+                    files, batch_size, drop_remainder, pad_final
+                )
             return
         buf: list[dict] = []
         for sample in self._iter_samples(files):
@@ -140,8 +142,45 @@ class DataManager:
             batch["num_real"] = n_real
             yield batch
 
+    def _native_batches_grouped(self, files, batch_size, drop_remainder, pad_final):
+        """Grouped corpora (group_tfrecords output): parse each file's
+        records natively, re-batch on the host."""
+        t_frames, emb_dim, per_file = self._native_probe
+        cap = max(64, per_file * 4)
+        keys = [k for k in BATCH_KEYS] + (["embeddings"] if self.with_embedding else [])
+        pending: list[dict] = []
+
+        def make_batch(samples, n_real):
+            batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+            batch["sample_paths"] = [s["sample_paths"] for s in samples]
+            batch["num_real"] = n_real
+            return batch
+
+        for path in files:
+            recs = native_loader.load_file_records(
+                path, cap,
+                num_audio_samples=self.num_audio_samples,
+                t_frames=t_frames,
+                audio_dim=self.audio_feat_size,
+                video_dim=self.video_feat_size,
+                emb_dim=emb_dim,
+            )
+            n = len(recs["sequence_lengths"])
+            for i in range(n):
+                sample = {k: recs[k][i] for k in keys}
+                sample["sample_paths"] = recs["sample_paths"][i]
+                pending.append(sample)
+            while len(pending) >= batch_size:
+                yield make_batch(pending[:batch_size], batch_size)
+                pending = pending[batch_size:]
+        if pending and not drop_remainder:
+            n_real = len(pending)
+            if pad_final:
+                pending = pending + [pending[-1]] * (batch_size - n_real)
+            yield make_batch(pending, n_real)
+
     def _native_batches(self, files, batch_size, drop_remainder, pad_final):
-        t_frames, emb_dim = self._native_probe
+        t_frames, emb_dim, _ = self._native_probe
         for i in range(0, len(files), batch_size):
             group = files[i : i + batch_size]
             n_real = len(group)

@@ -357,6 +357,62 @@ int avsi_load_batch(const char** paths, int64_t n, int threads,
   return err.load();
 }
 
+// Parse up to max_samples records from ONE (possibly grouped) TFRecord
+// file into consecutive batch slots starting at slot `base`. Returns the
+// number of samples parsed, or a negative error code.
+int avsi_parse_file_multi(const char* path, int verify_crc,
+                          int64_t num_audio_samples, int64_t t_frames,
+                          int64_t audio_dim, int64_t video_dim,
+                          int64_t num_labels, int64_t emb_dim,
+                          int64_t base, int64_t max_samples, float* wav,
+                          float* video, float* mask, float* labels,
+                          float* emb, int32_t* seq_lens, int32_t* lab_lens,
+                          char* sample_paths) {
+  init_crc_table();
+  SampleDims d{num_audio_samples, t_frames, audio_dim, video_dim, num_labels,
+               emb_dim};
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
+  if (fsize > 0 && fread(buf.data(), 1, size_t(fsize), f) != size_t(fsize)) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+  int64_t n = 0;
+  long pos = 0;
+  while (pos + 16 <= fsize && n < max_samples) {
+    uint64_t len;
+    memcpy(&len, buf.data() + pos, 8);
+    if (pos + 16 + long(len) > fsize) return -3;
+    if (verify_crc) {
+      uint32_t c1, c2;
+      memcpy(&c1, buf.data() + pos + 8, 4);
+      memcpy(&c2, buf.data() + pos + 12 + len, 4);
+      if (c1 != masked_crc(buf.data() + pos, 8)) return -4;
+      if (c2 != masked_crc(buf.data() + pos + 12, len)) return -4;
+    }
+    int64_t i = base + n;
+    SampleOut o;
+    o.seq_len = seq_lens + i;
+    o.lab_len = lab_lens + i;
+    o.wav = wav + i * num_audio_samples;
+    o.video = video + i * t_frames * video_dim;
+    o.mask = mask + i * t_frames * audio_dim;
+    o.labels = labels + i * num_labels;
+    o.embedding = emb ? emb + i * emb_dim : nullptr;
+    o.sample_path = sample_paths + i * 256;
+    int rc = parse_sequence_example(buf.data() + pos + 12, size_t(len), d, o);
+    if (rc != 0) return rc;
+    ++n;
+    pos += 16 + long(len);
+  }
+  return int(n);
+}
+
 // Single-file variant (diagnostics / tests).
 int avsi_parse_file(const char* path, int verify_crc,
                     int64_t num_audio_samples, int64_t t_frames,

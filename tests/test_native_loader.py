@@ -81,6 +81,37 @@ def test_native_corrupt_file_raises(corpus, tmp_path):
         native_loader.load_batch([bad], num_audio_samples=9600, t_frames=50)
 
 
+def test_grouped_records_native(corpus, tmp_path):
+    """Grouped (multi-record) files: native path matches the Python codec."""
+    grouped = str(tmp_path / "grouped.tfrecord")
+    with tfr.TFRecordWriter(grouped) as w:
+        for p in corpus[:5]:
+            for rec in tfr.read_records(p):
+                w.write(rec)
+    recs = native_loader.load_file_records(
+        grouped, 64, num_audio_samples=9600, t_frames=50, emb_dim=512
+    )
+    assert len(recs["sequence_lengths"]) == 5
+    want = tfr.parse_sample_fixed(
+        next(iter(tfr.read_records(corpus[2]))), with_embedding=True
+    )
+    np.testing.assert_array_equal(recs["target_sources"][2], want["target_audio_wav"])
+    assert recs["sample_paths"][2] == want["sample_path"]
+
+    # DataManager grouped-native path end-to-end
+    dm = reader.DataManager(num_audio_samples=9600, with_embedding=True)
+    batches = list(dm.batches([grouped, grouped], batch_size=4, pad_final=True))
+    assert dm._native_probe and dm._native_probe[2] == 5
+    assert len(batches) == 3  # 10 samples / 4
+    assert batches[0]["target_sources"].shape == (4, 9600)
+    assert batches[2]["num_real"] == 2
+    # matches the python fallback exactly
+    dm_py = reader.DataManager(num_audio_samples=9600, with_embedding=True, use_native=False)
+    py = list(dm_py.batches([grouped, grouped], batch_size=4, pad_final=True))
+    np.testing.assert_array_equal(py[1]["masks"], batches[1]["masks"])
+    assert py[0]["sample_paths"] == batches[0]["sample_paths"]
+
+
 def test_native_faster_than_python(corpus):
     files = corpus * 12  # 84 parses
     dm_py = reader.DataManager(num_audio_samples=9600, with_embedding=True, use_native=False)
