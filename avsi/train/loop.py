@@ -220,33 +220,55 @@ def train(config_file: str, is_asr: bool = False) -> dict:
     cneg_epochs = 0
     step = start_step
     summary = {}
+    # losses accumulate ON DEVICE; the host fetches only every
+    # `nan_check_every` steps (each fetch is a full tunnel round-trip —
+    # fetching per step serializes training on slow links)
+    nan_check_every = int(config.get("nan_check_every", 100))
     for epoch in range(int(config["max_n_epochs"])):
         t_epoch = time.time()
-        train_losses = []
+        loss_accum = None
+        n_acc = 0
+        last_ldict = None
         for batch in dm.prefetch_batches(
             train_files, batch_size, shuffle=True, drop_remainder=True
         ):
             rng, step_rng = jax.random.split(rng)
             train_state, ldict = train_step(train_state, place(batch), step_rng)
             step += 1
-            loss = float(ldict["loss"])
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"NaN/Inf loss at step {step} — aborting (reference "
-                    "training.py:244-249 semantics)"
-                )
-            train_losses.append({k: float(v) for k, v in ldict.items()})
-            if step % 200 == 0:
-                msg = f"epoch {epoch} step {step} " + " ".join(
-                    f"{k}={np.mean([d[k] for d in train_losses[-200:]]):.5f}"
-                    for k in train_losses[-1]
-                )
-                print(msg, flush=True)
+            loss_accum = (
+                ldict
+                if loss_accum is None
+                else jax.tree_util.tree_map(jnp.add, loss_accum, ldict)
+            )
+            n_acc += 1
+            last_ldict = ldict
+            if step % nan_check_every == 0 or step % 200 == 0:
+                loss = float(ldict["loss"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"NaN/Inf loss at step {step} — aborting (reference "
+                        "training.py:244-249 semantics)"
+                    )
+                if step % 200 == 0:
+                    print(
+                        f"epoch {epoch} step {step} "
+                        + " ".join(f"{k}={float(v):.5f}" for k, v in ldict.items()),
+                        flush=True,
+                    )
             if step % 1000 == 0:
                 checkpoints.save_checkpoint(
                     ckpt_dir, "ckpt", jax.device_get(train_state.params),
                     opt_state=jax.device_get(train_state.opt_state), step=step,
                 )
+        train_losses = []
+        if loss_accum is not None:
+            fetched = jax.device_get(loss_accum)
+            final = float(np.asarray(fetched["loss"])) / n_acc
+            if not np.isfinite(final):
+                raise FloatingPointError(
+                    f"NaN/Inf loss in epoch {epoch} — aborting"
+                )
+            train_losses = [{k: float(v) / n_acc for k, v in fetched.items()}]
 
         # validation pass; selection metric follows the model's own loss:
         # mean-all for base blstm/unet (training.py), hole-only for the
