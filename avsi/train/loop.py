@@ -224,6 +224,10 @@ def train(config_file: str, is_asr: bool = False) -> dict:
     # `nan_check_every` steps (each fetch is a full tunnel round-trip —
     # fetching per step serializes training on slow links)
     nan_check_every = int(config.get("nan_check_every", 100))
+    # optional device trace: config `profile_steps = N` traces steps
+    # 3..3+N of epoch 0 into <exp_folder>/profile (TensorBoard-readable)
+    profile_steps = int(config.get("profile_steps", 0))
+    profile_dir = os.path.join(exp_folder, "profile")
     for epoch in range(int(config["max_n_epochs"])):
         t_epoch = time.time()
         loss_accum = None
@@ -233,8 +237,15 @@ def train(config_file: str, is_asr: bool = False) -> dict:
             train_files, batch_size, shuffle=True, drop_remainder=True
         ):
             rng, step_rng = jax.random.split(rng)
+            if profile_steps and step - start_step == 3:
+                jax.profiler.start_trace(profile_dir)
             train_state, ldict = train_step(train_state, place(batch), step_rng)
             step += 1
+            if profile_steps and step - start_step == 3 + profile_steps:
+                jax.block_until_ready(ldict["loss"])
+                jax.profiler.stop_trace()
+                profile_steps = 0
+                _log(logfile, f"# profiler trace written to {profile_dir}")
             loss_accum = (
                 ldict
                 if loss_accum is None
