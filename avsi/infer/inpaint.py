@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -105,25 +106,34 @@ def infer(
 
     step = jax.jit(make_infer_step(model, config, stats, oracle_phase, phase_recon, gl_iters))
 
+    def write_one(args):
+        path, data = args
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        wavio.write_wav_int16(path, data)
+
     total = 0
     losses, holes = [], []
     t0 = time.time()
-    for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
-        n_real = batch.get("num_real", batch_size)
-        wav, loss, loss_hole = step(params, mesh_lib.compact_batch(batch))
-        wav = np.asarray(wav)
-        losses.append(float(loss))
-        holes.append(float(loss_hole))
-        for i in range(n_real):
-            sample_dir = batch["sample_paths"][i]
-            seq_len = int(batch["sequence_lengths"][i])
-            out_dir = os.path.join(audio_path, sample_dir, "enhanced")
-            os.makedirs(out_dir, exist_ok=True)
-            wavio.write_wav_int16(
-                os.path.join(out_dir, out_file_prefix + ".wav"),
-                wav[i][: seq_len * SAMPLES_PER_FRAME],
-            )
-        total += n_real
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = []
+        for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
+            n_real = batch.get("num_real", batch_size)
+            wav, loss, loss_hole = step(params, mesh_lib.compact_batch(batch))
+            wav = np.asarray(wav)
+            losses.append(float(loss))
+            holes.append(float(loss_hole))
+            for i in range(n_real):
+                sample_dir = batch["sample_paths"][i]
+                seq_len = int(batch["sequence_lengths"][i])
+                path = os.path.join(
+                    audio_path, sample_dir, "enhanced", out_file_prefix + ".wav"
+                )
+                futures.append(
+                    pool.submit(write_one, (path, wav[i][: seq_len * SAMPLES_PER_FRAME]))
+                )
+            total += n_real
+        for f in futures:
+            f.result()
     dt = time.time() - t0
     print(
         f"Wrote {total} enhanced wavs in {dt:.2f}s ({total / dt:.1f} utt/s). "
