@@ -76,7 +76,10 @@ def make_infer_step(model, config, stats, oracle_phase: bool, phase_recon: str, 
                 num_samples=int(config["audio_len"]),
                 n_iters=gl_iters,
             )
-        return wav, losses["loss"], losses["loss_hole"]
+        # int16 on device: the files are int16 anyway and this halves the
+        # device->host transfer of the dominant output
+        wav_i16 = jnp.clip(wav, -32768, 32767).astype(jnp.int16)
+        return wav_i16, losses["loss"], losses["loss_hole"]
 
     return step
 
@@ -116,22 +119,36 @@ def infer(
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=8) as pool:
         futures = []
-        for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
-            n_real = batch.get("num_real", batch_size)
-            wav, loss, loss_hole = step(params, mesh_lib.compact_batch(batch))
-            wav = np.asarray(wav)
-            losses.append(float(loss))
-            holes.append(float(loss_hole))
+
+        def drain(pending):
+            """Fetch a completed step's results and queue the file writes."""
+            nonlocal total
+            batch, wav_d, loss_d, hole_d = pending
+            wav = np.asarray(wav_d)  # forces completion
+            losses.append(float(loss_d))
+            holes.append(float(hole_d))
+            n_real = batch.get("num_real", len(batch["sequence_lengths"]))
             for i in range(n_real):
-                sample_dir = batch["sample_paths"][i]
-                seq_len = int(batch["sequence_lengths"][i])
                 path = os.path.join(
-                    audio_path, sample_dir, "enhanced", out_file_prefix + ".wav"
+                    audio_path, batch["sample_paths"][i], "enhanced",
+                    out_file_prefix + ".wav",
                 )
+                seq_len = int(batch["sequence_lengths"][i])
                 futures.append(
                     pool.submit(write_one, (path, wav[i][: seq_len * SAMPLES_PER_FRAME]))
                 )
             total += n_real
+
+        # keep one batch in flight: batch k+1's upload+compute overlaps
+        # batch k's result download (jax dispatch is asynchronous)
+        pending = None
+        for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
+            results = step(params, mesh_lib.compact_batch(batch))
+            if pending is not None:
+                drain(pending)
+            pending = (batch, *results)
+        if pending is not None:
+            drain(pending)
         for f in futures:
             f.result()
     dt = time.time() - t0

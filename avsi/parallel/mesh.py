@@ -89,6 +89,11 @@ def compact_batch(batch: dict) -> dict:
             wi = w.astype(np.int16)
             if np.array_equal(wi.astype(np.float32), w):
                 out["target_sources"] = wi
+    v = out.get("video_features")
+    if v is not None and np.asarray(v).dtype == np.float32:
+        # normalized motion vectors: f16 transport (5e-4 relative error)
+        # halves the largest remaining transfer
+        out["video_features"] = np.asarray(v).astype(np.float16)
     return out
 
 
@@ -105,6 +110,8 @@ def expand_batch(batch: dict, audio_feat_dim: int) -> dict:
         )
     if out["target_sources"].dtype != jnp.float32:
         out["target_sources"] = out["target_sources"].astype(jnp.float32)
+    if "video_features" in out and out["video_features"].dtype != jnp.float32:
+        out["video_features"] = out["video_features"].astype(jnp.float32)
     return out
 
 
