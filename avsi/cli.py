@@ -146,6 +146,14 @@ def parse_args(argv=None):
     p.add_argument("-ss", "--step_size", type=int, default=10)
     p.add_argument("-w", "--num_workers", type=int, default=0)
 
+    p = sub.add_parser("serve", description="Warm-model inpainting HTTP service (not in reference).")
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8571)
+    p.add_argument("-bs", "--micro_batch", type=int, default=8)
+    p.add_argument("--phase_recon", default="gl", choices=["gl", "none"])
+    p.add_argument("--gl_iters", type=int, default=30)
+
     p = sub.add_parser("fixture", description="Generate a synthetic GRID-like corpus (not in reference).")
     p.add_argument("-d", "--dest_dir", required=True)
     p.add_argument("-ns", "--n_speakers", type=int, default=2)
@@ -245,6 +253,15 @@ def main(argv=None):
             args.pesq_path, args.pesq_mode, args.fft_size, args.window_size,
             args.step_size, args.num_workers,
         )
+    elif name == "serve":
+        from avsi.serve import serve
+
+        server = serve(
+            args.model_path, args.host, args.port,
+            micro_batch=args.micro_batch, phase_recon=args.phase_recon,
+            gl_iters=args.gl_iters,
+        )
+        server.serve_forever()
     elif name == "fixture":
         from avsi.data.fixture import make_fixture
 

@@ -1,0 +1,152 @@
+"""Serving: a warm-model inpainting service (not in the reference).
+
+`InpaintingService` loads a self-contained checkpoint dir once, keeps the
+jitted enhancement function warm at a fixed micro-batch shape, and exposes
+`enhance(wave, mask_frames)` for single utterances plus `enhance_batch`.
+`serve()` wraps it in a minimal stdlib HTTP server:
+
+  POST /enhance   body: raw little-endian payload
+      [int32 n_samples][int32 t_frames]
+      [n_samples x int16 wave][t_frames x uint8 frame_mask]
+  -> 200, body: n_samples x int16 enhanced wave
+  GET /healthz    -> 200 "ok"
+
+Requests are padded into the fixed micro-batch so every call hits the same
+compiled program (no recompiles in steady state).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class InpaintingService:
+    def __init__(
+        self,
+        model_path: str,
+        micro_batch: int = 8,
+        phase_recon: str = "gl",
+        gl_iters: int = 30,
+        norm: bool = True,
+    ):
+        from avsi.infer.inpaint import load_model_bundle, make_infer_step
+
+        self.config, stats, model, self.params = load_model_bundle(model_path, norm)
+        self.micro_batch = micro_batch
+        self.audio_len = int(self.config["audio_len"])
+        self.t_frames = -(-self.audio_len // 192)
+        self.af = int(self.config["audio_feat_dim"])
+        self.vf = int(self.config["video_feat_dim"])
+        self._step = jax.jit(
+            make_infer_step(model, self.config, stats, False, phase_recon, gl_iters)
+        )
+        self._lock = threading.Lock()
+        self.warmup()
+
+    def _template_batch(self, n: int) -> dict:
+        return {
+            "sequence_lengths": np.full((n,), self.t_frames, np.int32),
+            "labels_lengths": np.ones((n,), np.int32),
+            "target_sources": np.zeros((n, self.audio_len), np.int16),
+            "labels": np.zeros((n, 50), np.float32),
+            "video_features": np.zeros((n, self.t_frames, self.vf), np.float16),
+            "mask_frames": np.ones((n, self.t_frames), np.int8),
+        }
+
+    def warmup(self) -> None:
+        batch = self._template_batch(self.micro_batch)
+        wav, _, _ = self._step(self.params, batch)
+        np.asarray(wav)
+
+    def enhance_batch(self, waves: np.ndarray, mask_frames: np.ndarray) -> np.ndarray:
+        """waves (N, audio_len) int16-scale; mask_frames (N, T) 0/1."""
+        n = len(waves)
+        out = np.empty((n, self.audio_len), np.int16)
+        with self._lock:  # one device stream; keep shapes fixed
+            for lo in range(0, n, self.micro_batch):
+                chunk = slice(lo, min(lo + self.micro_batch, n))
+                k = chunk.stop - chunk.start
+                batch = self._template_batch(self.micro_batch)
+                batch["target_sources"][:k] = np.clip(
+                    waves[chunk], -32768, 32767
+                ).astype(np.int16)
+                batch["mask_frames"][:k] = mask_frames[chunk].astype(np.int8)
+                wav, _, _ = self._step(self.params, batch)
+                out[chunk] = np.asarray(wav)[:k]
+        return out
+
+    def enhance(self, wave: np.ndarray, mask_frames: np.ndarray) -> np.ndarray:
+        return self.enhance_batch(wave[None], mask_frames[None])[0]
+
+
+def serve(model_path: str, host: str = "127.0.0.1", port: int = 8571, **kw):
+    service = InpaintingService(model_path, **kw)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = b"ok"
+            elif self.path == "/info":
+                body = json.dumps(
+                    {
+                        "model": service.config["model"],
+                        "audio_len": service.audio_len,
+                        "t_frames": service.t_frames,
+                        "micro_batch": service.micro_batch,
+                    }
+                ).encode()
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/enhance":
+                self.send_response(404)
+                self.end_headers()
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(n)
+                n_samples, t_frames = struct.unpack_from("<ii", raw, 0)
+                if n_samples != service.audio_len or t_frames != service.t_frames:
+                    raise ValueError(
+                        f"expected {service.audio_len} samples / "
+                        f"{service.t_frames} frames, got {n_samples}/{t_frames}"
+                    )
+                off = 8
+                wave = np.frombuffer(raw, "<i2", n_samples, off).astype(np.float32)
+                off += 2 * n_samples
+                mask = np.frombuffer(raw, np.uint8, t_frames, off).astype(np.float32)
+                enhanced = service.enhance(wave, mask)
+                body = enhanced.astype("<i2").tobytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # malformed request -> 400, not a crash
+                msg = str(e).encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"avsi inpainting service on http://{host}:{port} (model {service.config['model']})")
+    return server  # caller runs serve_forever()
