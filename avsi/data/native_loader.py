@@ -17,6 +17,7 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libavsi_loader.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "avsi_loader.cc")
+_SRC_CTC = os.path.join(_NATIVE_DIR, "avsi_ctc.cc")
 
 _lock = threading.Lock()
 _lib = None
@@ -24,10 +25,11 @@ _tried = False
 
 
 def _build() -> bool:
+    srcs = [p for p in (_SRC_PATH, _SRC_CTC) if os.path.isfile(p)]
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             _SRC_PATH, "-o", _SO_PATH],
+             *srcs, "-o", _SO_PATH],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -41,10 +43,11 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.isfile(_SO_PATH) or (
-            os.path.isfile(_SRC_PATH)
-            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
-        ):
+        stale = not os.path.isfile(_SO_PATH) or any(
+            os.path.isfile(src) and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+            for src in (_SRC_PATH, _SRC_CTC)
+        )
+        if stale:
             if not os.path.isfile(_SRC_PATH) or not _build():
                 return None
         try:
@@ -63,8 +66,32 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ] + [ctypes.c_void_p] * 8
+        if hasattr(lib, "avsi_ctc_beam_search"):
+            lib.avsi_ctc_beam_search.restype = ctypes.c_int
+            lib.avsi_ctc_beam_search.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+            ]
         _lib = lib
         return _lib
+
+
+def ctc_beam_search(logits: np.ndarray, seq_len: int, beam_width: int = 20,
+                    max_out: int = 256) -> list[int] | None:
+    """Native CTC prefix beam search for one sequence; None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "avsi_ctc_beam_search"):
+        return None
+    logits = np.ascontiguousarray(logits, np.float32)
+    t_len, c = logits.shape
+    out = np.empty((max_out,), np.int32)
+    rc = lib.avsi_ctc_beam_search(
+        logits.ctypes.data_as(ctypes.c_void_p), t_len, c, seq_len,
+        beam_width, out.ctypes.data_as(ctypes.c_void_p), max_out,
+    )
+    if rc < 0:
+        return None
+    return [int(x) for x in out[:rc]]
 
 
 def is_available() -> bool:

@@ -70,12 +70,27 @@ def greedy_decode(logits: jax.Array, logit_lengths: jax.Array) -> jax.Array:
 def beam_search_decode(
     logits: np.ndarray, logit_length: int, beam_width: int = 20
 ) -> list[int]:
-    """CTC prefix beam search for ONE sequence (numpy, host-side eval only).
+    """CTC prefix beam search for ONE sequence (host-side eval only).
 
     logits: (T, C), blank last. Returns the best label sequence.
     Matches tf.nn.ctc_beam_search_decoder semantics (merge_repeated=True in
     the beam scoring sense: probability mass accumulated per prefix).
+    Uses the native C++ decoder (native/avsi_ctc.cc) when available — the
+    reference's decode is likewise a C++ TF op; pure-python fallback below.
     """
+    from avsi.data import native_loader
+
+    native = native_loader.ctc_beam_search(
+        np.asarray(logits, np.float32), int(logit_length), beam_width
+    )
+    if native is not None:
+        return native
+    return _beam_search_decode_py(logits, logit_length, beam_width)
+
+
+def _beam_search_decode_py(
+    logits: np.ndarray, logit_length: int, beam_width: int = 20
+) -> list[int]:
     t_len, c = logits.shape
     blank = c - 1
     logp = logits - _logsumexp(logits, axis=-1, keepdims=True)

@@ -71,6 +71,22 @@ def test_beam_search_merges_probability_mass():
     assert beam == [0]
 
 
+def test_native_beam_matches_python():
+    from avsi.data import native_loader
+
+    if not native_loader.is_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(3)
+    for trial in range(5):
+        t, c = 40, 8
+        logits = (rng.randn(t, c) * 2).astype(np.float32)
+        native = native_loader.ctc_beam_search(logits, t, beam_width=16)
+        py = ctc._beam_search_decode_py(logits, t, beam_width=16)
+        assert native == py, (trial, native, py)
+
+
 def test_edit_distance_and_per():
     assert ctc.edit_distance([1, 2, 3], [1, 2, 3]) == 0
     assert ctc.edit_distance([1, 2, 3], [1, 3]) == 1
