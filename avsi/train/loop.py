@@ -290,6 +290,10 @@ def train(config_file: str, is_asr: bool = False) -> dict:
             dm, val_files, batch_size, eval_step, train_state.params, place, is_asr,
             select_hole,
         )
+        if not val_files:
+            # no validation split: every epoch "improves", so the best
+            # checkpoint tracks the latest params instead of never saving
+            val_metric = -float(epoch)
 
         dt = time.time() - t_epoch
         tr = {k: float(np.mean([d[k] for d in train_losses])) for k in train_losses[0]} if train_losses else {}
