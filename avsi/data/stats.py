@@ -108,7 +108,10 @@ def compute_mean_std_features(
         if apply_mask:
             mask = np.load(os.path.join(d, "mask.npy"))
             t = min(len(mask), len(feats))
-            sel = feats[:t][mask[:t, 0] > 0]
+            # reference truncates to the mask's bin count too
+            # (audio_feat_preprocessing.py:90: discard last bins and frames)
+            f_dim = min(mask.shape[1], feats.shape[1])
+            sel = feats[:t, :f_dim][mask[:t, 0] > 0]
         else:
             sel = feats
         if save_feat:
