@@ -51,6 +51,14 @@ def make_fixture(
     with open(dict_file, "w") as f:
         f.write(" ".join(PHONEME_SET) + "\n")
 
+    # DISJOINT utterances per split: split k uses utt indices
+    # [k*n_samples, (k+1)*n_samples) — evaluation is genuinely held out
+    total_utts = n_samples * len(splits)
+    split_names = {
+        split: [f"utt{k * n_samples + i:03d}" for i in range(n_samples)]
+        for k, split in enumerate(splits)
+    }
+
     for spk in range(1, n_speakers + 1):
         audio_dir = os.path.join(raw, f"s{spk}", f"s{spk}_16kHz")
         lm_dir = os.path.join(raw, f"s{spk}", f"s{spk}.landmarks")
@@ -59,8 +67,8 @@ def make_fixture(
             os.makedirs(d, exist_ok=True)
         base_lm = rng.normal(0, 1, size=(68, 2))
         all_lm = []
-        for i in range(n_samples):
-            name = f"utt{i:02d}"
+        for i in range(total_utts):
+            name = f"utt{i:03d}"
             t = np.arange(n_wav) / sample_rate
             env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t + rng.uniform(0, 6))
 
@@ -107,9 +115,10 @@ def make_fixture(
         np.save(os.path.join(lm_dir, "video_feat_mean.npy"), mv.mean(axis=0))
         np.save(os.path.join(lm_dir, "video_feat_std.npy"), mv.std(axis=0) + 1e-3)
 
-    # masked sample dirs per split, then tfrecords
+    # masked sample dirs per split (disjoint utterances, distinct mask
+    # seeds), then tfrecords
     out = {"raw": raw, "dictionary": dict_file}
-    for split in splits:
+    for k, split in enumerate(splits):
         split_dir = os.path.join(dest_dir, "syn", split)
         generator.create_syn_dataset(
             raw,
@@ -120,6 +129,8 @@ def make_fixture(
             n_max_intr=n_max_intr,
             cov_mean=gap_ms,
             cov_std=gap_std_ms,
+            seed=30 + k,
+            utterance_names=split_names[split],
         )
         out[split] = split_dir
         if with_embeddings:

@@ -35,11 +35,21 @@ def create_syn_data_speaker(
     cov_std: float = 300,
     file_ext: str = "wav",
     rng: np.random.Generator | None = None,
+    utterance_names: list[str] | None = None,
 ) -> list[float]:
-    """Per-speaker corrupted-sample dirs (dataset_generator.py:51-109)."""
+    """Per-speaker corrupted-sample dirs (dataset_generator.py:51-109).
+
+    utterance_names restricts to specific clean-utterance basenames —
+    used to build DISJOINT train/val/test splits from one raw corpus."""
     rng = rng or np.random.default_rng(30)
     clean_audio_dir = os.path.join(dataset_dir, f"s{n_speaker}", f"s{n_speaker}_16kHz")
     clean_list = sorted(glob(os.path.join(clean_audio_dir, f"*.{file_ext}")))
+    if utterance_names is not None:
+        wanted = set(utterance_names)
+        clean_list = [
+            p for p in clean_list
+            if os.path.splitext(os.path.basename(p))[0] in wanted
+        ]
     landmarks_dir = os.path.join(dataset_dir, f"s{n_speaker}", f"s{n_speaker}.landmarks")
     transcriptions_dir = os.path.join(dataset_dir, f"s{n_speaker}", "align")
     video_mean_file = os.path.join(landmarks_dir, "video_feat_mean.npy")
@@ -88,15 +98,17 @@ def create_syn_dataset(
     cov_mean: float = 1000,
     cov_std: float = 300,
     file_ext: str = "wav",
+    seed: int = 30,
+    utterance_names: list[str] | None = None,
 ) -> None:
     os.makedirs(dest_dir, exist_ok=True)
     mask_cov_list: list[float] = []
-    rng = np.random.default_rng(30)
+    rng = np.random.default_rng(seed)
     for s in speakers:
         print(f"Creating masks of speaker {s}...")
         mask_cov_list += create_syn_data_speaker(
             dataset_dir, dest_dir, s, n_samples, audio_len, n_max_intr, cov_mean,
-            cov_std, file_ext, rng,
+            cov_std, file_ext, rng, utterance_names,
         )
     print(
         "Dataset generation completed. {:d} samples, coverage mean {:.2f} ms "

@@ -6,6 +6,15 @@ numpy's Generator API: 1..n_max intrusions, total coverage ~ N(mu, sigma)
 clipped to [min_len*n/len, 0.8], per-intrusion lengths drawn with the same
 exponential shrink factor, onsets non-overlapping with >=1 frame spacing.
 Masks are (spec_len, frame_dim) float32 with zeros in the gaps.
+
+Documented deviation (reference-bug policy, SURVEY.md §7.3 #5): the
+reference's LAST-intrusion onset draw (dataset_generator.py:39) samples
+from [prev_onset, prev_onset + prev_len + 1 + spec_len - len], which can
+overlap the previous intrusion or run past the end of the utterance (the
+overflow is silently clipped by the array write), shrinking the effective
+coverage below the sampled value.  Here all onsets are kept disjoint and
+in-bounds, so the realized coverage matches the sampled coverage — the
+property the generator's own bookkeeping (true_mask_cov) assumes.
 """
 
 from __future__ import annotations

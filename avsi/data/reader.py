@@ -51,32 +51,33 @@ class DataManager:
         self.use_native = (
             native_loader.is_available() if use_native is None else use_native
         )
-        self._native_probe: tuple | None = None  # (t_frames, emb_dim) or ()
+        # layout probes keyed by the probed file path: one DataManager can
+        # serve different corpora (e.g. single-record train + grouped val)
+        self._native_probes: dict[str, tuple] = {}
+        self._native_probe: tuple | None = None  # last probe (tests inspect)
 
     def _probe_native(self, path: str) -> bool:
-        """Probe the first file once for layout (t_frames), embedding dim
-        and records-per-file (1 = zero-copy path, >1 = grouped path)."""
-        if self._native_probe is not None:
+        """Probe a file list's first file for layout (t_frames), embedding
+        dim and records-per-file (1 = zero-copy path, >1 = grouped path)."""
+        if path in self._native_probes:
+            self._native_probe = self._native_probes[path]
             return bool(self._native_probe)
         try:
             records = list(tfr.read_records(path))
             sample = tfr.parse_sample_fixed(records[0], self.with_embedding)
-            if (
-                len(sample["target_audio_wav"]) != self.num_audio_samples
-                or sample["mask"].shape[1] != self.audio_feat_size
-                or sample["video_features"].shape[1] != self.video_feat_size
-            ):
-                self._native_probe = ()
-                return False
             emb_dim = len(sample.get("embedding", ())) if self.with_embedding else 0
-            if self.with_embedding and emb_dim == 0:
-                self._native_probe = ()
-                return False
-            self._native_probe = (sample["mask"].shape[0], emb_dim, len(records))
-            return True
+            ok = (
+                len(sample["target_audio_wav"]) == self.num_audio_samples
+                and sample["mask"].shape[1] == self.audio_feat_size
+                and sample["video_features"].shape[1] == self.video_feat_size
+                and (not self.with_embedding or emb_dim > 0)
+            )
+            probe = (sample["mask"].shape[0], emb_dim, len(records)) if ok else ()
         except Exception:
-            self._native_probe = ()
-            return False
+            probe = ()
+        self._native_probes[path] = probe
+        self._native_probe = probe
+        return bool(probe)
 
     def _iter_samples(self, file_list: list[str]):
         for path in file_list:

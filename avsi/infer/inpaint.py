@@ -23,13 +23,13 @@ import jax.numpy as jnp
 from avsi import config as config_lib
 from avsi.data import reader as reader_lib, stats as stats_lib
 from avsi.data.tfrecord import list_tfrecord_files
+from avsi.infer import common
 from avsi.models import registry
-from avsi.ops import phase as phase_ops
 from avsi.parallel import mesh as mesh_lib
 from avsi.train import checkpoints
 from avsi.utils import wav as wavio
 
-SAMPLES_PER_FRAME = 192  # inference.py:160
+SAMPLES_PER_FRAME = 192  # inference.py:160 (BLSTM hop; use model.frame_step)
 
 
 def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False):
@@ -62,24 +62,14 @@ def make_infer_step(model, config, stats, oracle_phase: bool, phase_recon: str, 
     def step(params, batch):
         batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         out = model.forward(params, batch, config, stats_j, train=False)
-        losses = model.losses(out, batch, config)
-        if oracle_phase or phase_recon == "none":
-            wav = model.enhanced_sources(out, batch, config, stats_j, oracle_phase)
-        else:
-            mean, std = stats_j
-            mag = jnp.exp(out["prediction"] * std + mean)
-            known_phase = jnp.arctan2(out["stft_im"], out["stft_re"])
-            wav = phase_ops.griffin_lim_blend(
-                mag,
-                known_phase,
-                batch["masks"],
-                num_samples=int(config["audio_len"]),
-                n_iters=gl_iters,
-            )
+        loss_ps, hole_ps = common.per_sample_losses(out, batch)
+        wav = common.reconstruct_waveform(
+            model, out, batch, config, stats_j, oracle_phase, phase_recon, gl_iters
+        )
         # int16 on device: the files are int16 anyway and this halves the
         # device->host transfer of the dominant output
         wav_i16 = jnp.clip(wav, -32768, 32767).astype(jnp.int16)
-        return wav_i16, losses["loss"], losses["loss_hole"]
+        return wav_i16, loss_ps, hole_ps
 
     return step
 
@@ -120,14 +110,17 @@ def infer(
     with ThreadPoolExecutor(max_workers=8) as pool:
         futures = []
 
+        hop = model.frame_step
+
         def drain(pending):
             """Fetch a completed step's results and queue the file writes."""
             nonlocal total
             batch, wav_d, loss_d, hole_d = pending
             wav = np.asarray(wav_d)  # forces completion
-            losses.append(float(loss_d))
-            holes.append(float(hole_d))
             n_real = batch.get("num_real", len(batch["sequence_lengths"]))
+            # per-sample losses: padded duplicates excluded from the means
+            losses.extend(np.asarray(loss_d)[:n_real].tolist())
+            holes.extend(np.asarray(hole_d)[:n_real].tolist())
             for i in range(n_real):
                 path = os.path.join(
                     audio_path, batch["sample_paths"][i], "enhanced",
@@ -135,7 +128,7 @@ def infer(
                 )
                 seq_len = int(batch["sequence_lengths"][i])
                 futures.append(
-                    pool.submit(write_one, (path, wav[i][: seq_len * SAMPLES_PER_FRAME]))
+                    pool.submit(write_one, (path, wav[i][: seq_len * hop]))
                 )
             total += n_real
 

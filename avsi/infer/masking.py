@@ -25,7 +25,9 @@ from avsi.utils import wav as wavio
 SAMPLES_PER_FRAME = 192
 
 
-def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257):
+def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257,
+                   frame_length: int = 384, frame_step: int = 192,
+                   fft_length: int = 512):
     mean = jnp.asarray(stats[0])
     std = jnp.asarray(stats[1])
 
@@ -33,7 +35,9 @@ def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257):
         batch = mesh_lib.expand_batch(batch, audio_feat_dim)
         masks = batch["masks"]
         t, f = masks.shape[1], masks.shape[2]
-        re, im = stft_ops.stft_real_imag(batch["target_sources"])
+        re, im = stft_ops.stft_real_imag(
+            batch["target_sources"], frame_length, frame_step, fft_length
+        )
         re, im = re[:, :t, :f], im[:, :t, :f]
         mag = jnp.sqrt(re * re + im * im)
         masked_mag = mag * masks
@@ -41,12 +45,24 @@ def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257):
             phase = jnp.arctan2(im, re)
         else:
             phase = jnp.arctan2(im * masks, re * masks)
+        nbins = fft_length // 2 + 1
+        pad = nbins - f
+        if pad > 0:
+            zp = ((0, 0), (0, 0), (0, pad))
+            masked_mag = jnp.pad(masked_mag, zp)
+            phase = jnp.pad(phase, zp)
         wav = stft_ops.waveform_from_mag_phase(
-            masked_mag, phase, num_samples=num_audio_samples
+            masked_mag, phase, num_samples=num_audio_samples,
+            frame_length=frame_length, frame_step=frame_step,
+            fft_length=fft_length,
         )
         spec_norm = (jnp.log(mag + 1e-6) - mean) / std
-        loss_hole = jnp.sum(jnp.abs(spec_norm) * (1 - masks)) / jnp.sum(1 - masks)
-        return wav, loss_hole
+        # per-sample hole loss: padded duplicates excluded host-side
+        hole_ps = jnp.sum(jnp.abs(spec_norm) * (1 - masks), axis=(1, 2)) / jnp.maximum(
+            jnp.sum(1 - masks, axis=(1, 2)), 1.0
+        )
+        wav_i16 = jnp.clip(wav, -32768, 32767).astype(jnp.int16)
+        return wav_i16, hole_ps
 
     return step
 
@@ -62,6 +78,9 @@ def mask_app(
     batch_size: int = 1,
     feat_mean_file: str | None = None,
     feat_std_file: str | None = None,
+    frame_length: int = 384,
+    frame_step: int = 192,
+    fft_length: int = 512,
 ) -> dict:
     """Write masked.wav for every sample (deviation: the reference hard-codes
     the authors' cluster stats paths at masking.py:37-38; here they are
@@ -79,22 +98,26 @@ def mask_app(
     files = list_tfrecord_files(data_path)
     if not files:
         raise ValueError(f"no tfrecords under {data_path}")
-    step = jax.jit(make_mask_step(num_audio_samples, stats, audio_feat_dim), static_argnums=1)
+    step = jax.jit(
+        make_mask_step(num_audio_samples, stats, audio_feat_dim,
+                       frame_length, frame_step, fft_length),
+        static_argnums=1,
+    )
 
     total = 0
     holes = []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        wav, loss_hole = step(mesh_lib.compact_batch(batch), oracle_phase)
+        wav, hole_ps = step(mesh_lib.compact_batch(batch), oracle_phase)
         wav = np.asarray(wav)
-        holes.append(float(loss_hole))
+        holes.extend(np.asarray(hole_ps)[:n_real].tolist())
         for i in range(n_real):
             sample_dir = batch["sample_paths"][i]
             seq_len = int(batch["sequence_lengths"][i])
             os.makedirs(os.path.join(audio_path, sample_dir), exist_ok=True)
             wavio.write_wav_int16(
                 os.path.join(audio_path, sample_dir, "masked.wav"),
-                wav[i][: seq_len * SAMPLES_PER_FRAME],
+                wav[i][: seq_len * frame_step],
             )
         total += n_real
     print(f"Written {total} masked wavs. Loss hole: {np.mean(holes):.5f}")

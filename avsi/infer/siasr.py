@@ -25,10 +25,10 @@ import jax.numpy as jnp
 from avsi.data import phonemes as ph_lib
 from avsi.data import reader as reader_lib
 from avsi.data.tfrecord import list_tfrecord_files
-from avsi.infer.inpaint import SAMPLES_PER_FRAME, load_model_bundle
+from avsi.infer import common
+from avsi.infer.inpaint import load_model_bundle
 from avsi.models import asr as asr_model
 from avsi.ops import ctc as ctc_ops
-from avsi.ops import phase as phase_ops
 from avsi.parallel import mesh as mesh_lib
 from avsi.utils import wav as wavio
 
@@ -43,27 +43,18 @@ def make_siasr_step(
     def step(si_params, asr_params, batch):
         batch = mesh_lib.expand_batch(batch, int(si_config["audio_feat_dim"]))
         out = si_model.forward(si_params, batch, si_config, si_stats_j, train=False)
-        si_losses = si_model.losses(out, batch, si_config)
-        if oracle_phase or phase_recon == "none":
-            wav = si_model.enhanced_sources(out, batch, si_config, si_stats_j, oracle_phase)
-        else:
-            mean, std = si_stats_j
-            mag = jnp.exp(out["prediction"] * std + mean)
-            known_phase = jnp.arctan2(out["stft_im"], out["stft_re"])
-            wav = phase_ops.griffin_lim_blend(
-                mag, known_phase, batch["masks"],
-                num_samples=int(si_config["audio_len"]), n_iters=gl_iters,
-            )
+        loss_ps, hole_ps = common.per_sample_losses(out, batch)
+        wav = common.reconstruct_waveform(
+            si_model, out, batch, si_config, si_stats_j, oracle_phase,
+            phase_recon, gl_iters,
+        )
         # feed the enhanced waveform straight into the ASR front-end
         asr_out = asr_model.forward(
             asr_params, batch, asr_config, asr_stats_j, audio_sources=wav
         )
         decoded = asr_model.decode_greedy(asr_out, batch)
         lengths = asr_out.get("logit_lengths", batch["sequence_lengths"])
-        return (
-            wav, asr_out["logits"], decoded, lengths,
-            si_losses["loss"], si_losses["loss_hole"],
-        )
+        return wav, asr_out["logits"], decoded, lengths, loss_ps, hole_ps
 
     return step
 
@@ -104,17 +95,18 @@ def infer(
         )
     )
 
+    hop = si_model.frame_step
     total = 0
     losses, holes, decs, labs = [], [], [], []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        wav, logits, decoded, lengths, loss, loss_hole = step(
+        wav, logits, decoded, lengths, loss_ps, hole_ps = step(
             si_params, asr_params, mesh_lib.compact_batch(batch)
         )
         wav, logits, decoded = np.asarray(wav), np.asarray(logits), np.asarray(decoded)
         lengths = np.asarray(lengths)
-        losses.append(float(loss))
-        holes.append(float(loss_hole))
+        losses.extend(np.asarray(loss_ps)[:n_real].tolist())
+        holes.extend(np.asarray(hole_ps)[:n_real].tolist())
         for i in range(n_real):
             sample_dir = batch["sample_paths"][i]
             seq_len = int(batch["sequence_lengths"][i])
@@ -124,7 +116,7 @@ def infer(
             os.makedirs(tr_dir, exist_ok=True)
             wavio.write_wav_int16(
                 os.path.join(enh_dir, out_file_prefix + ".wav"),
-                wav[i][: seq_len * SAMPLES_PER_FRAME],
+                wav[i][: seq_len * hop],
             )
             if beam_width > 0:
                 seq = ctc_ops.beam_search_decode(logits[i], int(lengths[i]), beam_width)

@@ -31,6 +31,12 @@ class ModelDef:
     needs_embeddings: bool = False
     needs_labels: bool = False
     trainable_mask: Callable | None = None
+    # STFT geometry of the model's front-end: (frame_length, frame_step,
+    # fft_length). Everything downstream (Griffin-Lim, seq_len*hop wav
+    # trimming, serving shapes) must use THIS, not hardcoded constants.
+    frame_length: int = 384
+    frame_step: int = 192
+    fft_length: int = 512
     extra: dict = field(default_factory=dict)
 
 
@@ -43,6 +49,9 @@ def get_model(name: str) -> ModelDef:
             unet.forward,
             unet.losses,
             unet.enhanced_sources,
+            frame_length=unet.FRAME_LENGTH,
+            frame_step=unet.FRAME_STEP,
+            fft_length=unet.FFT_LENGTH,
         )
     if name == "av-blstm-twosteps":
         return ModelDef(

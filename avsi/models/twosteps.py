@@ -39,8 +39,11 @@ def trainable_mask(params: dict) -> dict:
 def forward(
     params: dict, batch: dict, config: dict, stats: tuple, train: bool = False, rng=None
 ) -> dict:
+    rng_v = rng_av = rng
+    if rng is not None:
+        rng_v, rng_av = jax.random.split(rng)  # independent dropout masks
     v_out = blstm.forward(
-        params["vnet"], batch, config, stats, spec=VSPEC, train=train, rng=rng
+        params["vnet"], batch, config, stats, spec=VSPEC, train=train, rng=rng_v
     )
     # the video prediction is the audio input of the AV net; the vnet is not
     # trained through this path (train_vars scoping in the reference)
@@ -52,7 +55,7 @@ def forward(
         stats,
         spec=AVSPEC,
         train=train,
-        rng=rng,
+        rng=rng_av,
         audio_features=v_pred,
     )
     av_out["video_prediction"] = v_out["prediction"]

@@ -42,7 +42,8 @@ class InpaintingService:
         self.config, stats, model, self.params = load_model_bundle(model_path, norm)
         self.micro_batch = micro_batch
         self.audio_len = int(self.config["audio_len"])
-        self.t_frames = -(-self.audio_len // 192)
+        # frame count follows the MODEL's hop (BLSTM 192, unet 128)
+        self.t_frames = -(-self.audio_len // model.frame_step)
         self.af = int(self.config["audio_feat_dim"])
         self.vf = int(self.config["video_feat_dim"])
         self._step = jax.jit(

@@ -213,10 +213,15 @@ bool key_is(Cursor key, const char* name) {
 }
 
 // SequenceExample { context=1 Features; feature_lists=2 FeatureLists }
+// Validates every element count against the expected dims: short or
+// malformed records return -5 rather than leaving buffer regions
+// uninitialized (the batch buffers are allocated with np.empty).
 int parse_sequence_example(const uint8_t* data, size_t len,
                            const SampleDims& d, const SampleOut& o) {
   Cursor c{data, data + len};
   uint32_t field, wire;
+  bool got_wav = false, got_mask = false, got_video = false, got_labels = false;
+  bool got_emb = false;
   while (c.next(&field, &wire)) {
     if (field == 1 && wire == 2) {  // context Features
       Cursor feats = c.sub();
@@ -236,11 +241,16 @@ int parse_sequence_example(const uint8_t* data, size_t len,
         } else if (key_is(key, "labels_length")) {
           *o.lab_len = int32_t(parse_feature_int64(val));
         } else if (key_is(key, "target_audio_wav")) {
-          parse_feature_floats(val, o.wav, d.num_audio_samples);
+          if (parse_feature_floats(val, o.wav, d.num_audio_samples) !=
+              d.num_audio_samples)
+            return -5;
+          got_wav = true;
         } else if (key_is(key, "sample_path")) {
           parse_feature_bytes(val, o.sample_path, 256);
         } else if (d.emb_dim > 0 && key_is(key, "embedding")) {
-          parse_feature_floats(val, o.embedding, d.emb_dim);
+          if (parse_feature_floats(val, o.embedding, d.emb_dim) != d.emb_dim)
+            return -5;
+          got_emb = true;
         }
       }
     } else if (field == 2 && wire == 2) {  // FeatureLists
@@ -258,26 +268,38 @@ int parse_sequence_example(const uint8_t* data, size_t len,
         }
         float* dst = nullptr;
         int64_t row = 0, rows = 0;
-        if (key_is(key, "mask")) { dst = o.mask; row = d.audio_dim; rows = d.t_frames; }
-        else if (key_is(key, "video_features")) { dst = o.video; row = d.video_dim; rows = d.t_frames; }
-        else if (key_is(key, "labels")) { dst = o.labels; row = 1; rows = d.num_labels; }
+        bool* flag = nullptr;
+        if (key_is(key, "mask")) {
+          dst = o.mask; row = d.audio_dim; rows = d.t_frames; flag = &got_mask;
+        } else if (key_is(key, "video_features")) {
+          dst = o.video; row = d.video_dim; rows = d.t_frames; flag = &got_video;
+        } else if (key_is(key, "labels")) {
+          dst = o.labels; row = 1; rows = d.num_labels; flag = &got_labels;
+        }
         if (!dst) continue;
         int64_t r = 0;
         uint32_t ff, wf;
         while (fl.next(&ff, &wf)) {
-          if (ff == 1 && wf == 2 && r < rows) {
-            parse_feature_floats(fl.sub(), dst + r * row, row);
+          if (ff == 1 && wf == 2) {
+            if (r >= rows) return -5;  // more rows than expected
+            if (parse_feature_floats(fl.sub(), dst + r * row, row) != row)
+              return -5;
             ++r;
           } else {
             fl.skip(wf);
           }
         }
+        if (r != rows) return -5;
+        *flag = true;
       }
     } else {
       c.skip(wire);
     }
   }
-  return c.ok ? 0 : -2;
+  if (!c.ok) return -2;
+  if (!got_wav || !got_mask || !got_video || !got_labels) return -5;
+  if (d.emb_dim > 0 && !got_emb) return -5;
+  return 0;
 }
 
 // Parse the first record of a TFRecord file into the sample buffers.

@@ -39,6 +39,30 @@ class TestIntrusionMask:
         assert abs(np.mean(covs) - 0.27) < 0.01
 
 
+class TestFixtureSplits:
+    def test_splits_are_disjoint(self, tmp_path):
+        """Train/val/test must hold DIFFERENT utterances (quality gates
+        evaluate on held-out data)."""
+        from avsi.data import fixture
+
+        paths = fixture.make_fixture(
+            str(tmp_path), n_speakers=1, n_samples=3, audio_len_ms=600,
+            gap_ms=150.0, gap_std_ms=20.0,
+        )
+        import os
+
+        def utts(split):
+            return {
+                d.split("_")[1]
+                for d in os.listdir(paths[split])
+                if os.path.isdir(os.path.join(paths[split], d))
+            }
+
+        tr, va, te = utts("training-set"), utts("validation-set"), utts("test-set")
+        assert len(tr) == len(va) == len(te) == 3
+        assert tr & va == set() and tr & te == set() and va & te == set()
+
+
 class TestAVSync:
     def test_upsample_75_to_250(self):
         feats = np.arange(75, dtype=np.float64)[:, None].repeat(3, 1)
