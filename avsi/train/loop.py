@@ -361,24 +361,34 @@ def _validate(dm, val_files, batch_size, eval_step, params, place, is_asr, selec
     if not val_files:
         return math.inf, "val=none"
     if is_asr:
-        losses, pers = [], []
+        losses, weights, pers, per_w = [], [], [], []
         for batch in dm.batches(val_files, batch_size, pad_final=True):
             res = eval_step(params, place(batch))
-            losses.append(float(res["loss"]))
-            pers.append(_host_per(np.asarray(res["decoded"]), batch))
-        per = float(np.mean(pers))
-        return per, f"val_loss={np.mean(losses):.5f}\tval_per={per:.5f}"
-    tot, hole, ctcs, pers = [], [], [], []
+            n = batch.get("num_real", batch_size)
+            # batch means weighted by real count (padded duplicates bias
+            # the final batch's mean only by their own weight)
+            losses.append(float(res["loss"]) * n)
+            weights.append(n)
+            pers.append(_host_per(np.asarray(res["decoded"]), batch) * n)
+            per_w.append(n)
+        per = float(np.sum(pers) / np.sum(per_w))
+        val_loss = float(np.sum(losses) / np.sum(weights))
+        return per, f"val_loss={val_loss:.5f}\tval_per={per:.5f}"
+    tot, hole, ctcs, ctc_w, pers = [], [], [], [], []
     for batch in dm.batches(val_files, batch_size, pad_final=True):
         res = eval_step(params, place(batch))
         n = batch.get("num_real", batch_size)
         tot.extend(np.asarray(res["loss_ps"])[:n].tolist())
         hole.extend(np.asarray(res["loss_hole_ps"])[:n].tolist())
         if "ctc_loss" in res:
-            ctcs.append(float(res["ctc_loss"]))
-            pers.append(_host_per(np.asarray(res["decoded"]), batch))
+            ctcs.append(float(res["ctc_loss"]) * n)
+            ctc_w.append(n)
+            pers.append(_host_per(np.asarray(res["decoded"]), batch) * n)
     report = f"val_loss={np.mean(tot):.5f}\tval_loss_hole={np.mean(hole):.5f}"
     if ctcs:
-        report += f"\tval_ctc={np.mean(ctcs):.5f}\tval_per={np.mean(pers):.5f}"
+        report += (
+            f"\tval_ctc={np.sum(ctcs) / np.sum(ctc_w):.5f}"
+            f"\tval_per={np.sum(pers) / np.sum(ctc_w):.5f}"
+        )
     metric = float(np.mean(hole)) if select_hole else float(np.mean(tot))
     return metric, report
