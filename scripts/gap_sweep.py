@@ -1,0 +1,93 @@
+"""Gap-size sweep: the reference's 100/200/400/800/1600 ms protocol
+(scripts/inference_asr.sh:3, docs demo) against one trained model.
+
+Builds per-gap test corpora from HELD-OUT utterances of an existing
+fixture workdir (same raw corpus, same test-split utterance names, masks
+re-sampled at each gap size), then runs masking -> fused SI->ASR ->
+evaluation per gap and prints one summary table.
+
+Usage: python scripts/gap_sweep.py <fixture_workdir> <si_ckpt> <asr_ckpt> [gaps...]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
+    from avsi.data import generator
+    from avsi.data.tfrecord import list_tfrecord_files
+    from avsi.eval import harness
+    from avsi.infer import asr as asr_infer, masking, siasr
+
+    raw = os.path.join(work, "raw")
+    dict_file = os.path.join(work, "dictionary.txt")
+    # held-out utterance names = whatever the test split used
+    test_dir = os.path.join(work, "syn", "test-set")
+    utt_names = sorted(
+        {d.split("_")[1] for d in os.listdir(test_dir) if "_" in d}
+    )
+    speakers = sorted(
+        int(s[1:]) for s in os.listdir(raw) if s.startswith("s") and s[1:].isdigit()
+    )
+    spec_mean = os.path.join(work, "spec_norm_mean.npy")
+    spec_std = os.path.join(work, "spec_norm_std.npy")
+
+    results = {}
+    for gap in gaps:
+        tag = f"test-set-{gap}ms"
+        syn_dir = os.path.join(work, "syn", tag)
+        tfr_dir = os.path.join(work, "tfrecords", tag)
+        if not os.path.isdir(tfr_dir):
+            generator.create_syn_dataset(
+                raw, syn_dir, speakers=speakers, n_samples=0, audio_len=3000,
+                n_max_intr=1, cov_mean=float(gap), cov_std=max(gap / 8.0, 1.0),
+                seed=100 + gap, utterance_names=utt_names,
+            )
+            from avsi.data.phonemes import load_dictionary
+
+            generator.create_tfrecords_training(
+                syn_dir, tfr_dir, load_dictionary(dict_file)
+            )
+        masking.mask_app(
+            tfr_dir, syn_dir, oracle_phase=False, num_audio_samples=48000,
+            batch_size=32, feat_mean_file=spec_mean, feat_std_file=spec_std,
+        )
+        masked = asr_infer.infer(
+            asr_ckpt, tfr_dir, syn_dir, "masked", dict_file,
+            apply_mask=True, norm=True, batch_size=32,
+        )
+        enh = siasr.infer(
+            si_ckpt, asr_ckpt, tfr_dir, syn_dir, "sweep", dict_file,
+            norm=True, batch_size=32, gl_iters=30,
+        )
+        ev = harness.speech_inpainting_eval(
+            syn_dir, "sweep", "sweep_eval", masked_eval=True, num_workers=8
+        )
+        results[gap] = {
+            "per_masked": masked["per"],
+            "per_enhanced": enh["per"],
+            "stoi_masked": ev["stoi_masked"][0],
+            "stoi_enhanced": ev["stoi_enhanced"][0],
+            "l1_masked": ev["l1_masked"][0],
+            "l1_enhanced": ev["l1_enhanced"][0],
+        }
+        print(f"GAP_{gap} " + json.dumps(results[gap]), flush=True)
+
+    print("\ngap_ms  STOI_mask  STOI_enh  STOIi   L1_mask    L1_enh    PER_mask PER_enh")
+    for gap, r in results.items():
+        print(
+            f"{gap:6d}  {r['stoi_masked']:.4f}    {r['stoi_enhanced']:.4f}   "
+            f"{r['stoi_enhanced']-r['stoi_masked']:+.4f} {r['l1_masked']:9.0f}  "
+            f"{r['l1_enhanced']:9.0f}  {r['per_masked']:.4f}  {r['per_enhanced']:.4f}"
+        )
+    print("GAP_SWEEP " + json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    gaps = [int(g) for g in args[3:]] or (100, 200, 400, 800, 1600)
+    main(args[0], args[1], args[2], gaps)
