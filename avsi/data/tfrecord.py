@@ -205,30 +205,38 @@ def decode_sequence_example(buf: bytes):
     context: dict = {}
     feature_lists: dict = {}
     for field, _w, payload in _iter_fields(buf):
+        if _w != 2 or not isinstance(payload, (bytes, bytearray, memoryview)):
+            continue  # malformed/non-message field: skip, don't crash
         if field == 1:  # context Features
-            for f, _, entry in _iter_fields(payload):
-                if f != 1:
+            for f, fw, entry in _iter_fields(payload):
+                if f != 1 or fw != 2:
                     continue
                 key = None
                 val = None
-                for ef, _, ev in _iter_fields(entry):
+                for ef, ew, ev in _iter_fields(entry):
+                    if ew != 2:
+                        continue
                     if ef == 1:
-                        key = ev.decode()
+                        key = ev.decode(errors="replace")
                     elif ef == 2:
                         val = decode_feature(ev)
                 context[key] = val
         elif field == 2:  # FeatureLists
-            for f, _, entry in _iter_fields(payload):
-                if f != 1:
+            for f, fw, entry in _iter_fields(payload):
+                if f != 1 or fw != 2:
                     continue
                 key = None
                 feats: list = []
-                for ef, _, ev in _iter_fields(entry):
+                for ef, ew, ev in _iter_fields(entry):
+                    if ew != 2:
+                        continue
                     if ef == 1:
-                        key = ev.decode()
+                        key = ev.decode(errors="replace")
                     elif ef == 2:  # FeatureList
                         feats = [
-                            decode_feature(fv) for ff, _, fv in _iter_fields(ev) if ff == 1
+                            decode_feature(fv)
+                            for ff, fw2, fv in _iter_fields(ev)
+                            if ff == 1 and fw2 == 2
                         ]
                 feature_lists[key] = feats
     return context, feature_lists

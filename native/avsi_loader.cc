@@ -88,7 +88,7 @@ struct Cursor {
 
   Cursor sub() {
     uint64_t len = varint();
-    if (!ok || p + len > end) {
+    if (!ok || len > uint64_t(end - p)) {  // overflow-safe bound check
       ok = false;
       return Cursor{p, p};
     }
@@ -101,7 +101,12 @@ struct Cursor {
     switch (wire) {
       case 0: varint(); break;
       case 1: p += 8; break;
-      case 2: { uint64_t len = varint(); p += len; break; }
+      case 2: {
+        uint64_t len = varint();
+        if (len > uint64_t(end - p)) { ok = false; return; }
+        p += len;
+        break;
+      }
       case 5: p += 4; break;
       default: ok = false;
     }
@@ -319,7 +324,7 @@ int parse_file(const char* path, int verify_crc, const SampleDims& d,
   if (fsize < 16) return -3;
   uint64_t len;
   memcpy(&len, buf.data(), 8);
-  if (int64_t(16 + len) > fsize) return -3;
+  if (len > uint64_t(fsize) || 16 + len > uint64_t(fsize)) return -3;
   if (verify_crc) {
     uint32_t c1, c2;
     memcpy(&c1, buf.data() + 8, 4);
@@ -409,7 +414,8 @@ int avsi_parse_file_multi(const char* path, int verify_crc,
   while (pos + 16 <= fsize && n < max_samples) {
     uint64_t len;
     memcpy(&len, buf.data() + pos, 8);
-    if (pos + 16 + long(len) > fsize) return -3;
+    if (len > uint64_t(fsize) || uint64_t(pos) + 16 + len > uint64_t(fsize))
+      return -3;
     if (verify_crc) {
       uint32_t c1, c2;
       memcpy(&c1, buf.data() + pos + 8, 4);
