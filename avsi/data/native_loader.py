@@ -139,7 +139,7 @@ def load_batch(
     if rc != 0:
         raise ValueError(f"native loader failed with code {rc} on batch {paths[:2]}...")
     sample_paths = [
-        path_buf.raw[i * 256 : (i + 1) * 256].split(b"\x00", 1)[0].decode()
+        path_buf.raw[i * 256 : (i + 1) * 256].split(b"\x00", 1)[0].decode(errors="replace")
         for i in range(n)
     ]
     out = {
@@ -207,7 +207,7 @@ def load_file_records(
         "video_features": video[:n],
         "masks": mask[:n],
         "sample_paths": [
-            path_buf.raw[i * 256 : (i + 1) * 256].split(b"\x00", 1)[0].decode()
+            path_buf.raw[i * 256 : (i + 1) * 256].split(b"\x00", 1)[0].decode(errors="replace")
             for i in range(n)
         ],
     }

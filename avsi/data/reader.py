@@ -116,9 +116,14 @@ class DataManager:
         (jit-friendly: a single compiled shape); 'num_real' marks validity.
         """
         files = list(file_list)
+        # probe BEFORE shuffling on a stable representative (one probe per
+        # corpus, not one per epoch)
+        probe_ok = bool(files) and self.use_native and self._probe_native(
+            min(files)
+        )
         if shuffle:
             self.rng.shuffle(files)
-        if self.use_native and files and self._probe_native(files[0]):
+        if probe_ok:
             if self._native_probe[2] == 1:
                 yield from self._native_batches(files, batch_size, drop_remainder, pad_final)
             else:

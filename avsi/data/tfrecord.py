@@ -81,8 +81,10 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            return result & 0xFFFFFFFFFFFFFFFF, pos  # clamp to 64 bits
         shift += 7
+        if shift > 63:
+            raise ValueError("varint overflow")
 
 
 def _tag(field: int, wire: int) -> bytes:

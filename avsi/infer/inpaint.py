@@ -29,7 +29,6 @@ from avsi.parallel import mesh as mesh_lib
 from avsi.train import checkpoints
 from avsi.utils import wav as wavio
 
-SAMPLES_PER_FRAME = 192  # inference.py:160 (BLSTM hop; use model.frame_step)
 
 
 def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False):

@@ -22,7 +22,6 @@ from avsi.ops import stft as stft_ops
 from avsi.parallel import mesh as mesh_lib
 from avsi.utils import wav as wavio
 
-SAMPLES_PER_FRAME = 192
 
 
 def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257,

@@ -133,6 +133,7 @@ int64_t parse_feature_floats(Cursor f, float* out, int64_t cap) {
           for (int64_t i = 0; i < cnt && n < cap; ++i, ++n)
             memcpy(out + n, vals.p + 4 * i, 4);
         } else if (f2 == 1 && w2 == 5) {  // unpacked
+          if (fl.end - fl.p < 4) { fl.ok = false; break; }
           if (n < cap) memcpy(out + n, fl.p, 4);
           fl.p += 4;
           ++n;
@@ -226,7 +227,7 @@ int parse_sequence_example(const uint8_t* data, size_t len,
   Cursor c{data, data + len};
   uint32_t field, wire;
   bool got_wav = false, got_mask = false, got_video = false, got_labels = false;
-  bool got_emb = false;
+  bool got_emb = false, got_seq = false, got_lab = false;
   while (c.next(&field, &wire)) {
     if (field == 1 && wire == 2) {  // context Features
       Cursor feats = c.sub();
@@ -243,8 +244,10 @@ int parse_sequence_example(const uint8_t* data, size_t len,
         }
         if (key_is(key, "sequence_length")) {
           *o.seq_len = int32_t(parse_feature_int64(val));
+          got_seq = true;
         } else if (key_is(key, "labels_length")) {
           *o.lab_len = int32_t(parse_feature_int64(val));
+          got_lab = true;
         } else if (key_is(key, "target_audio_wav")) {
           if (parse_feature_floats(val, o.wav, d.num_audio_samples) !=
               d.num_audio_samples)
@@ -303,6 +306,7 @@ int parse_sequence_example(const uint8_t* data, size_t len,
   }
   if (!c.ok) return -2;
   if (!got_wav || !got_mask || !got_video || !got_labels) return -5;
+  if (!got_seq || !got_lab) return -5;
   if (d.emb_dim > 0 && !got_emb) return -5;
   return 0;
 }

@@ -18,9 +18,13 @@ import numpy as np
 
 def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
     from avsi.data import generator
-    from avsi.data.tfrecord import list_tfrecord_files
     from avsi.eval import harness
     from avsi.infer import asr as asr_infer, masking, siasr
+    from avsi.infer.inpaint import load_model_bundle
+
+    # masking must use the SI model's STFT geometry and audio length
+    si_config, _, si_model, _ = load_model_bundle(si_ckpt, norm=True)
+    audio_len = int(si_config["audio_len"])
 
     raw = os.path.join(work, "raw")
     dict_file = os.path.join(work, "dictionary.txt")
@@ -52,8 +56,10 @@ def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
                 syn_dir, tfr_dir, load_dictionary(dict_file)
             )
         masking.mask_app(
-            tfr_dir, syn_dir, oracle_phase=False, num_audio_samples=48000,
+            tfr_dir, syn_dir, oracle_phase=False, num_audio_samples=audio_len,
             batch_size=32, feat_mean_file=spec_mean, feat_std_file=spec_std,
+            frame_length=si_model.frame_length, frame_step=si_model.frame_step,
+            fft_length=si_model.fft_length,
         )
         masked = asr_infer.infer(
             asr_ckpt, tfr_dir, syn_dir, "masked", dict_file,

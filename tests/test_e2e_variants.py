@@ -109,16 +109,12 @@ def test_unet_train(emb_corpus, tmp_path):
     # inference with Griffin-Lim must honor the unet's 16ms/8ms/256 STFT
     # geometry (regression: the GL path once hardcoded the BLSTM geometry)
     out_audio = str(tmp_path / "unet_audio")
-    for split_dir in _glob.glob(os.path.join(d, "training-set", "*.tfrecord")):
-        pass
     res = inpaint.infer(
         str(tmp_path / "exp_unet" / "netmodel"),
         os.path.join(d, "validation-set"), out_audio, "unet_out",
         norm=True, batch_size=2, phase_recon="gl", gl_iters=4,
     )
     assert res["num_samples"] > 0
-    from avsi.utils import wav as wavio
-
     sample = sorted(os.listdir(out_audio))[0]
     _, data = wavio.read_wav_int16(
         os.path.join(out_audio, sample, "enhanced", "unet_out.wav")
