@@ -25,7 +25,6 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 class InpaintingService:

@@ -13,7 +13,6 @@ import json
 import os
 import sys
 
-import numpy as np
 
 
 def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):

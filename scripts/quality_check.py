@@ -14,7 +14,6 @@ import json
 import os
 import sys
 
-import numpy as np
 
 
 def main(workdir="/tmp/avsi_quality", model="av-blstm", epochs=25, gap_ms=400.0):

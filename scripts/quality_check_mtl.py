@@ -21,7 +21,6 @@ import json
 import os
 import sys
 
-import numpy as np
 
 
 def main(workdir="/tmp/avsi_mtl", epochs=30):
