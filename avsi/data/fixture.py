@@ -39,8 +39,14 @@ def make_fixture(
     gap_std_ms: float = 100.0,
     n_max_intr: int = 1,
     with_embeddings: bool = False,
+    video_informative: bool = False,
 ) -> dict:
-    """Build raw corpus + masked sample dirs + tfrecords. Returns paths."""
+    """Build raw corpus + masked sample dirs + tfrecords. Returns paths.
+
+    video_informative=True gives each phoneme a distinct mouth-landmark
+    configuration so visual features carry phoneme identity (needed for
+    AV > A comparisons; default False keeps earlier corpora reproducible —
+    there the mouth band tracks only the loudness envelope)."""
     rng = np.random.default_rng(seed)
     raw = os.path.join(dest_dir, "raw")
     n_wav = audio_len_ms * sample_rate // 1000
@@ -103,6 +109,19 @@ def make_fixture(
             lm = base_lm[None] + steps
             env75 = np.interp(np.linspace(0, n_wav - 1, 75), np.arange(n_wav), env)
             lm[:, 48:68, 1] += 0.3 * env75[:, None]
+            if video_informative:
+                # per-phoneme mouth configuration: each of the 20 mouth
+                # landmarks gets a deterministic offset pattern per phoneme
+                ph75 = ph_ids[
+                    np.minimum((np.arange(75) * n_ph) // 75, n_ph - 1)
+                ]
+                for m in range(20):
+                    lm[:, 48 + m, 0] += 0.25 * np.sin(
+                        2.1 * ph75 + 0.7 * m
+                    )
+                    lm[:, 48 + m, 1] += 0.25 * np.cos(
+                        1.3 * ph75 + 0.9 * m
+                    )
             np.save(os.path.join(lm_dir, name + ".npy"), lm.reshape(75, 136))
             all_lm.append(lm.reshape(75, 136))
 
