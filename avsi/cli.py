@@ -5,8 +5,10 @@ Mirrors `/root/reference/av_speech_inpainting/speech_inpainting_main.py`
 dataset_generator, audio_preprocessing, video_preprocessing,
 tfrecords_generator, tfrecords_grouping, masking, training, training_asr,
 inference_model_generation, inference, inference_asr, inference_siasr,
-evaluation — plus `fixture` (synthetic corpus for smoke tests) and `bench`
-which the reference does not have.
+evaluation — plus `evaluation_asr` (the reference ships it as a standalone
+script entry point, `evaluation_asr.py:104-137`), `serve`, and `fixture`
+(synthetic corpus for smoke tests), which the reference CLI does not have.
+Benchmarking lives in `bench.py` at the repo root (driver contract).
 
 Usage: python -m avsi <subcommand> ...
 """
@@ -145,6 +147,25 @@ def parse_args(argv=None):
     p.add_argument("-ws", "--window_size", type=int, default=25)
     p.add_argument("-ss", "--step_size", type=int, default=10)
     p.add_argument("-w", "--num_workers", type=int, default=0)
+    p.add_argument("--sdr", action="store_const", const=True, default=False,
+                   help="Add SDR/SI-SDR columns (avsi extension).")
+
+    p = sub.add_parser(
+        "evaluation_asr",
+        description="PER-free L1/PESQ/STOI evaluation (reference evaluation_asr.py).",
+    )
+    p.add_argument("-ed", "--eval_audio_dir", required=True)
+    p.add_argument("-ef", "--enhanced_file", required=True)
+    p.add_argument("-o", "--out_file", required=True)
+    p.add_argument("-me", "--masked_eval", action="store_const", const=True, default=False)
+    p.add_argument("--pesq_path", default=None)
+    p.add_argument("--pesq_mode", default="nb", choices=["nb", "wb"])
+    p.add_argument("-fs", "--fft_size", type=int, default=512)
+    p.add_argument("-ws", "--window_size", type=int, default=25)
+    p.add_argument("-ss", "--step_size", type=int, default=10)
+    p.add_argument("-w", "--num_workers", type=int, default=0)
+    p.add_argument("--sdr", action="store_const", const=True, default=False,
+                   help="Add SDR/SI-SDR columns (avsi extension).")
 
     p = sub.add_parser("serve", description="Warm-model inpainting HTTP service (not in reference).")
     p.add_argument("-m", "--model_path", required=True)
@@ -251,7 +272,15 @@ def main(argv=None):
         speech_inpainting_eval(
             args.eval_audio_dir, args.enhanced_file, args.out_file, args.masked_eval,
             args.pesq_path, args.pesq_mode, args.fft_size, args.window_size,
-            args.step_size, args.num_workers,
+            args.step_size, args.num_workers, args.sdr,
+        )
+    elif name == "evaluation_asr":
+        from avsi.eval.harness import speech_enhancement_eval
+
+        speech_enhancement_eval(
+            args.eval_audio_dir, args.enhanced_file, args.out_file, args.masked_eval,
+            args.pesq_path, args.pesq_mode, args.fft_size, args.window_size,
+            args.step_size, args.num_workers, args.sdr,
         )
     elif name == "serve":
         from avsi.serve import serve

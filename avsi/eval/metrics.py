@@ -6,8 +6,9 @@ PESQ via the ITU binary :77-96) plus `pystoi` and `editdistance` imported
 by evaluation.py:10-11.  None of those packages ship in this environment,
 so STOI and BSS-eval SDR are implemented natively below (STOI per Taal et
 al. 2011, the pystoi algorithm; SDR per the BSS_EVAL v3 definition with a
-512-tap allowed distortion filter).  PESQ remains an external-binary call,
-gracefully NaN when unavailable.
+512-tap allowed distortion filter).  PESQ dispatches to the native P.862
+implementation (avsi/eval/pesq.py) unless an external ITU binary path is
+given, in which case it is spawned and parsed exactly like the reference.
 """
 
 from __future__ import annotations
@@ -170,10 +171,24 @@ def stoi_eval(target, estimated, sample_rate=16000):
 
 
 # ---------------------------------------------------------------------------
-# PESQ (external ITU binary, eval_metrics.py:77-96)
+# PESQ (eval_metrics.py:77-96). With a binary path: subprocess to the ITU
+# executable exactly like the reference. Without one (this environment):
+# the native P.862 implementation in avsi/eval/pesq.py, same return shape
+# as the binary parse — nb -> (raw MOS, MOS-LQO), wb -> (MOS-LQO, None).
 # ---------------------------------------------------------------------------
 
-def pesq_eval(source_file_path, estimation_file_path, pesq_bin_path, mode="wb"):
+def pesq_eval(source_file_path, estimation_file_path, pesq_bin_path=None, mode="wb"):
+    if not pesq_bin_path:
+        from avsi.eval.pesq import pesq_measure
+        from avsi.utils import wav as wavio
+
+        try:
+            sr, ref = wavio.read_wav_int16(source_file_path)
+            _, deg = wavio.read_wav_int16(estimation_file_path)
+            raw, lqo = pesq_measure(ref, deg, sr, mode)
+        except (FileNotFoundError, ValueError, OSError):
+            return np.nan, np.nan
+        return (raw, lqo) if mode == "nb" else (lqo, None)
     if mode == "nb":
         args = [pesq_bin_path, "+16000", source_file_path, estimation_file_path]
     else:

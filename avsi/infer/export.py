@@ -22,7 +22,14 @@ import numpy as np
 def save_inference_model(
     config_file: str, input_model: str, output_model: str, model_kind: str = "enh"
 ) -> None:
-    """Copy a training checkpoint to an inference checkpoint path."""
+    """Copy a training checkpoint to an inference checkpoint path.
+
+    `model_kind` ({enh, asr, enhasr}) is accepted for CLI parity with the
+    reference (`speech_inpainting_main.py:96-101`) but is vestigial here by
+    design: the reference needed it to rebuild the right TF graph without a
+    fixed batch size (`inference_model_generator.py:14-48`), while avsi has
+    no train/inference graph split — all kinds re-export identically.
+    """
     for suffix in (".npz", ".opt.npz"):
         src = input_model + suffix
         if os.path.isfile(src):

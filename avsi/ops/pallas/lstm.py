@@ -15,9 +15,8 @@ loop inside one `pallas_call`:
     backward block reads xw[T-1-t], and each does its own (B,H)x(H,4H) MXU
     matmul per step.
 
-Used on the inference/eval path (no custom VJP yet — training keeps the
-scan, whose backward XLA derives automatically).  Numerics match the scan
-implementation to float32 tolerance (tests/test_pallas_lstm.py).
+Numerics match the scan implementation to float32 tolerance
+(tests/test_pallas_lstm.py).
 """
 
 from __future__ import annotations
