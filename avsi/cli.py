@@ -120,7 +120,8 @@ def parse_args(argv=None):
     p.add_argument("-n", "--norm", action="store_const", const=True, default=False)
     p.add_argument("-bs", "--batch_size", type=int, default=0)
     p.add_argument("-df", "--dict_file", required=True)
-    p.add_argument("-bw", "--beam_width", type=int, default=0)
+    p.add_argument("-bw", "--beam_width", type=int, default=100,
+                   help="CTC beam width (reference default 100); 0 = greedy.")
 
     p = sub.add_parser("inference_siasr", description="Inpainting + ASR inference.")
     p.add_argument("-d", "--data_dir", required=True)
@@ -134,7 +135,8 @@ def parse_args(argv=None):
     p.add_argument("-op", "--oracle_phase", action="store_const", const=True, default=False)
     p.add_argument("--phase_recon", default="gl", choices=["gl", "none"])
     p.add_argument("--gl_iters", type=int, default=50)
-    p.add_argument("-bw", "--beam_width", type=int, default=0)
+    p.add_argument("-bw", "--beam_width", type=int, default=100,
+                   help="CTC beam width (reference default 100); 0 = greedy.")
 
     p = sub.add_parser("evaluation", description="Evaluate audio samples with speech metrics.")
     p.add_argument("-ed", "--eval_audio_dir", required=True)

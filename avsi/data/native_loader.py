@@ -72,6 +72,13 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
             ]
+        if hasattr(lib, "avsi_ctc_beam_search_batch"):
+            lib.avsi_ctc_beam_search_batch.restype = ctypes.c_int
+            lib.avsi_ctc_beam_search_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -92,6 +99,33 @@ def ctc_beam_search(logits: np.ndarray, seq_len: int, beam_width: int = 20,
     if rc < 0:
         return None
     return [int(x) for x in out[:rc]]
+
+
+def ctc_beam_search_batch(logits: np.ndarray, seq_lens, beam_width: int = 20,
+                          max_out: int = 256, num_threads: int = 0):
+    """Native threaded batch decode; list of label lists, or None.
+
+    logits: (B, T, C) float32; seq_lens: (B,) valid frame counts.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "avsi_ctc_beam_search_batch"):
+        return None
+    logits = np.ascontiguousarray(logits, np.float32)
+    b, t_len, c = logits.shape
+    seq_lens = np.ascontiguousarray(seq_lens, np.int64)
+    out = np.empty((b, max_out), np.int32)
+    out_lens = np.empty((b,), np.int32)
+    if num_threads <= 0:
+        num_threads = min(b, os.cpu_count() or 1)
+    rc = lib.avsi_ctc_beam_search_batch(
+        logits.ctypes.data_as(ctypes.c_void_p), b, t_len, c,
+        seq_lens.ctypes.data_as(ctypes.c_void_p), beam_width,
+        out.ctypes.data_as(ctypes.c_void_p), max_out,
+        out_lens.ctypes.data_as(ctypes.c_void_p), num_threads,
+    )
+    if rc < 0 or (out_lens < 0).any():
+        return None
+    return [[int(x) for x in out[i, : out_lens[i]]] for i in range(b)]
 
 
 def is_available() -> bool:

@@ -120,23 +120,48 @@ def _thirdoct(fs, nfft, num_bands, min_freq):
     return obm
 
 
+_STOI_EPS = float(np.finfo(np.float64).eps)
+
+
 def _stoi_frames(x, hop=128):
+    """Windowed frames with pystoi's convention: range(0, len-framelen, hop)
+    — the frame starting exactly at len-framelen is excluded."""
     w = np.hanning(_STOI_NFRAME + 2)[1:-1]
-    n = (len(x) - _STOI_NFRAME) // hop + 1
-    idx = np.arange(n)[:, None] * hop + np.arange(_STOI_NFRAME)[None, :]
+    starts = np.arange(0, len(x) - _STOI_NFRAME, hop)
+    idx = starts[:, None] + np.arange(_STOI_NFRAME)[None, :]
     return x[idx] * w
 
 
-def _remove_silent(x, y):
-    frames_x = _stoi_frames(x)
-    frames_y = _stoi_frames(y)
-    energy = 20 * np.log10(np.linalg.norm(frames_x, axis=1) + 1e-12)
-    keep = energy > (energy.max() - _STOI_DYN_RANGE)
-    return frames_x[keep], frames_y[keep]
+def _remove_silent(x, y, hop=128):
+    """pystoi remove_silent_frames: drop frames >40 dB below the loudest
+    CLEAN frame, then overlap-add the kept (windowed) frames back into
+    waveforms — the STFT is recomputed on the stitched signals."""
+    frames_x = _stoi_frames(x, hop)
+    frames_y = _stoi_frames(y, hop)
+    if len(frames_x) == 0:
+        return np.zeros(0), np.zeros(0)
+    energy = 20 * np.log10(np.linalg.norm(frames_x, axis=1) + _STOI_EPS)
+    keep = energy - energy.max() + _STOI_DYN_RANGE > 0
+    frames_x, frames_y = frames_x[keep], frames_y[keep]
+    if len(frames_x) == 0:
+        return np.zeros(0), np.zeros(0)
+    n_sil = (len(frames_x) - 1) * hop + _STOI_NFRAME
+    x_sil = np.zeros(n_sil)
+    y_sil = np.zeros(n_sil)
+    for i in range(len(frames_x)):
+        x_sil[i * hop : i * hop + _STOI_NFRAME] += frames_x[i]
+        y_sil[i * hop : i * hop + _STOI_NFRAME] += frames_y[i]
+    return x_sil, y_sil
 
 
 def stoi_eval(target, estimated, sample_rate=16000):
-    """Short-time objective intelligibility in [~0, 1]."""
+    """Short-time objective intelligibility in [~0, 1].
+
+    Follows the pystoi package's conventions exactly (frame ranges, OLA
+    silent-frame removal, band-edge rounding) so scores are comparable to
+    the reference protocol (`evaluation.py:10,63`); pinned against an
+    independent from-the-paper transcription in tests/test_stoi_golden.py.
+    """
     n = min(len(target), len(estimated))
     x = np.asarray(target[:n], np.float64)
     y = np.asarray(estimated[:n], np.float64)
@@ -144,9 +169,13 @@ def stoi_eval(target, estimated, sample_rate=16000):
         g = np.gcd(int(sample_rate), _STOI_FS)
         x = resample_poly(x, _STOI_FS // g, int(sample_rate) // g)
         y = resample_poly(y, _STOI_FS // g, int(sample_rate) // g)
-    fx, fy = _remove_silent(x, y)
-    if len(fx) < _STOI_N:
+    x, y = _remove_silent(x, y)
+    if len(x) < _STOI_NFRAME:
         return 1e-5  # too little speech (reference maps these to NaN later)
+    fx = _stoi_frames(x)
+    fy = _stoi_frames(y)
+    if len(fx) < _STOI_N:
+        return 1e-5
     X = np.fft.rfft(fx, _STOI_NFFT, axis=1)
     Y = np.fft.rfft(fy, _STOI_NFFT, axis=1)
     obm = _thirdoct(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
@@ -159,12 +188,12 @@ def stoi_eval(target, estimated, sample_rate=16000):
     for m in range(_STOI_N, len(Xb) + 1):
         Xseg = Xb[m - _STOI_N : m]  # (N, bands)
         Yseg = Yb[m - _STOI_N : m]
-        alpha = np.linalg.norm(Xseg, axis=0) / (np.linalg.norm(Yseg, axis=0) + 1e-12)
+        alpha = np.linalg.norm(Xseg, axis=0) / (np.linalg.norm(Yseg, axis=0) + _STOI_EPS)
         Yprime = np.minimum(Yseg * alpha[None, :], Xseg * (1 + clip))
         xn = Xseg - Xseg.mean(axis=0)
         yn = Yprime - Yprime.mean(axis=0)
-        xn = xn / (np.linalg.norm(xn, axis=0) + 1e-12)
-        yn = yn / (np.linalg.norm(yn, axis=0) + 1e-12)
+        xn = xn / (np.linalg.norm(xn, axis=0) + _STOI_EPS)
+        yn = yn / (np.linalg.norm(yn, axis=0) + _STOI_EPS)
         d_sum += float((xn * yn).sum())
         count += _STOI_NBANDS
     return d_sum / count if count else 1e-5

@@ -3,8 +3,9 @@
 Reference: `/root/reference/av_speech_inpainting/inference_asr.py:18-135` —
 CTC decode, map labels -> phonemes, write `<audio_dir>/<sample>/<prefix>.lbl`
 (comma-joined), report mean loss + PER; `--apply_mask` evaluates on masked
-audio.  Decode is greedy on device by default; `beam_width > 0` switches to
-the host beam search (TF default width 100 in models_asr.py:135).
+audio.  Decode defaults to the protocol-matched host beam search at the
+reference's width 100 (the tf.nn.ctc_beam_search_decoder default used at
+models_asr.py:135); `beam_width = 0` opts into greedy decode on device.
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ def infer(
     apply_mask: bool = False,
     norm: bool = True,
     batch_size: int = 1,
-    beam_width: int = 0,
+    beam_width: int = 100,
 ) -> dict:
     batch_size = batch_size or 1
     config, stats, model, params = load_model_bundle(model_path, norm, is_asr=True)
@@ -73,11 +74,13 @@ def infer(
         decoded = np.asarray(decoded)
         logits = np.asarray(logits)
         lengths = np.asarray(lengths)
+        if beam_width > 0:
+            beam_seqs = ctc_ops.beam_search_decode_batch(
+                logits[:n_real], lengths[:n_real], beam_width
+            )
         for i in range(n_real):
             if beam_width > 0:
-                seq = ctc_ops.beam_search_decode(
-                    logits[i], int(lengths[i]), beam_width
-                )
+                seq = beam_seqs[i]
             else:
                 seq = [int(x) for x in decoded[i] if x >= 0]
             sample_dir = batch["sample_paths"][i]

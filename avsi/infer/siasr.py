@@ -6,7 +6,9 @@ enhanced waveform made to take a device->host->device round trip between
 them (:190-218 — SURVEY.md §3.3).  Here the SI forward, waveform
 reconstruction, ASR feature extraction and CTC logits are ONE jitted
 function with no host bounce; only the final decode/label mapping and file
-writes run on the host.
+writes run on the host.  Decode defaults to the host beam search at width
+100 (the reference's ASR judge default, models_asr.py:135); `beam_width=0`
+opts into greedy decode on device.
 
 Outputs match the reference layout:
   `<audio_dir>/<sample>/enhanced/<prefix>.wav`
@@ -71,7 +73,7 @@ def infer(
     batch_size: int = 1,
     phase_recon: str = "gl",
     gl_iters: int = 50,
-    beam_width: int = 0,
+    beam_width: int = 100,  # reference ASR-judge default (models_asr.py:135)
 ) -> dict:
     batch_size = batch_size or 1
     si_config, si_stats, si_model, si_params = load_model_bundle(model_path_si, norm)
@@ -107,6 +109,10 @@ def infer(
         lengths = np.asarray(lengths)
         losses.extend(np.asarray(loss_ps)[:n_real].tolist())
         holes.extend(np.asarray(hole_ps)[:n_real].tolist())
+        if beam_width > 0:
+            beam_seqs = ctc_ops.beam_search_decode_batch(
+                logits[:n_real], lengths[:n_real], beam_width
+            )
         for i in range(n_real):
             sample_dir = batch["sample_paths"][i]
             seq_len = int(batch["sequence_lengths"][i])
@@ -119,7 +125,7 @@ def infer(
                 wav[i][: seq_len * hop],
             )
             if beam_width > 0:
-                seq = ctc_ops.beam_search_decode(logits[i], int(lengths[i]), beam_width)
+                seq = beam_seqs[i]
             else:
                 seq = [int(x) for x in decoded[i] if x >= 0]
             with open(os.path.join(tr_dir, out_file_prefix + ".lbl"), "w") as f:

@@ -88,6 +88,31 @@ def beam_search_decode(
     return _beam_search_decode_py(logits, logit_length, beam_width)
 
 
+def beam_search_decode_batch(
+    logits: np.ndarray, logit_lengths, beam_width: int = 20,
+    num_threads: int = 0,
+) -> list[list[int]]:
+    """Batched prefix beam search (host-side eval).
+
+    logits: (B, T, C), blank last. Uses the threaded native decoder
+    (native/avsi_ctc.cc avsi_ctc_beam_search_batch) when available, else
+    falls back to per-sequence decode.
+    """
+    from avsi.data import native_loader
+
+    logits = np.asarray(logits, np.float32)
+    native = native_loader.ctc_beam_search_batch(
+        logits, np.asarray(logit_lengths, np.int64), beam_width,
+        num_threads=num_threads,
+    )
+    if native is not None:
+        return native
+    return [
+        beam_search_decode(logits[i], int(logit_lengths[i]), beam_width)
+        for i in range(len(logits))
+    ]
+
+
 def _beam_search_decode_py(
     logits: np.ndarray, logit_length: int, beam_width: int = 20
 ) -> list[int]:

@@ -87,6 +87,69 @@ def test_native_beam_matches_python():
         assert native == py, (trial, native, py)
 
 
+def test_native_beam_matches_python_at_protocol_width():
+    """Width 100 (the eval-path default, reference models_asr.py:135):
+    the pruned trie decoder must stay exact vs the python reference."""
+    from avsi.data import native_loader
+
+    if not native_loader.is_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        t, c = 60, 10
+        logits = (rng.randn(t, c) * 2).astype(np.float32)
+        native = native_loader.ctc_beam_search(logits, t, beam_width=100)
+        py = ctc._beam_search_decode_py(logits, t, beam_width=100)
+        assert native == py, trial
+
+
+def test_batch_decode_matches_single():
+    rng = np.random.RandomState(7)
+    logits = (rng.randn(5, 50, 12) * 2).astype(np.float32)
+    lens = np.array([50, 40, 50, 30, 50])
+    batch = ctc.beam_search_decode_batch(logits, lens, beam_width=24)
+    for i in range(5):
+        assert batch[i] == ctc.beam_search_decode(logits[i], int(lens[i]), 24), i
+
+
+def test_beam_default_improves_or_matches_greedy_mass():
+    """On arbitrary logits the width-100 beam's decoded sequence must carry
+    at least the CTC probability mass of the greedy collapse."""
+    import jax.numpy as jnp
+
+    def seq_logprob(logits, seq):
+        # forward algorithm over the expanded blank-interleaved states
+        logp = logits - np.logaddexp.reduce(logits, axis=1, keepdims=True)
+        blank = logits.shape[1] - 1
+        ext = [blank]
+        for s in seq:
+            ext += [s, blank]
+        alpha = np.full(len(ext), -np.inf)
+        alpha[0] = logp[0][ext[0]]
+        if len(ext) > 1:
+            alpha[1] = logp[0][ext[1]]
+        for t in range(1, len(logp)):
+            prev = alpha.copy()
+            for j in range(len(ext)):
+                best = prev[j]
+                if j >= 1:
+                    best = np.logaddexp(best, prev[j - 1])
+                if j >= 2 and ext[j] != blank and ext[j] != ext[j - 2]:
+                    best = np.logaddexp(best, prev[j - 2])
+                alpha[j] = best + logp[t][ext[j]]
+        return np.logaddexp(alpha[-1], alpha[-2]) if len(ext) > 1 else alpha[-1]
+
+    rng = np.random.RandomState(21)
+    for trial in range(4):
+        logits = (rng.randn(40, 8) * 1.5).astype(np.float32)
+        g = ctc.greedy_decode(jnp.asarray(logits[None]), jnp.asarray([40]))
+        greedy = [int(x) for x in np.asarray(g)[0] if x >= 0]
+        beam = ctc.beam_search_decode(logits, 40, beam_width=100)
+        assert seq_logprob(logits, beam) >= seq_logprob(logits, greedy) - 1e-9, trial
+
+
 def test_edit_distance_and_per():
     assert ctc.edit_distance([1, 2, 3], [1, 2, 3]) == 0
     assert ctc.edit_distance([1, 2, 3], [1, 3]) == 1
