@@ -219,7 +219,10 @@ def main(argv=None):
     elif name == "tfrecords_generator":
         from avsi.data.generator import create_dataset
 
-        create_dataset(args.dataset_dir, args.dest_dir, args.dict_file, args.with_embedding)
+        create_dataset(
+            args.dataset_dir, args.dest_dir, args.dict_file,
+            args.with_embedding, args.mode,
+        )
     elif name == "tfrecords_grouping":
         from avsi.data.generator import group_tfrecords
 

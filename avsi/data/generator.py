@@ -125,8 +125,15 @@ def create_tfrecords_training(
     dest_dir: str,
     ph_dict: list[str],
     with_embedding: bool = False,
+    tfrecord_mode: str = "fixed",
 ) -> int:
-    """Sample dirs -> TFRecords (tfrecord_utils.py:73-125)."""
+    """Sample dirs -> TFRecords (tfrecord_utils.py:73-125).
+
+    tfrecord_mode='var' uses the variable-length schema
+    (tfr.serialize_sample_var); per reference behavior the same label
+    padding (to MAX_LABEL_LEN) is serialized in both modes — the var
+    reader pads to the batch max anyway.
+    """
     sample_dirs = sorted(d for d in glob(os.path.join(data_path, "*")) if os.path.isdir(d))
     os.makedirs(dest_dir, exist_ok=True)
     file_counter = 0
@@ -160,7 +167,12 @@ def create_tfrecords_training(
 
         seq_lengths.append(seq_len)
         file_counter += 1
-        record = tfr.serialize_sample_fixed(
+        serialize = (
+            tfr.serialize_sample_fixed
+            if tfrecord_mode == "fixed"
+            else tfr.serialize_sample_var
+        )
+        record = serialize(
             seq_len,
             lab_len,
             target.astype(np.float32),
@@ -178,7 +190,11 @@ def create_tfrecords_training(
 
 
 def create_dataset(
-    data_path: str, dest_dir: str, dictionary_file: str, with_embedding: bool = False
+    data_path: str,
+    dest_dir: str,
+    dictionary_file: str,
+    with_embedding: bool = False,
+    tfrecord_mode: str = "fixed",
 ) -> None:
     """Build training/validation/test TFRecord splits (tfrecord_utils.py:128-158)."""
     ph_dict = phonemes.load_dictionary(dictionary_file)
@@ -187,7 +203,8 @@ def create_dataset(
         if not os.path.isdir(src):
             continue
         n = create_tfrecords_training(
-            src, os.path.join(dest_dir, split), ph_dict, with_embedding
+            src, os.path.join(dest_dir, split), ph_dict, with_embedding,
+            tfrecord_mode,
         )
         print(f"{split}: {n} samples")
 

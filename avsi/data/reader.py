@@ -31,7 +31,19 @@ BATCH_KEYS = (
 
 
 class DataManager:
-    """Reads fixed-mode sample TFRecords into batches."""
+    """Reads sample TFRecords into batches.
+
+    mode='fixed' (default): every sample has identical shapes; batches are
+    plain stacks (reference dataset_reader.py:62-79).
+    mode='var': samples have per-utterance lengths; batches are padded to
+    the longest sample in the batch, with the frame count rounded up to
+    `pad_frames_multiple` (reference padded_batch, dataset_reader.py:53-55,
+    82-99).  The rounding is a TPU-first deviation: tf.data pads to the
+    exact batch max, which under jit would compile one program per distinct
+    batch length — bucketing to multiples (default 25 frames = 300 ms)
+    bounds the number of compiled shapes.  `num_real`/`sequence_lengths`
+    mark validity exactly as in fixed mode.
+    """
 
     def __init__(
         self,
@@ -41,14 +53,23 @@ class DataManager:
         with_embedding: bool = False,
         seed: int | None = None,
         use_native: bool | None = None,
+        mode: str = "fixed",
+        samples_per_frame: int = 192,
+        pad_frames_multiple: int = 25,
     ):
+        if mode not in ("fixed", "var"):
+            raise ValueError(f"unknown tfrecord mode {mode!r}")
         self.num_audio_samples = num_audio_samples
         self.audio_feat_size = audio_feat_size
         self.video_feat_size = video_feat_size
         self.with_embedding = with_embedding
+        self.mode = mode
+        self.samples_per_frame = samples_per_frame
+        self.pad_frames_multiple = max(1, pad_frames_multiple)
         self.rng = np.random.default_rng(seed)
-        # native C++ loader: auto-enable when built/buildable (use_native=None)
-        self.use_native = (
+        # native C++ loader: auto-enable when built/buildable (use_native=None);
+        # fixed-layout only — var mode always uses the python codec
+        self.use_native = mode == "fixed" and (
             native_loader.is_available() if use_native is None else use_native
         )
         # layout probes keyed by the probed file path: one DataManager can
@@ -80,11 +101,16 @@ class DataManager:
         return bool(probe)
 
     def _iter_samples(self, file_list: list[str]):
+        parse = (
+            tfr.parse_sample_fixed if self.mode == "fixed" else tfr.parse_sample_var
+        )
         for path in file_list:
             for record in tfr.read_records(path):
-                yield tfr.parse_sample_fixed(record, self.with_embedding)
+                yield parse(record, self.with_embedding)
 
     def _stack(self, samples: list[dict]) -> dict:
+        if self.mode == "var":
+            return self._stack_var(samples)
         batch = {
             "sequence_lengths": np.asarray(
                 [s["sequence_length"] for s in samples], np.int32
@@ -96,6 +122,44 @@ class DataManager:
             "labels": np.stack([s["labels"] for s in samples]),
             "video_features": np.stack([s["video_features"] for s in samples]),
             "masks": np.stack([s["mask"] for s in samples]),
+            "sample_paths": [s["sample_path"] for s in samples],
+        }
+        if self.with_embedding:
+            batch["embeddings"] = np.stack([s["embedding"] for s in samples])
+        return batch
+
+    def _stack_var(self, samples: list[dict]) -> dict:
+        """Padded batch: frames rounded up to pad_frames_multiple, waveform
+        padded to frames * samples_per_frame, labels to the batch max."""
+        mult = self.pad_frames_multiple
+        t_max = max(s["mask"].shape[0] for s in samples)
+        t_pad = -(-t_max // mult) * mult
+        wav_pad = max(
+            t_pad * self.samples_per_frame,
+            max(len(s["target_audio_wav"]) for s in samples),
+        )
+        lab_pad = max(1, max(len(s["labels"]) for s in samples))
+
+        def pad_to(a, n, axis=0):
+            width = [(0, 0)] * a.ndim
+            width[axis] = (0, n - a.shape[axis])
+            return np.pad(a, width)
+
+        batch = {
+            "sequence_lengths": np.asarray(
+                [s["sequence_length"] for s in samples], np.int32
+            ),
+            "labels_lengths": np.asarray(
+                [s["labels_length"] for s in samples], np.int32
+            ),
+            "target_sources": np.stack(
+                [pad_to(s["target_audio_wav"], wav_pad) for s in samples]
+            ),
+            "labels": np.stack([pad_to(s["labels"], lab_pad) for s in samples]),
+            "video_features": np.stack(
+                [pad_to(s["video_features"], t_pad) for s in samples]
+            ),
+            "masks": np.stack([pad_to(s["mask"], t_pad) for s in samples]),
             "sample_paths": [s["sample_path"] for s in samples],
         }
         if self.with_embedding:

@@ -15,6 +15,12 @@ Schema (fixed mode):
   lists:    labels float[50][1], video_features float[250][136],
             mask float[250][257]
 
+Schema (var mode, tfrecord_utils.py:44-70 intent / dataset_reader.py:82-99):
+  context:  sequence_length int64, labels_length int64
+  lists:    target_audio_wav float[n][1], labels float[L][1],
+            sample_path int64[len][1] (character codes),
+            video_features float[T][136], mask float[T][257]
+
 TFRecord framing: {uint64 len}{u32 masked_crc(len)}{payload}{u32 masked_crc}.
 """
 
@@ -331,6 +337,73 @@ def parse_sample_fixed(record: bytes, with_embedding: bool = False) -> dict:
         "labels_length": np.int32(context["labels_length"][0]),
         "target_audio_wav": np.asarray(context["target_audio_wav"], np.float32),
         "sample_path": context["sample_path"][0].decode(),
+        "labels": np.asarray([f[0] for f in lists["labels"]], np.float32),
+        "video_features": np.stack(lists["video_features"]).astype(np.float32),
+        "mask": np.stack(lists["mask"]).astype(np.float32),
+    }
+    if with_embedding:
+        out["embedding"] = np.asarray(context["embedding"], np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# var-mode schema (tfrecord_utils.py:44-70 / dataset_reader.py:82-99)
+# ---------------------------------------------------------------------------
+
+def serialize_sample_var(
+    seq_len: int,
+    lab_len: int,
+    target_audio_wav: np.ndarray,
+    video_features: np.ndarray,
+    mask: np.ndarray,
+    labels: np.ndarray,
+    sample_path: str,
+    embedding: np.ndarray | None = None,
+) -> bytes:
+    """Variable-length serialization: everything per-utterance-sized moves
+    into feature_lists so the reader can padded_batch.
+
+    The reference's `serialize_sample_var` (tfrecord_utils.py:44-70) is
+    unrunnable as written (undefined `fl_target` / `fl_mix_audio_path`,
+    :64,68); this implements its evident intent, matching the schema the
+    reference *reader* expects (dataset_reader.py:82-99): context holds
+    only the scalar lengths; the waveform is one float Feature per sample,
+    labels one float per entry, sample_path one int64 character code per
+    character, video/mask one row per frame.  `embedding` stays a context
+    feature like the fixed emb variant (avsi extension).
+    """
+    context = {
+        "sequence_length": feature_int64s([seq_len]),
+        "labels_length": feature_int64s([lab_len]),
+    }
+    if embedding is not None:
+        context["embedding"] = feature_floats(embedding)
+    feature_lists = {
+        "target_audio_wav": [
+            feature_floats([float(x)]) for x in np.asarray(target_audio_wav)
+        ],
+        "video_features": [feature_floats(row) for row in np.asarray(video_features)],
+        "mask": [feature_floats(row) for row in np.asarray(mask)],
+        "labels": [feature_floats([float(x)]) for x in np.asarray(labels)],
+        "sample_path": [feature_int64s([ord(ch)]) for ch in sample_path],
+    }
+    return encode_sequence_example(context, feature_lists)
+
+
+def parse_sample_var(record: bytes, with_embedding: bool = False) -> dict:
+    """Decode one var-mode sample into numpy arrays (dataset_reader.py:82-99).
+
+    Returns the same key set as `parse_sample_fixed` so readers and models
+    are mode-agnostic downstream.
+    """
+    context, lists = decode_sequence_example(record)
+    out = {
+        "sequence_length": np.int32(context["sequence_length"][0]),
+        "labels_length": np.int32(context["labels_length"][0]),
+        "target_audio_wav": np.concatenate(lists["target_audio_wav"]).astype(np.float32)
+        if lists.get("target_audio_wav")
+        else np.zeros(0, np.float32),
+        "sample_path": "".join(chr(int(f[0])) for f in lists.get("sample_path", [])),
         "labels": np.asarray([f[0] for f in lists["labels"]], np.float32),
         "video_features": np.stack(lists["video_features"]).astype(np.float32),
         "mask": np.stack(lists["mask"]).astype(np.float32),

@@ -24,9 +24,11 @@ from avsi.utils import wav as wavio
 
 
 
-def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257,
+def make_mask_step(num_audio_samples: int | None, stats, audio_feat_dim: int = 257,
                    frame_length: int = 384, frame_step: int = 192,
                    fft_length: int = 512):
+    """num_audio_samples=None (var mode): the output length is derived from
+    the batch's (padded) frame count — one compile per bucket shape."""
     mean = jnp.asarray(stats[0])
     std = jnp.asarray(stats[1])
 
@@ -34,6 +36,7 @@ def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257,
         batch = mesh_lib.expand_batch(batch, audio_feat_dim)
         masks = batch["masks"]
         t, f = masks.shape[1], masks.shape[2]
+        num_samples = num_audio_samples or t * frame_step
         re, im = stft_ops.stft_real_imag(
             batch["target_sources"], frame_length, frame_step, fft_length
         )
@@ -51,7 +54,7 @@ def make_mask_step(num_audio_samples: int, stats, audio_feat_dim: int = 257,
             masked_mag = jnp.pad(masked_mag, zp)
             phase = jnp.pad(phase, zp)
         wav = stft_ops.waveform_from_mag_phase(
-            masked_mag, phase, num_samples=num_audio_samples,
+            masked_mag, phase, num_samples=num_samples,
             frame_length=frame_length, frame_step=frame_step,
             fft_length=fft_length,
         )
@@ -93,13 +96,17 @@ def mask_app(
         num_audio_samples=num_audio_samples,
         audio_feat_size=audio_feat_dim,
         video_feat_size=video_feat_dim,
+        mode=tfrecord_mode,
+        samples_per_frame=frame_step,
     )
     files = list_tfrecord_files(data_path)
     if not files:
         raise ValueError(f"no tfrecords under {data_path}")
     step = jax.jit(
-        make_mask_step(num_audio_samples, stats, audio_feat_dim,
-                       frame_length, frame_step, fft_length),
+        make_mask_step(
+            num_audio_samples if tfrecord_mode == "fixed" else None,
+            stats, audio_feat_dim, frame_length, frame_step, fft_length,
+        ),
         static_argnums=1,
     )
 
