@@ -1,0 +1,141 @@
+"""Tests for the multi-host layer (avsi/parallel/distributed.py).
+
+The sandbox has one host, so multi-host behavior is covered three ways:
+pure-unit sharding properties (explicit process_index/count), the
+single-process degenerate path of `global_batch` on the virtual 8-device
+CPU mesh (conftest), and a genuine 2-process `jax.distributed` smoke test
+run via subprocesses with a localhost coordinator — each child forces the
+CPU platform in-process (the JAX_PLATFORMS env var is ignored here, see
+CLAUDE.md) and psums a per-process value over the global mesh.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avsi.parallel import distributed as dist
+from avsi.parallel import mesh as mesh_lib
+
+
+class TestShardFiles:
+    FILES = [f"data_{i:03d}.tfrecord" for i in range(10)]
+
+    def test_partition_is_disjoint_and_complete(self):
+        shards = [dist.shard_files(self.FILES, pi, 3) for pi in range(3)]
+        combined = sorted(f for s in shards for f in s)
+        assert combined == sorted(self.FILES)
+        flat = [f for s in shards for f in s]
+        assert len(flat) == len(set(flat))
+
+    def test_balanced_within_one(self):
+        sizes = [len(dist.shard_files(self.FILES, pi, 4)) for pi in range(4)]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_deterministic_and_order_insensitive(self):
+        shuffled = list(reversed(self.FILES))
+        assert dist.shard_files(self.FILES, 1, 3) == dist.shard_files(shuffled, 1, 3)
+
+    def test_single_process_gets_everything(self):
+        assert dist.shard_files(self.FILES, 0, 1) == sorted(self.FILES)
+
+    def test_defaults_use_jax_process_info(self):
+        # single-process runtime: process_index 0 / count 1
+        assert dist.shard_files(self.FILES) == sorted(self.FILES)
+
+
+class TestGlobalBatch:
+    def test_single_process_assembly_on_virtual_mesh(self):
+        mesh = mesh_lib.get_mesh()
+        n = mesh.devices.size
+        local = {
+            "target_sources": np.arange(n * 4, dtype=np.float32).reshape(n, 4),
+            "sequence_lengths": np.full((n,), 7, np.int32),
+            "ignored_key": np.zeros(3),
+        }
+        out = dist.global_batch(
+            local, mesh, ("target_sources", "sequence_lengths", "missing")
+        )
+        assert set(out) == {"target_sources", "sequence_lengths"}
+        assert out["target_sources"].shape == (n, 4)
+        np.testing.assert_array_equal(
+            np.asarray(out["target_sources"]), local["target_sources"]
+        )
+        # the assembled array is sharded along the data axis
+        assert len(out["target_sources"].sharding.device_set) == n
+
+        # and it feeds a jitted global reduction
+        total = jax.jit(lambda x: jnp.sum(x))(out["target_sources"])
+        assert float(total) == float(local["target_sources"].sum())
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="fork/coordinator smoke is linux-only")
+def test_two_process_distributed_smoke(tmp_path):
+    """Real jax.distributed over two local processes: initialize, shard
+    files per host, assemble a global batch, psum across the global mesh."""
+    script = tmp_path / "child.py"
+    script.write_text(
+        """
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")  # env var is ignored (CLAUDE.md)
+import numpy as np
+import jax.numpy as jnp
+
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+from avsi.parallel import distributed as dist
+dist.initialize(coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+
+files = [f"f{i}" for i in range(6)]
+mine = dist.shard_files(files)
+assert len(mine) == 3
+
+from jax.sharding import Mesh
+devs = np.array(jax.devices())
+mesh = Mesh(devs, ("data",))
+local = {"x": np.full((len(jax.local_devices()), 2), float(pid + 1), np.float32)}
+g = dist.global_batch(local, mesh, ("x",))
+total = jax.jit(lambda x: jnp.sum(x))(g["x"])
+with open(out, "w") as f:
+    f.write(repr((sorted(mine), float(total))))
+"""
+    )
+    port = 12765
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = []
+    outs = [str(tmp_path / f"out{i}.txt") for i in range(2)]
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(port), outs[pid]],
+                env=env, cwd="/root/repo",
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed coordinator did not come up in time")
+        if p.returncode != 0:
+            msg = err.decode(errors="replace")[-2000:]
+            if "UNAVAILABLE" in msg or "DEADLINE" in msg or "bind" in msg.lower():
+                pytest.skip(f"coordinator unavailable in sandbox: {msg[-200:]}")
+            raise AssertionError(msg)
+    results = [eval(open(o).read()) for o in outs]
+    # disjoint complete file shards
+    assert sorted(results[0][0] + results[1][0]) == [f"f{i}" for i in range(6)]
+    assert not set(results[0][0]) & set(results[1][0])
+    # both processes saw the same global sum over 2 hosts x 2 local devices:
+    # host0 contributes 2*2*1.0, host1 contributes 2*2*2.0 -> 12
+    assert results[0][1] == results[1][1] == 12.0
