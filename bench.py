@@ -73,21 +73,46 @@ def _measure_fetched(f, *args, n=3):
     return best
 
 
-def measure_tpu(batch_size=BATCH, inner_iters=10) -> dict:
-    import jax
-    import jax.numpy as jnp
+def analytic_flops_per_utt(net_dim=NET_DIM, t=T_FRAMES, af=AF, vf=VF,
+                           ssnn_dim=200, asr_labels=34) -> float:
+    """Analytic forward FLOPs per utterance for the flagship graph
+    (matmuls only, 2 FLOPs per MAC): BLSTM input+recurrent projections,
+    SSNN MLP, dual heads, matmul-DFT STFT + iSTFT."""
+    fl = 0.0
+    d_in = af + vf + ssnn_dim  # input concat with the tiled SSNN embedding
+    h_prev = d_in
+    for h in net_dim:
+        # per direction per step: (D_in x 4H) input + (H x 4H) recurrent
+        fl += t * 2 * (h_prev * 4 * h + h * 4 * h) * 2
+        h_prev = 2 * h
+    # SSNN MLP on delta features: 2*af -> 200 -> 200 -> 200, per frame
+    fl += t * 2 * (2 * af * ssnn_dim + 2 * ssnn_dim * ssnn_dim)
+    # dual heads 2H -> af and 2H -> asr_labels
+    fl += t * 2 * h_prev * (af + asr_labels)
+    # matmul-DFT STFT (frame x DFT, re+im) and iSTFT
+    fl += 2 * (t * 2 * 384 * af * 2)
+    return fl
 
-    from avsi.models import registry
 
-    config = {
+def _flagship_config(batch_size, compute_dtype="float32"):
+    return {
         "model": "av-blstm-ssnn-ctc", "audio_feat_dim": AF, "video_feat_dim": VF,
         "audio_len": AUDIO_LEN, "batch_size": batch_size, "net_dim": NET_DIM,
         "integration_layer": 0, "dropout_rate": 0.0, "num_asr_labels": 34,
         "ctc_loss": 0.001, "embedding_dim": 512, "optimizer_type": "adam",
         "starter_learning_rate": 0.001, "learning_rate": 0.001,
         "lr_updating_steps": 10000, "lr_decay": 1.0, "l2": 0.0,
-        "compute_dtype": "float32", "seed": 0,
+        "compute_dtype": compute_dtype, "seed": 0,
     }
+
+
+def measure_tpu(batch_size=BATCH, inner_iters=10, compute_dtype="float32") -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from avsi.models import registry
+
+    config = _flagship_config(batch_size, compute_dtype)
     model = registry.get_model(config["model"])
     params = model.init(jax.random.PRNGKey(0), config)
     stats = (jnp.zeros((AF,), jnp.float32), jnp.ones((AF,), jnp.float32))
@@ -118,6 +143,7 @@ def measure_tpu(batch_size=BATCH, inner_iters=10) -> dict:
     lat = max(_measure_fetched(make_rep(1), params, batch) - floor, 0.0)
     return {
         "batch": batch_size,
+        "compute_dtype": compute_dtype,
         "sec_per_batch": dt,
         "utt_per_sec": batch_size / dt,
         "latency_s_per_batch": lat,
@@ -190,8 +216,18 @@ def main():
     else:
         base = json.load(open(BASELINE_CACHE))
 
-    tpu = measure_tpu(args.batch)
+    runs = {dt: measure_tpu(args.batch, compute_dtype=dt)
+            for dt in ("float32", "bfloat16")}
+    tpu = max(runs.values(), key=lambda r: r["utt_per_sec"])
     vs = tpu["utt_per_sec"] / base["utt_per_sec"] if base.get("utt_per_sec") else float("nan")
+
+    # analytic-FLOPs MFU against the assumed chip peak (v5e bf16 = 197
+    # TFLOP/s by default; override with AVSI_PEAK_TFLOPS). The forward is
+    # scan-latency/VPU-bound, not MXU-bound — bf16 ~= fp32 here — so MFU is
+    # reported as context, not as the optimization target (BASELINE.md).
+    peak = float(os.environ.get("AVSI_PEAK_TFLOPS", "197")) * 1e12
+    flops = analytic_flops_per_utt()
+    mfu = {dt: r["utt_per_sec"] * flops / peak for dt, r in runs.items()}
     print(
         json.dumps(
             {
@@ -202,9 +238,16 @@ def main():
                 "detail": {
                     "model": "av-blstm-ssnn-ctc 3x250",
                     "batch": tpu["batch"],
+                    "best_dtype": tpu["compute_dtype"],
                     "sec_per_batch": round(tpu["sec_per_batch"], 5),
                     "latency_ms_per_batch": round(tpu["latency_s_per_batch"] * 1e3, 3),
                     "compile_s": round(tpu["compile_s"], 1),
+                    "utt_per_sec_fp32": round(runs["float32"]["utt_per_sec"], 1),
+                    "utt_per_sec_bf16": round(runs["bfloat16"]["utt_per_sec"], 1),
+                    "analytic_gflops_per_utt": round(flops / 1e9, 3),
+                    "mfu_fp32_vs_bf16_peak": round(mfu["float32"], 4),
+                    "mfu_bf16_vs_bf16_peak": round(mfu["bfloat16"], 4),
+                    "peak_tflops_assumed": peak / 1e12,
                     "baseline_tf_cpu_utt_per_sec": round(base.get("utt_per_sec", float("nan")), 3),
                     "device": tpu.get("device", "?"),
                 },

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(batch_size=32, inner=10):
+def main(batch_size=128, inner=10, compute_dtype="bfloat16"):
     from avsi.models import registry
     from avsi.train import loop as loop_lib, state as state_lib
 
@@ -29,7 +29,7 @@ def main(batch_size=32, inner=10):
         "ctc_loss": 0.001, "embedding_dim": 512, "optimizer_type": "adam",
         "starter_learning_rate": 0.001, "learning_rate": 0.001,
         "lr_updating_steps": 10000, "lr_decay": 1.0, "l2": 0.0,
-        "compute_dtype": "float32", "seed": 0,
+        "compute_dtype": compute_dtype, "seed": 0,
     }
     model = registry.get_model(config["model"])
     params = model.init(jax.random.PRNGKey(0), config)
@@ -84,6 +84,7 @@ def main(batch_size=32, inner=10):
             "batch": batch_size,
             "sec_per_step": round(dt, 5),
             "model": "av-blstm-ssnn-ctc 3x250 (full step: fwd+bwd+adam)",
+            "compute_dtype": compute_dtype,
         },
     }
     print(json.dumps(out))
@@ -91,6 +92,7 @@ def main(batch_size=32, inner=10):
 
 if __name__ == "__main__":
     main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 32,
+        int(sys.argv[1]) if len(sys.argv) > 1 else 128,
         int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+        sys.argv[3] if len(sys.argv) > 3 else "bfloat16",
     )
