@@ -180,7 +180,8 @@ def parse_args(argv=None):
     p = sub.add_parser("fixture", description="Generate a synthetic GRID-like corpus (not in reference).")
     p.add_argument("-d", "--dest_dir", required=True)
     p.add_argument("-ns", "--n_speakers", type=int, default=2)
-    p.add_argument("-num", "--n_samples", type=int, default=4)
+    p.add_argument("-num", "--n_samples", type=int, nargs="+", default=[4],
+                   help="samples per split (one value for all, or one per split)")
     p.add_argument("-al", "--audio_len_ms", type=int, default=3000)
     p.add_argument("-gm", "--gap_ms", type=float, default=800.0)
     p.add_argument("-gs", "--gap_std_ms", type=float, default=100.0)
@@ -299,8 +300,9 @@ def main(argv=None):
     elif name == "fixture":
         from avsi.data.fixture import make_fixture
 
+        n_samples = args.n_samples[0] if len(args.n_samples) == 1 else tuple(args.n_samples)
         make_fixture(
-            args.dest_dir, args.n_speakers, args.n_samples, args.audio_len_ms,
+            args.dest_dir, args.n_speakers, n_samples, args.audio_len_ms,
             gap_ms=args.gap_ms, gap_std_ms=args.gap_std_ms,
         )
     else:

@@ -30,7 +30,7 @@ PHONEME_SET = [
 def make_fixture(
     dest_dir: str,
     n_speakers: int = 2,
-    n_samples: int = 4,
+    n_samples: int | tuple = 4,
     audio_len_ms: int = 3000,
     sample_rate: int = 16000,
     seed: int = 0,
@@ -46,7 +46,11 @@ def make_fixture(
     video_informative=True gives each phoneme a distinct mouth-landmark
     configuration so visual features carry phoneme identity (needed for
     AV > A comparisons; default False keeps earlier corpora reproducible —
-    there the mouth band tracks only the loudness envelope)."""
+    there the mouth band tracks only the loudness envelope).
+
+    n_samples may be a per-split tuple (e.g. (880, 60, 60) for a
+    GRID-scale 29k/2k/2k utterance split) or a single int applied to
+    every split."""
     rng = np.random.default_rng(seed)
     raw = os.path.join(dest_dir, "raw")
     n_wav = audio_len_ms * sample_rate // 1000
@@ -57,11 +61,17 @@ def make_fixture(
     with open(dict_file, "w") as f:
         f.write(" ".join(PHONEME_SET) + "\n")
 
-    # DISJOINT utterances per split: split k uses utt indices
-    # [k*n_samples, (k+1)*n_samples) — evaluation is genuinely held out
-    total_utts = n_samples * len(splits)
+    counts = (
+        tuple(n_samples) if isinstance(n_samples, (tuple, list)) else (n_samples,) * len(splits)
+    )
+    if len(counts) != len(splits):
+        raise ValueError(f"n_samples {counts} does not match splits {splits}")
+    # DISJOINT utterances per split: split k uses the next counts[k]
+    # utterance indices — evaluation is genuinely held out
+    total_utts = sum(counts)
+    offsets = [sum(counts[:k]) for k in range(len(splits))]
     split_names = {
-        split: [f"utt{k * n_samples + i:03d}" for i in range(n_samples)]
+        split: [f"utt{offsets[k] + i:03d}" for i in range(counts[k])]
         for k, split in enumerate(splits)
     }
 

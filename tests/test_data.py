@@ -62,6 +62,27 @@ class TestFixtureSplits:
         assert len(tr) == len(va) == len(te) == 3
         assert tr & va == set() and tr & te == set() and va & te == set()
 
+    def test_per_split_counts(self, tmp_path):
+        """n_samples may be a per-split tuple (GRID-scale asymmetric splits)."""
+        from avsi.data import fixture
+
+        paths = fixture.make_fixture(
+            str(tmp_path), n_speakers=1, n_samples=(4, 2, 1), audio_len_ms=600,
+            gap_ms=150.0, gap_std_ms=20.0,
+        )
+        import os
+
+        def utts(split):
+            return {
+                d.split("_")[1]
+                for d in os.listdir(paths[split])
+                if os.path.isdir(os.path.join(paths[split], d))
+            }
+
+        tr, va, te = utts("training-set"), utts("validation-set"), utts("test-set")
+        assert (len(tr), len(va), len(te)) == (4, 2, 1)
+        assert tr & va == set() and tr & te == set() and va & te == set()
+
 
 class TestAVSync:
     def test_upsample_75_to_250(self):

@@ -110,6 +110,8 @@ with open(out, "w") as f:
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # subprocesses must import avsi even when the package is not pip-installed
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     procs = []
     outs = [str(tmp_path / f"out{i}.txt") for i in range(2)]
     for pid in range(2):
