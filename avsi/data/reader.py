@@ -12,8 +12,11 @@ A background prefetch thread overlaps parsing with device compute.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -28,6 +31,32 @@ BATCH_KEYS = (
     "video_features",
     "masks",
 )
+
+
+_POOL_END = object()
+
+
+def _ordered_pool_map(fn, items, workers: int):
+    """Map fn over items with `workers` threads, yielding results in input
+    order; keeps at most 2*workers results in flight (bounded memory)."""
+    if workers <= 1:
+        for item in items:
+            yield fn(item)
+        return
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futures: deque = deque()
+        it = iter(items)
+        exhausted = False
+        while True:
+            while not exhausted and len(futures) < 2 * workers:
+                item = next(it, _POOL_END)
+                if item is _POOL_END:
+                    exhausted = True
+                else:
+                    futures.append(ex.submit(fn, item))
+            if not futures:
+                return
+            yield futures.popleft().result()
 
 
 class DataManager:
@@ -56,6 +85,7 @@ class DataManager:
         mode: str = "fixed",
         samples_per_frame: int = 192,
         pad_frames_multiple: int = 25,
+        native_readahead: int | None = None,
     ):
         if mode not in ("fixed", "var"):
             raise ValueError(f"unknown tfrecord mode {mode!r}")
@@ -67,6 +97,10 @@ class DataManager:
         self.samples_per_frame = samples_per_frame
         self.pad_frames_multiple = max(1, pad_frames_multiple)
         self.rng = np.random.default_rng(seed)
+        # grouped-file parse parallelism (0/1 = sequential)
+        if native_readahead is None:
+            native_readahead = min(4, os.cpu_count() or 1)
+        self.native_readahead = max(1, int(native_readahead))
         # native C++ loader: auto-enable when built/buildable (use_native=None);
         # fixed-layout only — var mode always uses the python codec
         self.use_native = mode == "fixed" and (
@@ -214,7 +248,12 @@ class DataManager:
 
     def _native_batches_grouped(self, files, batch_size, drop_remainder, pad_final):
         """Grouped corpora (group_tfrecords output): parse each file's
-        records natively, re-batch on the host."""
+        records natively, re-batch on the host.
+
+        Files are parsed by a small thread pool ahead of consumption
+        (`native_readahead` workers): the ctypes call releases the GIL, so
+        on a multi-core host parsing scales with cores while batch order
+        stays deterministic (futures are consumed in submission order)."""
         t_frames, emb_dim, per_file = self._native_probe
         cap = max(64, per_file * 4)
         keys = [k for k in BATCH_KEYS] + (["embeddings"] if self.with_embedding else [])
@@ -226,8 +265,8 @@ class DataManager:
             batch["num_real"] = n_real
             return batch
 
-        for path in files:
-            recs = native_loader.load_file_records(
+        def parse(path):
+            return native_loader.load_file_records(
                 path, cap,
                 num_audio_samples=self.num_audio_samples,
                 t_frames=t_frames,
@@ -235,6 +274,8 @@ class DataManager:
                 video_dim=self.video_feat_size,
                 emb_dim=emb_dim,
             )
+
+        for recs in _ordered_pool_map(parse, files, self.native_readahead):
             n = len(recs["sequence_lengths"])
             for i in range(n):
                 sample = {k: recs[k][i] for k in keys}

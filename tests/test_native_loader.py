@@ -112,6 +112,45 @@ def test_grouped_records_native(corpus, tmp_path):
     assert py[0]["sample_paths"] == batches[0]["sample_paths"]
 
 
+def test_grouped_readahead_order_and_parity(corpus, tmp_path):
+    """Threaded grouped read-ahead yields identical batches in identical
+    order to the sequential path (deterministic input pipeline)."""
+    groups = []
+    for g in range(4):
+        p = str(tmp_path / f"g{g}.tfrecord")
+        with tfr.TFRecordWriter(p) as w:
+            for src in corpus[g : g + 3]:
+                for rec in tfr.read_records(src):
+                    w.write(rec)
+        groups.append(p)
+    dm_seq = reader.DataManager(
+        num_audio_samples=9600, with_embedding=True, native_readahead=1
+    )
+    dm_par = reader.DataManager(
+        num_audio_samples=9600, with_embedding=True, native_readahead=4
+    )
+    seq = list(dm_seq.batches(groups, batch_size=5, pad_final=True))
+    par = list(dm_par.batches(groups, batch_size=5, pad_final=True))
+    assert dm_par.use_native and len(seq) == len(par) > 0
+    for a, b in zip(seq, par):
+        assert a["sample_paths"] == b["sample_paths"]
+        assert a["num_real"] == b["num_real"]
+        for k in ("target_sources", "masks", "video_features", "labels"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_ordered_pool_map_propagates_errors():
+    def boom(x):
+        if x == 3:
+            raise ValueError("x3")
+        return x * 2
+
+    with pytest.raises(ValueError, match="x3"):
+        list(reader._ordered_pool_map(boom, range(6), workers=3))
+    assert list(reader._ordered_pool_map(boom, [1, 2], workers=3)) == [2, 4]
+    assert list(reader._ordered_pool_map(boom, range(3), workers=1)) == [0, 2, 4]
+
+
 def test_native_faster_than_python(corpus):
     files = corpus * 12  # 84 parses
     dm_py = reader.DataManager(num_audio_samples=9600, with_embedding=True, use_native=False)
