@@ -72,6 +72,37 @@ def extract_face_landmarks(video_filename: str, predictor_params: str, refresh_s
     return np.array(landmarks), np.array(face_rects)
 
 
+def show_face_landmarks(
+    video_filename: str, predictor_params: str, out_dir: str,
+    full_draw: bool = False, bb_draw: bool = False, frame_draw: bool = True,
+    refresh_size: int = 8,
+) -> list[str]:
+    """Offline equivalent of the reference debug overlay visualizer
+    (face_landmarks.py:97-180): extract landmarks from the video, draw the
+    same region polylines/dots/bounding boxes, and write PNG frames to
+    `out_dir` instead of cv2.imshow-ing them (headless environments)."""
+    cv2, _ = _require_cv()
+    from avsi.data.landmarks import render_landmark_frames, save_landmark_overlays
+
+    lm, rects = extract_face_landmarks(video_filename, predictor_params, refresh_size)
+    cap = cv2.VideoCapture(video_filename)
+    frames = []
+    while len(frames) < len(lm):
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
+    cap.release()
+    bg = np.stack(frames) if (frame_draw and frames) else None
+    lm = lm[: len(bg)] if bg is not None else lm
+    out = render_landmark_frames(lm, full_draw=full_draw, backgrounds=bg)
+    if bb_draw and bg is not None:
+        for img, (x, y, w, h) in zip(out, rects):
+            img[y : y + h, [x, min(x + w, img.shape[1] - 1)]] = 0
+            img[[y, min(y + h, img.shape[0] - 1)], x : x + w] = 0
+    return save_landmark_overlays(out, out_dir)
+
+
 def save_face_landmarks_speaker(
     data_dir: str, n_speaker: int, video_dir: str, dest_dir: str,
     predictor_params: str, ext: str = "mpg",

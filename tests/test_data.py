@@ -84,6 +84,58 @@ class TestFixtureSplits:
         assert tr & va == set() and tr & te == set() and va & te == set()
 
 
+class TestLandmarkOverlay:
+    """Offline renderer matching the reference show_face_landmarks
+    (face_landmarks.py:97-180) drawing semantics."""
+
+    def _lm(self, t=3):
+        rng = np.random.default_rng(0)
+        base = rng.normal(0, 1, size=(68, 2))
+        return base[None] + rng.normal(0, 0.02, size=(t, 68, 2))
+
+    def test_dots_and_canvas(self):
+        from avsi.data import landmarks as lmlib
+
+        lm = self._lm()
+        frames = lmlib.render_landmark_frames(lm, size=200)
+        assert frames.shape == (3, 200, 200) and frames.dtype == np.uint8
+        # each landmark maps inside the canvas and is drawn black
+        assert (frames == 0).sum() >= 68  # dots exist
+        assert frames.max() == 255  # white canvas remains
+
+    def test_full_draw_connects_regions(self):
+        from avsi.data import landmarks as lmlib
+
+        # two distant jaw points: their midpoint must carry a line pixel
+        lm = np.zeros((1, 68, 2))
+        lm[0, :, 0] = np.linspace(0, 10, 68)
+        lm[0, :, 1] = np.linspace(0, 10, 68)
+        lm[0, 0] = (0.0, 0.0)
+        lm[0, 1] = (10.0, 0.0)
+        plain = lmlib.render_landmark_frames(lm, size=100)
+        full = lmlib.render_landmark_frames(lm, size=100, full_draw=True)
+        assert (full == 128).sum() > 0  # line pixels drawn
+        assert (plain == 128).sum() == 0  # dots-only without full_draw
+
+    def test_background_mode_and_png(self, tmp_path):
+        from avsi.data import landmarks as lmlib
+
+        lm = np.abs(self._lm(2)) * 20 + 5  # pixel coords inside 64x64
+        bg = np.full((2, 64, 64), 200, np.uint8)
+        frames = lmlib.render_landmark_frames(lm, backgrounds=bg)
+        assert frames.shape == (2, 64, 64)
+        assert (frames == 0).any()  # dots drawn over the video frame
+        assert (frames == 200).any()  # original pixels preserved
+        paths = lmlib.save_landmark_overlays(frames, str(tmp_path / "ov"))
+        assert len(paths) == 2
+        import struct
+
+        raw = open(paths[0], "rb").read()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h = struct.unpack(">II", raw[16:24])
+        assert (w, h) == (64, 64)
+
+
 class TestAVSync:
     def test_upsample_75_to_250(self):
         feats = np.arange(75, dtype=np.float64)[:, None].repeat(3, 1)
