@@ -15,7 +15,10 @@ TPU-native differences: the whole step (feature extraction -> model ->
 loss -> grads -> optimizer) is ONE jitted function, batches are sharded
 over the `data` mesh axis (grad all-reduce inserted by XLA), and PER is
 computed with the jittable greedy decoder instead of running beam search
-every step (a reference inefficiency — SURVEY.md §3.1).
+every step (a reference inefficiency — SURVEY.md §3.1). With
+`device_cache_corpus = 1` the compacted corpus is kept in HBM after epoch
+0 (GRID compacts to ~5 GB << v5e's 16 GB), so later epochs run with zero
+host->device input traffic — the input pipeline cost is paid once.
 """
 
 from __future__ import annotations
@@ -228,18 +231,41 @@ def train(config_file: str, is_asr: bool = False) -> dict:
     # 3..3+N of epoch 0 into <exp_folder>/profile (TensorBoard-readable)
     profile_steps = int(config.get("profile_steps", 0))
     profile_dir = os.path.join(exp_folder, "profile")
+    # device-resident corpus cache (TPU-native; no reference counterpart):
+    # when `device_cache_corpus = 1` and the compacted corpus fits in HBM
+    # (GRID is ~5 GB compacted), epoch 0 streams batches once and keeps the
+    # device arrays; later epochs iterate them in a fresh random order with
+    # ZERO host->device input traffic. Deviation from per-epoch sample
+    # reshuffling: epoch 0 fixes the sample->batch assignment (shuffled
+    # once); afterwards shuffling is at batch granularity.
+    device_cache = (
+        bool(int(config.get("device_cache_corpus", 0)))
+        and int(config["max_n_epochs"]) > 1
+    )
+    cached_train: list = []
+    cached_val: list = []
+    cache_rng = np.random.default_rng(int(config.get("seed", 0)) + 101)
     for epoch in range(int(config["max_n_epochs"])):
         t_epoch = time.time()
         loss_accum = None
         n_acc = 0
         last_ldict = None
-        for batch in dm.prefetch_batches(
-            train_files, batch_size, shuffle=True, drop_remainder=True
-        ):
+        if device_cache and epoch > 0:
+            train_iter = (cached_train[i] for i in cache_rng.permutation(len(cached_train)))
+        else:
+            train_iter = dm.prefetch_batches(
+                train_files, batch_size, shuffle=True, drop_remainder=True
+            )
+        for batch in train_iter:
             rng, step_rng = jax.random.split(rng)
             if profile_steps and step - start_step == 3:
                 jax.profiler.start_trace(profile_dir)
-            train_state, ldict = train_step(train_state, place(batch), step_rng)
+            placed = batch if (device_cache and epoch > 0) else place(batch)
+            if device_cache and epoch == 0:
+                if not use_mesh:  # mesh place() already device_put with sharding
+                    placed = jax.device_put(placed)
+                cached_train.append(placed)
+            train_state, ldict = train_step(train_state, placed, step_rng)
             step += 1
             if profile_steps and step - start_step == 3 + profile_steps:
                 jax.block_until_ready(ldict["loss"])
@@ -286,9 +312,18 @@ def train(config_file: str, is_asr: bool = False) -> dict:
         # ssnn/emb/ctc variants (training_ctc.py:383-389)
         spec = model.extra.get("spec") if model.extra else None
         select_hole = bool(spec and spec.loss_on_hole_only)
+        if device_cache and epoch > 0:
+            pairs = cached_val
+        elif device_cache:
+            cached_val = [
+                (meta, placed if use_mesh else jax.device_put(placed))
+                for meta, placed in _val_pairs(dm, val_files, batch_size, place)
+            ]
+            pairs = cached_val
+        else:
+            pairs = _val_pairs(dm, val_files, batch_size, place)
         val_metric, val_report = _validate(
-            dm, val_files, batch_size, eval_step, train_state.params, place, is_asr,
-            select_hole,
+            pairs, eval_step, train_state.params, is_asr, select_hole
         )
         if not val_files:
             # no validation split: every epoch "improves", so the best
@@ -356,34 +391,48 @@ def _tb_media(tb, model, config, stats, params, dm, val_files, epoch, n_samples=
             tb.audio(f"Enhanced_audio/{i}", w / peak * 32000, epoch)
 
 
-def _validate(dm, val_files, batch_size, eval_step, params, place, is_asr, select_hole=True):
-    """Per-epoch validation. Returns (selection_metric, report_string)."""
-    if not val_files:
-        return math.inf, "val=none"
+_HOST_META_KEYS = ("labels", "labels_lengths", "sequence_lengths")
+
+
+def _val_pairs(dm, val_files, batch_size, place):
+    """(host_meta, placed_device_batch) pairs for one validation pass."""
+    for batch in dm.batches(val_files, batch_size, pad_final=True):
+        meta = {k: np.asarray(batch[k]) for k in _HOST_META_KEYS if k in batch}
+        meta["num_real"] = batch.get("num_real", batch_size)
+        yield meta, place(batch)
+
+
+def _validate(val_pairs, eval_step, params, is_asr, select_hole=True, batch_size=0):
+    """Per-epoch validation over (host_meta, placed) pairs.
+    Returns (selection_metric, report_string)."""
     if is_asr:
         losses, weights, pers, per_w = [], [], [], []
-        for batch in dm.batches(val_files, batch_size, pad_final=True):
-            res = eval_step(params, place(batch))
-            n = batch.get("num_real", batch_size)
+        for meta, placed in val_pairs:
+            res = eval_step(params, placed)
+            n = meta["num_real"]
             # batch means weighted by real count (padded duplicates bias
             # the final batch's mean only by their own weight)
             losses.append(float(res["loss"]) * n)
             weights.append(n)
-            pers.append(_host_per(np.asarray(res["decoded"]), batch) * n)
+            pers.append(_host_per(np.asarray(res["decoded"]), meta) * n)
             per_w.append(n)
+        if not weights:
+            return math.inf, "val=none"
         per = float(np.sum(pers) / np.sum(per_w))
         val_loss = float(np.sum(losses) / np.sum(weights))
         return per, f"val_loss={val_loss:.5f}\tval_per={per:.5f}"
     tot, hole, ctcs, ctc_w, pers = [], [], [], [], []
-    for batch in dm.batches(val_files, batch_size, pad_final=True):
-        res = eval_step(params, place(batch))
-        n = batch.get("num_real", batch_size)
+    for meta, placed in val_pairs:
+        res = eval_step(params, placed)
+        n = meta["num_real"]
         tot.extend(np.asarray(res["loss_ps"])[:n].tolist())
         hole.extend(np.asarray(res["loss_hole_ps"])[:n].tolist())
         if "ctc_loss" in res:
             ctcs.append(float(res["ctc_loss"]) * n)
             ctc_w.append(n)
-            pers.append(_host_per(np.asarray(res["decoded"]), batch) * n)
+            pers.append(_host_per(np.asarray(res["decoded"]), meta) * n)
+    if not tot:
+        return math.inf, "val=none"
     report = f"val_loss={np.mean(tot):.5f}\tval_loss_hole={np.mean(hole):.5f}"
     if ctcs:
         report += (
