@@ -85,6 +85,9 @@ def show_face_landmarks(
     from avsi.data.landmarks import render_landmark_frames, save_landmark_overlays
 
     lm, rects = extract_face_landmarks(video_filename, predictor_params, refresh_size)
+    if lm.size == 0:  # no face in the whole video: nothing to draw
+        print(f"Skipped {video_filename}: no face detected")
+        return []
     cap = cv2.VideoCapture(video_filename)
     frames = []
     while len(frames) < len(lm):
@@ -93,13 +96,20 @@ def show_face_landmarks(
             break
         frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
     cap.release()
-    bg = np.stack(frames) if (frame_draw and frames) else None
+    bg = np.stack(frames) if frames else None
+    if bg is not None and not frame_draw:
+        # reference blanks the frame but keeps video dims + raw pixel
+        # coords (face_landmarks.py:119-120)
+        bg = np.full_like(bg, 255)
     lm = lm[: len(bg)] if bg is not None else lm
     out = render_landmark_frames(lm, full_draw=full_draw, backgrounds=bg)
     if bb_draw and bg is not None:
+        h_img, w_img = out.shape[1:]
         for img, (x, y, w, h) in zip(out, rects):
-            img[y : y + h, [x, min(x + w, img.shape[1] - 1)]] = 0
-            img[[y, min(y + h, img.shape[0] - 1)], x : x + w] = 0
+            x0, x1 = np.clip([x, x + w], 0, w_img - 1)
+            y0, y1 = np.clip([y, y + h], 0, h_img - 1)
+            img[y0 : y1 + 1, [x0, x1]] = 0
+            img[[y0, y1], x0 : x1 + 1] = 0
     return save_landmark_overlays(out, out_dir)
 
 

@@ -80,6 +80,8 @@ def render_landmark_frames(
     pixel coordinates are used, like the reference overlay.
     """
     lm = np.asarray(landmarks, np.float64).reshape(len(landmarks), 68, 2)
+    if len(lm) == 0:  # e.g. no face detected anywhere: nothing to draw
+        return np.zeros((0, size, size), np.uint8)
     if backgrounds is not None:
         frames = np.asarray(backgrounds, np.uint8).copy()
         if frames.ndim != 3 or len(frames) != len(lm):

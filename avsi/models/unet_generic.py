@@ -250,6 +250,16 @@ class Trainer:
 
         predict = jax.jit(lambda p, x: pixel_wise_softmax(forward(p, x)))
 
+        @jax.jit
+        def batch_stats(params, x, y):
+            # minibatch stats with dropout OFF, like the reference's
+            # output_minibatch_stats sess.run with keep_prob=1 (unet.py:485)
+            probs = pixel_wise_softmax(forward(params, x))
+            acc = jnp.mean(
+                (jnp.argmax(probs, 3) == jnp.argmax(y, 3)).astype(jnp.float32)
+            )
+            return cross_entropy(y, probs), acc
+
         def store_prediction(params, x, y, name):
             pred = np.asarray(predict(params, jnp.asarray(x)))
             y_c = crop_to_shape(y, pred.shape)
@@ -271,26 +281,30 @@ class Trainer:
         tb = SummaryWriter(output_path)
         save_path = os.path.join(output_path, "model.npz")
         for epoch in range(epochs):
-            total_loss = 0.0
+            # loss accumulates ON device; the host fetches once per epoch
+            # (+ dropout-free stats at display steps) — per-step float()
+            # fetches would serialize training on slow links (CLAUDE.md)
+            total_loss = jnp.float32(0.0)
             for _ in range(training_iters):
                 batch_x, batch_y = data_provider(self.batch_size)
                 batch_y = crop_to_shape(batch_y, pred_shape)
                 rng, sub = jax.random.split(rng)
-                params, opt_state, l, acc = update(
-                    params, opt_state, jnp.asarray(batch_x), jnp.asarray(batch_y), sub
-                )
+                bx, by = jnp.asarray(batch_x), jnp.asarray(batch_y)
+                params, opt_state, l, _ = update(params, opt_state, bx, by, sub)
                 if step % display_step == 0:
-                    l, acc = float(l), float(acc)
-                    tb.scalar("loss", l, step)
-                    tb.scalar("accuracy", acc, step)
+                    sl, sacc = batch_stats(params, bx, by)
+                    sl, sacc = float(sl), float(sacc)
+                    tb.scalar("loss", sl, step)
+                    tb.scalar("accuracy", sacc, step)
                     tb.scalar("learning_rate", float(sched(step)), step)
                     print(
-                        f"Iter {step}, Minibatch Loss= {l:.4f}, "
-                        f"Training Accuracy= {acc:.4f}",
+                        f"Iter {step}, Minibatch Loss= {sl:.4f}, "
+                        f"Training Accuracy= {sacc:.4f}",
                         flush=True,
                     )
-                total_loss += float(l)
+                total_loss = total_loss + l
                 step += 1
+            total_loss = float(total_loss)
             lr_now = float(sched(step))
             print(
                 f"Epoch {epoch}, Average loss: {total_loss / training_iters:.4f}, "

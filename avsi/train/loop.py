@@ -402,7 +402,7 @@ def _val_pairs(dm, val_files, batch_size, place):
         yield meta, place(batch)
 
 
-def _validate(val_pairs, eval_step, params, is_asr, select_hole=True, batch_size=0):
+def _validate(val_pairs, eval_step, params, is_asr, select_hole=True):
     """Per-epoch validation over (host_meta, placed) pairs.
     Returns (selection_metric, report_string)."""
     if is_asr:

@@ -147,6 +147,9 @@ def stage_epoch(dest, batch_size=128):
             "\n".join(
                 [
                     "model = av-blstm-ssnn-ctc",
+                    "audio_len = 48000",  # 3 s fixture wavs; the default
+                    # (16384) would fail the native-loader layout probe and
+                    # silently fall back to the python codec
                     f"root_folder = {os.path.join(dest, 'grouped')}",
                     f"exp_folder = {exp}",
                     f"audio_feat_mean = {os.path.join(dest, 'audio_spec_mean.npy')}",

@@ -111,14 +111,15 @@ with open(out, "w") as f:
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     # subprocesses must import avsi even when the package is not pip-installed
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = []
     outs = [str(tmp_path / f"out{i}.txt") for i in range(2)]
     for pid in range(2):
         procs.append(
             subprocess.Popen(
                 [sys.executable, str(script), str(pid), str(port), outs[pid]],
-                env=env, cwd="/root/repo",
+                env=env, cwd=repo_root,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
         )
