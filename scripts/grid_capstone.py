@@ -1,0 +1,131 @@
+"""GRID-scale quality capstone: train + evaluate at the reference's corpus
+size (29k train / 2k val / 2k test utterances, 800 ms gaps).
+
+Runs on the corpus prepared by scripts/grid_drill.py (grouped TFRecords +
+feature stats + kept syn/test-set sample dirs) and mirrors the round-1
+quality_check_mtl.py protocol — ASR judge, MTL flagship, masking baseline,
+fused SI->ASR inference, evaluation CSV — but at 29x the training-set size,
+with the device-resident corpus cache (`device_cache_corpus=1`) so epochs
+after the first run at device speed.
+
+Usage: python scripts/grid_capstone.py [drill_dir] [epochs_si] [epochs_asr]
+Prints CAPSTONE_SUMMARY <json> at the end.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main(dest="/dev/shm/grid_drill", epochs_si=10, epochs_asr=4):
+    from avsi import config as config_lib
+    from avsi.eval import harness
+    from avsi.infer import asr as asr_infer, masking, siasr
+    from avsi.train import loop
+
+    grouped = os.path.join(dest, "grouped")
+    test_tfr = os.path.join(grouped, "test-set")
+    test_audio = os.path.join(dest, "syn", "test-set")
+    dict_file = os.path.join(dest, "dictionary.txt")
+    spec = os.path.join(dest, "audio_spec")
+    fbanks = os.path.join(dest, "audio_fbanks")
+    for req in (grouped, test_audio, dict_file, spec + "_mean.npy"):
+        if not os.path.exists(req):
+            raise SystemExit(f"missing {req} — run scripts/grid_drill.py first")
+
+    def cfg(model, exp, mean, std, epochs, **kw):
+        c = {
+            "model": model, "audio_feat_dim": 257, "video_feat_dim": 136,
+            "audio_len": 48000, "batch_size": 128, "net_dim": [250, 250, 250],
+            "integration_layer": 0, "dropout_rate": 0.0,
+            "max_n_epochs": int(epochs), "n_earlystop_epochs": int(epochs),
+            "optimizer_type": "adam", "starter_learning_rate": 0.001,
+            "lr_decay": 1.0, "num_asr_labels": 33, "ctc_loss": 0.001,
+            "compute_dtype": "bfloat16", "device_cache_corpus": 1,
+            "root_folder": grouped,
+            "exp_folder": os.path.join(dest, exp),
+            "audio_feat_mean": mean, "audio_feat_std": std, "tb_media": 0,
+        }
+        c.update(kw)
+        p = os.path.join(dest, exp + ".config")
+        config_lib.save_configfile(c, p)
+        return p
+
+    timings = {}
+
+    print("=== training ASR judge (29k utterances) ===", flush=True)
+    t0 = time.time()
+    asr_cfg = cfg("a-blstm", "exp_asr", fbanks + "_mean.npy", fbanks + "_std.npy",
+                  epochs_asr, net_dim=[250, 250], frame_stack=3)
+    asr_summary = loop.train(asr_cfg, is_asr=True)
+    timings["asr_train_s"] = round(time.time() - t0, 1)
+
+    print("=== training SI flagship (29k utterances) ===", flush=True)
+    t0 = time.time()
+    si_cfg = cfg("av-blstm-ssnn-ctc", "exp_si", spec + "_mean.npy",
+                 spec + "_std.npy", epochs_si)
+    si_summary = loop.train(si_cfg)
+    timings["si_train_s"] = round(time.time() - t0, 1)
+
+    asr_ckpt = os.path.join(dest, "exp_asr", "netmodel")
+    si_ckpt = os.path.join(dest, "exp_si", "netmodel")
+
+    print("=== masking baseline (1980 test utterances) ===", flush=True)
+    t0 = time.time()
+    masking.mask_app(
+        test_tfr, test_audio, oracle_phase=False, num_audio_samples=48000,
+        batch_size=128,
+        feat_mean_file=spec + "_mean.npy", feat_std_file=spec + "_std.npy",
+    )
+    timings["masking_s"] = round(time.time() - t0, 1)
+
+    print("=== ASR on masked / clean audio ===", flush=True)
+    t0 = time.time()
+    masked_asr = asr_infer.infer(
+        asr_ckpt, test_tfr, test_audio, "masked", dict_file,
+        apply_mask=True, norm=True, batch_size=128,
+    )
+    clean_asr = asr_infer.infer(
+        asr_ckpt, test_tfr, test_audio, "clean", dict_file,
+        apply_mask=False, norm=True, batch_size=128,
+    )
+    timings["asr_infer_s"] = round(time.time() - t0, 1)
+
+    print("=== fused SI->ASR inference ===", flush=True)
+    t0 = time.time()
+    siasr_res = siasr.infer(
+        si_ckpt, asr_ckpt, test_tfr, test_audio, "mtl", dict_file,
+        norm=True, batch_size=128, gl_iters=30,
+    )
+    timings["siasr_s"] = round(time.time() - t0, 1)
+
+    print("=== evaluation (STOI/PESQ/L1/PER + masked deltas) ===", flush=True)
+    t0 = time.time()
+    eval_summary = harness.speech_inpainting_eval(
+        test_audio, "mtl", os.path.join(dest, "capstone_eval"), masked_eval=True,
+    )
+    timings["eval_s"] = round(time.time() - t0, 1)
+
+    out = {
+        "asr_train": asr_summary,
+        "si_train": si_summary,
+        "per_clean": clean_asr["per"],
+        "per_masked": masked_asr["per"],
+        "per_enhanced": siasr_res["per"],
+        "eval": {k: list(v) for k, v in eval_summary.items()},
+        "timings": timings,
+    }
+    with open(os.path.join(dest, "capstone.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("CAPSTONE_SUMMARY " + json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(
+        args[0] if args else "/dev/shm/grid_drill",
+        int(args[1]) if len(args) > 1 else 10,
+        int(args[2]) if len(args) > 2 else 4,
+    )

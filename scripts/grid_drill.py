@@ -83,11 +83,16 @@ def stage_stats(dest):
     stats_lib.compute_mean_std_features(
         src, "target", os.path.join(dest, "audio_spec"), feat_type="spec"
     )
+    # fbanks stats for the ASR judge (audio_preprocessing runs per feature
+    # type in the reference flow too)
+    stats_lib.compute_mean_std_features(
+        src, "target", os.path.join(dest, "audio_fbanks"), feat_type="fbanks"
+    )
     dt = time.time() - t0
     n = sum(1 for d in os.scandir(src) if d.is_dir())
     return {
         "stage": "stats", "seconds": round(dt, 1), "samples": n,
-        "samples_per_s": round(n / dt, 1),
+        "samples_per_s": round(n / dt, 1), "passes": 2,
     }
 
 
@@ -181,9 +186,12 @@ def stage_epoch(dest, batch_size=128):
 
 
 def stage_cleanup(dest):
+    # keep syn/test-set: the sample dirs (target.wav, mask.npy, labels) are
+    # what inference/evaluation consume for the at-scale quality run
     t0 = time.time()
-    for sub in ("raw", "syn"):
-        shutil.rmtree(os.path.join(dest, sub), ignore_errors=True)
+    shutil.rmtree(os.path.join(dest, "raw"), ignore_errors=True)
+    for split in ("training-set", "validation-set"):
+        shutil.rmtree(os.path.join(dest, "syn", split), ignore_errors=True)
     return {"stage": "cleanup", "seconds": round(time.time() - t0, 1)}
 
 
