@@ -67,9 +67,21 @@ def load_configfile(cfile: str) -> dict:
 
 
 def save_configfile(config: dict, cfile: str) -> None:
-    """Write a config dict back in the reference's `key = value` format."""
+    """Write a config dict back in the reference's `key = value` format.
+
+    String values that the parser would mis-handle raw (digits but no "/",
+    e.g. "bfloat16" — load_configfile would ast.literal_eval them) are
+    written repr-quoted so save->load round-trips.
+    """
     with open(cfile, "w") as fh:
         for key, value in config.items():
+            if (
+                isinstance(value, str)
+                and "[" not in value
+                and "/" not in value
+                and re.search("[0-9]", value)
+            ):
+                value = repr(value)
             fh.write(f"{key} = {value}\n")
 
 

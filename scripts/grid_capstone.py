@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(dest="/dev/shm/grid_drill", epochs_si=10, epochs_asr=4):
     from avsi import config as config_lib

@@ -83,3 +83,13 @@ def test_save_roundtrip(tmp_path):
     cfg.save_configfile(c, p)
     back = cfg.load_configfile(p)
     assert back == c
+
+
+def test_save_roundtrip_alnum_string(tmp_path):
+    # "bfloat16" mixes letters+digits: raw it would hit the parser's
+    # literal_eval branch and raise; save must repr-quote it
+    c = {"compute_dtype": "bfloat16", "root_folder": "/data/run2", "seed": 0}
+    p = str(tmp_path / "out.config")
+    cfg.save_configfile(c, p)
+    back = cfg.load_configfile(p)
+    assert back == c
