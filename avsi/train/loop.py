@@ -297,6 +297,13 @@ def train(config_file: str, is_asr: bool = False) -> dict:
                     ckpt_dir, "ckpt", jax.device_get(train_state.params),
                     opt_state=jax.device_get(train_state.opt_state), step=step,
                 )
+        if n_acc == 0 and epoch == 0:
+            _log(
+                logfile,
+                f"# WARNING: 0 training steps in epoch 0 — batch_size "
+                f"({batch_size}) likely exceeds the training corpus "
+                "(drop_remainder drops the lone short batch)",
+            )
         train_losses = []
         if loss_accum is not None:
             fetched = jax.device_get(loss_accum)

@@ -35,8 +35,10 @@ def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
     speakers = sorted(
         int(s[1:]) for s in os.listdir(raw) if s.startswith("s") and s[1:].isdigit()
     )
-    spec_mean = os.path.join(work, "spec_norm_mean.npy")
-    spec_std = os.path.join(work, "spec_norm_std.npy")
+    spec_mean = os.path.join(work, "spec_norm_mean.npy")  # quality_check layout
+    if not os.path.exists(spec_mean):
+        spec_mean = os.path.join(work, "audio_spec_mean.npy")  # grid_drill layout
+    spec_std = spec_mean.replace("_mean.npy", "_std.npy")
 
     results = {}
     for gap in gaps:
@@ -76,16 +78,23 @@ def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
             "per_enhanced": enh["per"],
             "stoi_masked": ev["stoi_masked"][0],
             "stoi_enhanced": ev["stoi_enhanced"][0],
+            "pesq_masked": ev["pesq_masked"][0],
+            "pesq_enhanced": ev["pesq_enhanced"][0],
             "l1_masked": ev["l1_masked"][0],
             "l1_enhanced": ev["l1_enhanced"][0],
         }
         print(f"GAP_{gap} " + json.dumps(results[gap]), flush=True)
 
-    print("\ngap_ms  STOI_mask  STOI_enh  STOIi   L1_mask    L1_enh    PER_mask PER_enh")
+    print(
+        "\ngap_ms  STOI_mask  STOI_enh  STOIi   PESQ_mask PESQ_enh PESQi  "
+        "L1_mask    L1_enh    PER_mask PER_enh"
+    )
     for gap, r in results.items():
         print(
             f"{gap:6d}  {r['stoi_masked']:.4f}    {r['stoi_enhanced']:.4f}   "
-            f"{r['stoi_enhanced']-r['stoi_masked']:+.4f} {r['l1_masked']:9.0f}  "
+            f"{r['stoi_enhanced']-r['stoi_masked']:+.4f} "
+            f"{r['pesq_masked']:.3f}     {r['pesq_enhanced']:.3f}    "
+            f"{r['pesq_enhanced']-r['pesq_masked']:+.3f} {r['l1_masked']:9.0f}  "
             f"{r['l1_enhanced']:9.0f}  {r['per_masked']:.4f}  {r['per_enhanced']:.4f}"
         )
     print("GAP_SWEEP " + json.dumps(results))

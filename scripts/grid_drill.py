@@ -186,10 +186,10 @@ def stage_epoch(dest, batch_size=128):
 
 
 def stage_cleanup(dest):
-    # keep syn/test-set: the sample dirs (target.wav, mask.npy, labels) are
-    # what inference/evaluation consume for the at-scale quality run
+    # keep syn/test-set (sample dirs: target.wav, mask.npy, labels — what
+    # inference/evaluation consume for the at-scale quality run) and raw/
+    # (source utterances — what gap_sweep.py re-masks per gap size)
     t0 = time.time()
-    shutil.rmtree(os.path.join(dest, "raw"), ignore_errors=True)
     for split in ("training-set", "validation-set"):
         shutil.rmtree(os.path.join(dest, "syn", split), ignore_errors=True)
     return {"stage": "cleanup", "seconds": round(time.time() - t0, 1)}
