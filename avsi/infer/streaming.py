@@ -1,0 +1,594 @@
+"""Streaming (latency-controlled) speech inpainting.
+
+The reference has no streaming path at all — `inference.py:20-170` is batch
+whole-utterance only, and its BLSTM is bidirectional, which naively requires
+the full utterance before any output.  This module adds a real-time serving
+mode using the standard latency-controlled BLSTM construction (LC-BLSTM,
+Zhang & Glass 2016 / Xue & Yan 2017): audio arrives in C-frame chunks, each
+chunk is processed over a window of C + L frames (L = lookahead), the
+forward direction carries exact recurrent state across chunks, and the
+backward direction runs zero-initialized over the limited window.
+Algorithmic latency = (C + L) * 12 ms; the defaults (C=8, L=16) give 288 ms.
+
+TPU mapping: ONE fixed-shape jitted step per window — normalization, the
+ssnn running-average fold, the LC-BLSTM stack, the inpainting head,
+magnitude denormalization AND the overlap-add resynthesis fuse into a
+single device program (the same compiled program serves every window,
+including the zero-padded flush windows); the per-stream recurrent state
+(h, c per layer, ssnn running sums, the previous OLA frame) never leaves
+the device.  One dispatch + one small fetch (C*192 samples) per window
+matters: under a relayed host<->device link every extra round trip costs
+more than the compute itself.
+
+Semantics vs the offline path (`avsi/infer/inpaint.py`):
+  * With a window covering the whole utterance (C >= T) the output equals
+    the offline `phase_recon="none"` path exactly (tests/test_streaming.py).
+  * With a short window the forward direction is still exact; only the
+    backward context is truncated to L frames (the LC approximation).
+  * Phase: masked phase (known-region phase, zero in the hole) — the
+    streaming analogue of the reference's pre-LWS output.  Iterative
+    Griffin-Lim over a chunk window would see too little context to help;
+    use the offline path when phase reconstruction matters.
+  * SSNN speaker embeddings are estimated causally: the masked average
+    (models.py:800-842, +1 denominator) accumulates a frame once its delta
+    features are final (2 frames after arrival; exact at flush) and it is
+    visible to the window being processed, instead of over the whole
+    utterance at once — a deterministic function of the window sequence,
+    independent of push sizing.  Delta edge handling (replicate-clamp,
+    matching the reference's iterative SYMMETRIC re-pad —
+    audio_processing.py:85-94) is exact at the stream start and at flush.
+  * Video features must be supplied already at frame rate (one 136-vector
+    per 12 ms frame); the offline 75->250 interpolation (`avsync.py`) is a
+    whole-utterance operation a live caller performs upstream.
+
+Supported models: the BLSTM family (a/v/av x {-, ssnn, emb} x {-, ctc});
+the CTC head, when present, is simply not evaluated — streaming emits
+audio, not transcripts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from avsi.models import blstm as blstm_lib
+from avsi.models import core
+from avsi.ops import stft as stft_ops
+
+FRAME_LENGTH = blstm_lib.FRAME_LENGTH  # 384
+FRAME_STEP = blstm_lib.FRAME_STEP  # 192
+FFT_LENGTH = blstm_lib.FFT_LENGTH  # 512
+_DELTA_N = 2  # delta(N=2): a frame's delta needs frames t-2 .. t+2
+
+
+def _lc_bilstm_layer(params, x, carry_h, carry_c, emit, compute_dtype):
+    """One LC-BLSTM layer over a (B, W, D) window.
+
+    Forward direction starts from the carried state; backward direction is
+    zero-initialized at frame W-1 (the lookahead truncation).  Returns the
+    full-window output and the forward state after frame `emit - 1`, the
+    carry for the next window (whose frame 0 is this window's frame
+    `emit`).  Layout matches `core.bilstm_layer` (direction axis folded
+    into the batched recurrent matmul)."""
+    hidden = params["wh"].shape[1]
+    xc = x.astype(compute_dtype)
+    x2 = jnp.stack([xc, jnp.flip(xc, axis=1)], axis=0)  # (2, B, W, D)
+    wx = params["wx"].astype(compute_dtype)
+    wh = params["wh"].astype(compute_dtype)
+    bias = params["b"].astype(jnp.float32)
+    xw = (
+        jnp.einsum("dbti,dig->dbtg", x2, wx, preferred_element_type=jnp.float32)
+        + bias[:, None, None, :]
+    )
+    xw_t = jnp.moveaxis(xw, 2, 0)  # (W, 2, B, 4H)
+
+    h0 = jnp.stack([carry_h, jnp.zeros_like(carry_h)], axis=0)
+    c0 = jnp.stack([carry_c, jnp.zeros_like(carry_c)], axis=0)
+
+    def cell(carry, xw_step):
+        (new_h, new_c), _ = core._lstm_cell(carry, xw_step, wh, hidden)
+        return (new_h, new_c), (new_h, new_c)
+
+    _, (hs, cs) = jax.lax.scan(jax.checkpoint(cell), (h0, c0), xw_t)
+    fwd = jnp.moveaxis(hs[:, 0], 0, 1)  # (B, W, H)
+    bwd = jnp.flip(jnp.moveaxis(hs[:, 1], 0, 1), axis=1)
+    out = jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)
+    return out, hs[emit - 1, 0], cs[emit - 1, 0]
+
+
+def _layer_list(params: dict, spec, int_layer: int):
+    """Flatten the (blstm | blstm1+blstm2) param layout into
+    (layer_params, inject_embedding_before) pairs, mirroring
+    `blstm.forward`'s integration_layer handling."""
+    if "blstm" in params:
+        inject_first = spec.conditioning is not None and int_layer == 0
+        return [(p, inject_first and i == 0) for i, p in enumerate(params["blstm"])]
+    out = [(p, False) for p in params["blstm1"]]
+    out += [(p, i == 0) for i, p in enumerate(params["blstm2"])]
+    return out
+
+
+def _clamped_deltas(masked: np.ndarray, lo: int, hi: int, t_end: int | None):
+    """Reference-exact regression deltas for absolute frames [lo, hi).
+
+    masked: (n, 257) masked features for absolute frames [0, n) — already
+    truncated streams pass a view whose row 0 is absolute frame `base`
+    via the caller subtracting base from lo/hi.  Edge handling replicates
+    the reference's iterative SYMMETRIC pad (audio_processing.py:85-94):
+    index clamp at 0 and, once the end is known (t_end), at t_end - 1."""
+    denom = 2.0 * sum(i * i for i in range(1, _DELTA_N + 1))
+    n = masked.shape[0]
+    top = (t_end if t_end is not None else n) - 1
+    idx = np.arange(lo, hi)
+    out = np.zeros((hi - lo, masked.shape[1]), np.float32)
+    for i in range(1, _DELTA_N + 1):
+        fwd = np.clip(idx + i, 0, top)
+        bwd = np.clip(idx - i, 0, top)
+        out += i * (masked[fwd] - masked[bwd])
+    return out / denom
+
+
+class StreamingInpainter:
+    """One live stream.  Feed waveform (+ per-frame hole masks / video
+    features) with `push`, read enhanced int16-scale samples back as they
+    become available; `flush` drains the tail.  All device shapes are
+    fixed, so every window — including zero-padded flush windows — reuses
+    one compiled program."""
+
+    def __init__(
+        self,
+        config: dict,
+        stats: tuple,
+        params: dict,
+        chunk_frames: int = 8,
+        lookahead_frames: int = 16,
+        embedding: np.ndarray | None = None,
+    ):
+        self.spec = blstm_lib.parse_model_name(config["model"])
+        self.config = config
+        self.chunk = int(chunk_frames)
+        self.look = int(lookahead_frames)
+        self.window = self.chunk + self.look
+        self.af = int(config["audio_feat_dim"])
+        self.vf = int(config["video_feat_dim"])
+        self.int_layer = (
+            int(config.get("integration_layer", 0)) if self.spec.conditioning else 0
+        )
+        self.params = params
+        self._stats = (
+            jnp.asarray(stats[0], jnp.float32),
+            jnp.asarray(stats[1], jnp.float32),
+        )
+        if self.spec.conditioning == "emb":
+            if embedding is None:
+                raise ValueError("model needs an external speaker embedding")
+            self._ext_emb = jnp.asarray(embedding, jnp.float32).reshape(1, -1)
+        else:
+            self._ext_emb = None
+        self._hidden = [
+            p["wh"].shape[1] for p, _ in _layer_list(params, self.spec, self.int_layer)
+        ]
+        self._window_fn = stft_ops.hann_window(FRAME_LENGTH).astype(np.float32)
+        self._step = jax.jit(partial(StreamingInpainter._window_step, self))
+        self._ssnn_step = jax.jit(partial(StreamingInpainter._ssnn_update, self))
+        self.reset()
+
+    # ------------------------------------------------------------------ state
+
+    def reset(self):
+        self._sample_buf = np.zeros((0,), np.float32)
+        self._mask_buf = np.zeros((0,), np.float32)
+        self._video_buf = np.zeros((0, self.vf), np.float32)
+        self._masked_buf = np.zeros((0, self.af), np.float32)  # ssnn inputs
+        # per-frame features awaiting a full window (rows retire on emit)
+        self._frames = {
+            "spec_norm": np.zeros((0, self.af), np.float32),
+            "re": np.zeros((0, self.af), np.float32),
+            "im": np.zeros((0, self.af), np.float32),
+        }
+        self._carry = [
+            (jnp.zeros((1, h), jnp.float32), jnp.zeros((1, h), jnp.float32))
+            for h in self._hidden
+        ]
+        self._ssnn_sum = jnp.zeros((1, blstm_lib.SSNN_DIM), jnp.float32)
+        self._ssnn_cnt = jnp.zeros((1,), jnp.float32)
+        # previous emitted frame (mag, phase): the left OLA context.  Zeros
+        # behave exactly like the offline iSTFT's nonexistent frame -1.
+        # Device copy feeds the fused on-device OLA; the host mirror serves
+        # the short terminal flush window.
+        self._prev_dev = (
+            jnp.zeros((self.af,), jnp.float32),
+            jnp.zeros((self.af,), jnp.float32),
+        )
+        self._prev_frame = (
+            np.zeros(self.af, np.float32),
+            np.zeros(self.af, np.float32),
+        )
+        self._frames_in = 0  # featurized
+        self._frames_out = 0  # emitted
+        self._deltas_done = 0  # frames whose ssnn contribution is summed
+        self._buf_base = 0  # absolute frame index of mask/video/masked row 0
+
+    # ------------------------------------------------------------ device step
+
+    def _ssnn_update(self, params, deltas, mask, n_valid, ssnn_sum, ssnn_cnt):
+        """Jitted: fold <= W finalized frames into the masked running sums
+        (models.py:800-842; the +1 mean denominator is applied at read)."""
+        h = core.dense(params["ssnn"][0], deltas)
+        h = jax.nn.leaky_relu(h, 0.3)
+        h = core.dense(params["ssnn"][1], h)
+        h = jax.nn.leaky_relu(h, 0.3)
+        h = core.dense(params["ssnn"][2], h)  # (1, W, 200)
+        pos = jnp.arange(h.shape[1], dtype=jnp.float32)[None, :]
+        fm = mask * (pos < n_valid).astype(jnp.float32)
+        return (
+            ssnn_sum + (h * fm[:, :, None]).sum(axis=1),
+            ssnn_cnt + fm.sum(axis=1),
+        )
+
+    def _window_step(self, params, window, carries, prev, ssnn_sum, ssnn_cnt):
+        """Jitted: one LC window -> emitted samples + chunk mag/phase + new
+        recurrent state, all in one device program (one dispatch, one small
+        fetch per window).
+
+        window: spec_norm/re/im (1, W, af), mask (1, W), video (1, W, vf),
+        plus — for ssnn models — the fused running-average fold inputs
+        ssnn_feats (1, W, 2*af), ssnn_mask (1, W), ssnn_n (scalar)."""
+        cfg, spec = self.config, self.spec
+        compute_dtype = (
+            jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+        )
+        mask_bins = window["mask"][:, :, None]  # broadcast over the 257 bins
+        spec_norm = window["spec_norm"]
+        audio_feat = spec_norm * mask_bins
+
+        emb = None
+        if spec.conditioning == "ssnn":
+            ssnn_sum, ssnn_cnt = self._ssnn_update(
+                params, window["ssnn_feats"], window["ssnn_mask"],
+                window["ssnn_n"], ssnn_sum, ssnn_cnt,
+            )
+            emb = ssnn_sum / (ssnn_cnt + 1.0)[:, None]
+        elif spec.conditioning == "emb":
+            emb = window["embedding"]
+
+        if spec.input_type == "a":
+            net_in = audio_feat
+        elif spec.input_type == "v":
+            net_in = window["video"]
+        else:
+            net_in = jnp.concatenate([audio_feat, window["video"]], axis=2)
+
+        layers = _layer_list(params, spec, self.int_layer)
+        x = net_in
+        new_carries = []
+        for (layer_params, inject), (ch, cc) in zip(layers, carries):
+            if inject and emb is not None:
+                tiled = jnp.broadcast_to(
+                    emb[:, None, :], (x.shape[0], x.shape[1], emb.shape[-1])
+                )
+                x = jnp.concatenate([x, tiled], axis=2)
+            x, nh, nc = _lc_bilstm_layer(
+                layer_params, x, ch, cc, self.chunk, compute_dtype
+            )
+            new_carries.append((nh, nc))
+
+        inference = core.dense(params["head_ipt"], x).astype(jnp.float32)
+        if spec.restore_unmasked:
+            prediction = spec_norm * mask_bins + inference * (1 - mask_bins)
+        else:
+            prediction = inference
+
+        mean, std = self._stats
+        mag = jnp.exp(prediction * std + mean)[0, : self.chunk]
+        re = window["re"][0, : self.chunk]
+        im = window["im"][0, : self.chunk]
+        m = mask_bins[0, : self.chunk]
+        phase = jnp.arctan2(im * m, re * m)  # masked phase: 0 in the hole
+
+        # fused OLA: resynthesize [prev_frame, chunk frames] on device and
+        # return only the samples the chunk finalizes
+        prev_mag, prev_phase = prev
+        frames_mag = jnp.concatenate([prev_mag[None], mag])
+        frames_ph = jnp.concatenate([prev_phase[None], phase])
+        wav = stft_ops.waveform_from_mag_phase(
+            frames_mag[None],
+            frames_ph[None],
+            num_samples=self.chunk * FRAME_STEP + FRAME_LENGTH,
+            frame_length=FRAME_LENGTH,
+            frame_step=FRAME_STEP,
+            fft_length=FFT_LENGTH,
+        )[0, FRAME_STEP : FRAME_STEP + self.chunk * FRAME_STEP]
+        new_prev = (mag[-1], phase[-1])
+        return wav, mag, phase, new_carries, new_prev, ssnn_sum, ssnn_cnt
+
+    # ------------------------------------------------------------------- api
+
+    def push(self, wave, frame_masks, video=None):
+        """Feed samples plus the per-frame hole masks (1 = intact,
+        0 = hole) for the 12 ms frames those samples complete; `video` adds
+        one 136-vector per frame for visual models.  Returns whatever
+        enhanced samples became ready (np.float32, possibly empty)."""
+        wave = np.asarray(wave, np.float32).reshape(-1)
+        buf = np.concatenate([self._sample_buf, wave])
+        n_frames = max(0, (len(buf) - FRAME_LENGTH) // FRAME_STEP + 1)
+        frame_masks = np.asarray(frame_masks, np.float32).reshape(-1)
+        self._mask_buf = np.concatenate([self._mask_buf, frame_masks])
+        if self.spec.input_type != "a" and video is not None:
+            video = np.asarray(video, np.float32).reshape(-1, self.vf)
+            self._video_buf = np.concatenate([self._video_buf, video])
+        total = self._frames_in + n_frames
+        if total > self._buf_base + len(self._mask_buf):
+            raise ValueError(
+                f"{total} frames completed but only "
+                f"{self._buf_base + len(self._mask_buf)} mask values supplied"
+            )
+        if self.spec.input_type != "a" and (
+            total > self._buf_base + len(self._video_buf)
+        ):
+            raise ValueError("not enough video feature rows supplied")
+        if n_frames:
+            self._featurize(
+                np.stack(
+                    [
+                        buf[i * FRAME_STEP : i * FRAME_STEP + FRAME_LENGTH]
+                        for i in range(n_frames)
+                    ]
+                )
+            )
+            self._sample_buf = buf[n_frames * FRAME_STEP :]
+        else:
+            self._sample_buf = buf
+        return self._drain(final=False)
+
+    def flush(self):
+        """End of stream: pad the tail with zeros exactly like the offline
+        pad_end=True STFT (total frames = ceil(total_samples / 192)),
+        process every buffered frame with zero-padded lookahead, and return
+        the final enhanced samples."""
+        n_rem = len(self._sample_buf)
+        if n_rem > 0:
+            n_frames = -(-n_rem // FRAME_STEP)  # ceil
+            need = (n_frames - 1) * FRAME_STEP + FRAME_LENGTH
+            buf = np.concatenate(
+                [self._sample_buf, np.zeros(need - n_rem, np.float32)]
+            )
+            total = self._frames_in + n_frames
+            short = total - self._buf_base - len(self._mask_buf)
+            if short > 0:  # pad_end frames default to intact
+                self._mask_buf = np.concatenate(
+                    [self._mask_buf, np.ones(short, np.float32)]
+                )
+            if self.spec.input_type != "a":
+                short = total - self._buf_base - len(self._video_buf)
+                if short > 0:
+                    tail = (
+                        self._video_buf[-1:]
+                        if len(self._video_buf)
+                        else np.zeros((1, self.vf), np.float32)
+                    )
+                    self._video_buf = np.concatenate(
+                        [self._video_buf, np.repeat(tail, short, axis=0)]
+                    )
+            self._featurize(
+                np.stack(
+                    [
+                        buf[i * FRAME_STEP : i * FRAME_STEP + FRAME_LENGTH]
+                        for i in range(n_frames)
+                    ]
+                )
+            )
+            self._sample_buf = np.zeros((0,), np.float32)
+        return self._drain(final=True)
+
+    # ------------------------------------------------------------- internals
+
+    def _featurize(self, frames):
+        """Raw 384-sample frames -> (spec_norm, re, im) buffer rows, with
+        the same windowed-rDFT + log(|X| + 1e-6) chain as the offline
+        front-end (ops/stft.py)."""
+        spec = np.fft.rfft(frames * self._window_fn, n=FFT_LENGTH, axis=-1)
+        re = spec.real.astype(np.float32)[:, : self.af]
+        im = spec.imag.astype(np.float32)[:, : self.af]
+        logmag = np.log(np.sqrt(re * re + im * im) + 1e-6)
+        mean = np.asarray(self._stats[0])
+        std = np.asarray(self._stats[1])
+        spec_norm = ((logmag - mean) / std).astype(np.float32)
+        self._frames["spec_norm"] = np.concatenate(
+            [self._frames["spec_norm"], spec_norm]
+        )
+        self._frames["re"] = np.concatenate([self._frames["re"], re])
+        self._frames["im"] = np.concatenate([self._frames["im"], im])
+        if self.spec.conditioning == "ssnn":
+            lo = self._frames_in - self._buf_base
+            masks = self._mask_buf[lo : lo + len(frames), None]
+            self._masked_buf = np.concatenate(
+                [self._masked_buf, spec_norm * masks]
+            )
+        self._frames_in += len(frames)
+
+    def _fold_chunk(self, lo, hi, t_end):
+        """Build one <= W-frame fold (feats, mask, n_valid) for frames
+        [lo, hi), zero-padded to the fixed window shape."""
+        base = self._buf_base
+        d = _clamped_deltas(
+            self._masked_buf, lo - base, hi - base,
+            None if t_end is None else t_end - base,
+        )
+        feats = np.concatenate([self._masked_buf[lo - base : hi - base], d], axis=1)
+        n_valid = hi - lo
+        if n_valid < self.window:
+            feats = np.concatenate(
+                [feats,
+                 np.zeros((self.window - n_valid, feats.shape[1]), np.float32)]
+            )
+        masks = self._mask_buf[lo - base : hi - base]
+        if len(masks) < self.window:
+            masks = np.concatenate(
+                [masks, np.zeros(self.window - len(masks), np.float32)]
+            )
+        return feats, masks, float(n_valid)
+
+    def _advance_ssnn(self, final, visible_end):
+        """Fold frames into the running masked average.  A frame enters the
+        sum once its delta features are final within the visible range —
+        a function of the window sequence alone, so outputs do not depend
+        on how the caller sizes its pushes.  The LAST (usually only) fold
+        is returned for fusion into the main window step; any excess folds
+        (a burst arrival) dispatch through the standalone `_ssnn_step`."""
+        if self.spec.conditioning != "ssnn":
+            return None
+        upto = visible_end if final else max(0, visible_end - _DELTA_N)
+        t_end = self._frames_in if final else None
+        lo = self._deltas_done
+        if lo >= upto:  # nothing new: a zero-count fold keeps shapes fixed
+            z = np.zeros((self.window, 2 * self.af), np.float32)
+            return z, np.zeros(self.window, np.float32), 0.0
+        while upto - lo > self.window:
+            hi = lo + self.window
+            feats, masks, n_valid = self._fold_chunk(lo, hi, t_end)
+            self._ssnn_sum, self._ssnn_cnt = self._ssnn_step(
+                self.params, jnp.asarray(feats)[None], jnp.asarray(masks)[None],
+                jnp.asarray(n_valid), self._ssnn_sum, self._ssnn_cnt,
+            )
+            lo = hi
+        self._deltas_done = upto
+        return self._fold_chunk(lo, upto, t_end)
+
+    def _drain(self, final):
+        out = []
+        while True:
+            buffered = len(self._frames["spec_norm"])
+            if buffered >= self.window:
+                fold = self._advance_ssnn(final, self._frames_out + self.window)
+                out.append(self._run_window(self.window, fold))
+            elif final and buffered > 0:
+                fold = self._advance_ssnn(True, self._frames_out + buffered)
+                out.append(self._run_window(buffered, fold))
+            else:
+                break
+        if not out:
+            return np.zeros((0,), np.float32)
+        return np.concatenate(out)
+
+    def _run_window(self, buffered, fold):
+        n_emit = min(self.chunk, buffered)
+        pad = self.window - buffered
+        fr = self._frames
+        base = self._frames_out - self._buf_base
+
+        def take(arr, fill=0.0):
+            w = arr[:buffered]
+            if pad:
+                w = np.concatenate(
+                    [w, np.full((pad,) + arr.shape[1:], fill, np.float32)]
+                )
+            return jnp.asarray(w)[None]
+
+        window = {
+            "spec_norm": take(fr["spec_norm"]),
+            "re": take(fr["re"]),
+            "im": take(fr["im"]),
+            "mask": take(self._mask_buf[base : base + buffered], fill=1.0),
+        }
+        if self.spec.input_type != "a":
+            window["video"] = take(self._video_buf[base : base + buffered])
+        else:
+            window["video"] = jnp.zeros((1, self.window, self.vf), jnp.float32)
+        if self._ext_emb is not None:
+            window["embedding"] = self._ext_emb
+        if fold is not None:
+            feats, masks, n_valid = fold
+            window["ssnn_feats"] = jnp.asarray(feats)[None]
+            window["ssnn_mask"] = jnp.asarray(masks)[None]
+            window["ssnn_n"] = jnp.asarray(n_valid)
+
+        prev_before = self._prev_dev
+        wav, mag, phase, carries, prev_dev, s_sum, s_cnt = self._step(
+            self.params, window, self._carry, self._prev_dev,
+            self._ssnn_sum, self._ssnn_cnt,
+        )
+        self._carry = carries
+        self._prev_dev = prev_dev
+        self._ssnn_sum, self._ssnn_cnt = s_sum, s_cnt
+        for k in fr:
+            fr[k] = fr[k][n_emit:]
+        if n_emit == self.chunk:
+            # fused on-device OLA already produced exactly these samples
+            self._frames_out += n_emit
+            out = np.asarray(wav)
+        else:
+            # terminal short flush window: host OLA over the n_emit frames
+            # with the pre-step device prev as left context
+            self._prev_frame = tuple(np.asarray(p) for p in prev_before)
+            out = self._emit(np.asarray(mag)[:n_emit], np.asarray(phase)[:n_emit])
+        self._trim_buffers()
+        return out
+
+    def _trim_buffers(self):
+        """Bound memory on long-lived streams: drop mask/video/masked rows
+        no window or delta computation can reference again."""
+        keep_from = min(self._frames_out, max(0, self._deltas_done - _DELTA_N))
+        cut = keep_from - self._buf_base
+        if cut > 4 * self.window:
+            self._mask_buf = self._mask_buf[cut:]
+            if len(self._video_buf):
+                self._video_buf = self._video_buf[cut:]
+            if len(self._masked_buf):
+                self._masked_buf = self._masked_buf[cut:]
+            self._buf_base = keep_from
+
+    def _emit(self, mag, phase):
+        """OLA-reconstruct the emitted frames with one frame of left
+        context; the emitted sample region then matches the offline iSTFT
+        (whose synthesis-window normalization is position-independent)
+        exactly."""
+        c = mag.shape[0]
+        frames_mag = np.concatenate([self._prev_frame[0][None], mag])
+        frames_ph = np.concatenate([self._prev_frame[1][None], phase])
+        self._prev_frame = (mag[-1], phase[-1])
+        wav = stft_ops.waveform_from_mag_phase(
+            jnp.asarray(frames_mag)[None],
+            jnp.asarray(frames_ph)[None],
+            num_samples=c * FRAME_STEP + FRAME_LENGTH,
+            frame_length=FRAME_LENGTH,
+            frame_step=FRAME_STEP,
+            fft_length=FFT_LENGTH,
+        )
+        self._frames_out += c
+        return np.asarray(wav[0][FRAME_STEP : FRAME_STEP + c * FRAME_STEP])
+
+
+def stream_utterance(
+    inp: StreamingInpainter,
+    wave: np.ndarray,
+    frame_mask: np.ndarray,
+    video: np.ndarray | None = None,
+    samples_per_push: int = 1536,
+) -> np.ndarray:
+    """Convenience: stream one utterance through `inp` in
+    `samples_per_push`-sample pushes and return the enhanced waveform
+    (length = ceil(len(wave) / 192) * 192, like the offline pipeline before
+    its seq_len * 192 trim)."""
+    inp.reset()
+    out = []
+    frames_fed = 0
+    for lo in range(0, len(wave), samples_per_push):
+        chunk = wave[lo : lo + samples_per_push]
+        done = lo + len(chunk)
+        n_frames = max(0, (done - FRAME_LENGTH) // FRAME_STEP + 1)
+        n_frames = min(n_frames, len(frame_mask))
+        masks = frame_mask[frames_fed:n_frames]
+        vid = video[frames_fed:n_frames] if video is not None else None
+        out.append(inp.push(chunk, masks, vid))
+        frames_fed = n_frames
+    if frames_fed < len(frame_mask):  # rows for the pad_end frame(s)
+        vid = video[frames_fed:] if video is not None else None
+        out.append(inp.push(np.zeros((0,), np.float32),
+                            frame_mask[frames_fed:], vid))
+    out.append(inp.flush())
+    return np.concatenate(out)

@@ -13,6 +13,15 @@ jitted enhancement function warm at a fixed micro-batch shape, and exposes
 
 Requests are padded into the fixed micro-batch so every call hits the same
 compiled program (no recompiles in steady state).
+
+Live streams (LC-BLSTM low-latency path, `avsi/infer/streaming.py`;
+audio-input models over HTTP — visual models stream via the Python API):
+
+  POST /stream/open?chunk=8&look=16  -> {"id": ..., "frame_step": 192, ...}
+  POST /stream/<id>   body: [int32 n_samples][int32 n_frames]
+      [n_samples x int16 wave][n_frames x uint8 frame_mask]
+  -> 200, body: int16 enhanced samples ready so far (possibly empty)
+  POST /stream/<id>/close  -> 200, final int16 samples; session freed
 """
 
 from __future__ import annotations
@@ -39,6 +48,7 @@ class InpaintingService:
         from avsi.infer.inpaint import load_model_bundle, make_infer_step
 
         self.config, stats, model, self.params = load_model_bundle(model_path, norm)
+        self.stats = stats
         self.micro_batch = micro_batch
         self.audio_len = int(self.config["audio_len"])
         # frame count follows the MODEL's hop (BLSTM 192, unet 128)
@@ -86,9 +96,20 @@ class InpaintingService:
     def enhance(self, wave: np.ndarray, mask_frames: np.ndarray) -> np.ndarray:
         return self.enhance_batch(wave[None], mask_frames[None])[0]
 
+    def open_stream(self, chunk_frames: int = 8, lookahead_frames: int = 16):
+        """A live LC-BLSTM stream sharing this service's warm weights."""
+        from avsi.infer.streaming import StreamingInpainter
+
+        return StreamingInpainter(
+            self.config, self.stats, self.params,
+            chunk_frames=chunk_frames, lookahead_frames=lookahead_frames,
+        )
+
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8571, **kw):
     service = InpaintingService(model_path, **kw)
+    streams: dict = {}
+    streams_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -115,7 +136,73 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8571, **kw):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply(self, code, body):
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _do_stream(self):
+            import urllib.parse
+            import uuid
+
+            path, _, query = self.path.partition("?")
+            parts = path.split("/")[2:]  # after /stream/
+            n = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(n)
+            if parts == ["open"]:
+                from avsi.models.blstm import parse_model_name
+
+                if parse_model_name(service.config["model"]).input_type != "a":
+                    raise ValueError(
+                        "HTTP streaming supports audio-input models; visual "
+                        "models stream via InpaintingService.open_stream"
+                    )
+                q = urllib.parse.parse_qs(query)
+                chunk = int(q.get("chunk", ["8"])[0])
+                look = int(q.get("look", ["16"])[0])
+                inp = service.open_stream(chunk, look)
+                sid = uuid.uuid4().hex[:12]
+                with streams_lock:
+                    streams[sid] = inp
+                self._reply(200, json.dumps({
+                    "id": sid, "chunk_frames": chunk, "lookahead_frames": look,
+                    "frame_step": 192, "frame_length": 384,
+                }).encode())
+                return
+            sid = parts[0]
+            closing = len(parts) > 1 and parts[1] == "close"
+            with streams_lock:
+                inp = streams.get(sid)
+            if inp is None:
+                self._reply(404, b"no such stream")
+                return
+            with service._lock:  # one device stream
+                if closing:
+                    out = inp.flush()
+                    with streams_lock:
+                        streams.pop(sid, None)
+                else:
+                    n_samples, n_frames = struct.unpack_from("<ii", raw, 0)
+                    off = 8
+                    wave = np.frombuffer(raw, "<i2", n_samples, off)
+                    off += 2 * n_samples
+                    mask = np.frombuffer(raw, np.uint8, n_frames, off)
+                    out = inp.push(
+                        wave.astype(np.float32), mask.astype(np.float32)
+                    )
+            self._reply(
+                200, np.clip(out, -32768, 32767).astype("<i2").tobytes()
+            )
+
         def do_POST(self):
+            if self.path.startswith("/stream/"):
+                try:
+                    self._do_stream()
+                except Exception as e:
+                    msg = str(e).encode()
+                    self._reply(400, msg)
+                return
             if self.path != "/enhance":
                 self.send_response(404)
                 self.end_headers()

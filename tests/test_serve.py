@@ -94,3 +94,61 @@ def test_http_endpoint(model_dir):
             assert r.read() == b"ok"
     finally:
         server.shutdown()
+
+
+def test_http_streaming(model_dir):
+    from avsi.serve import serve
+
+    server = serve(model_dir, port=0, micro_batch=2, phase_recon="none")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body=b""):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    try:
+        import json as json_lib
+
+        info = json_lib.loads(post("/stream/open?chunk=4&look=6"))
+        sid = info["id"]
+        assert info["frame_step"] == 192
+
+        rng = np.random.RandomState(2)
+        wave = (3000 * rng.randn(9600)).astype(np.int16)
+        mask = np.ones(50, np.uint8)
+        mask[15:25] = 0
+        got = b""
+        frames_fed = 0
+        for lo in range(0, 9600, 1920):  # 10 frames per push
+            chunk = wave[lo : lo + 1920]
+            done = lo + len(chunk)
+            n_frames = min(max(0, (done - 384) // 192 + 1), 50)
+            m = mask[frames_fed:n_frames]
+            body = (
+                struct.pack("<ii", len(chunk), len(m))
+                + chunk.tobytes()
+                + m.tobytes()
+            )
+            got += post(f"/stream/{sid}", body)
+            frames_fed = n_frames
+        assert len(got) > 0, "no incremental output"
+        got += post(f"/stream/{sid}/close")
+        out = np.frombuffer(got, "<i2")
+        assert out.shape == (9600,)
+        assert np.abs(out).max() > 0
+
+        # closed session is gone
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(f"/stream/{sid}/close")
+        assert exc.value.code == 404
+
+        # batch endpoint still healthy alongside streaming
+        body = struct.pack("<ii", 9600, 50) + wave.tobytes() + mask.tobytes()
+        out2 = np.frombuffer(post("/enhance", body), "<i2")
+        assert out2.shape == (9600,)
+    finally:
+        server.shutdown()

@@ -1,0 +1,155 @@
+"""Streaming (LC-BLSTM) inference vs the offline batch path.
+
+The contract tested here (avsi/infer/streaming.py):
+  * a window covering the whole utterance reproduces the offline
+    `phase_recon="none"` inference exactly (same features, same BLSTM math,
+    same masked-phase iSTFT) — for every conditioning variant;
+  * chunked streaming is push-size invariant (buffering only, no
+    math depends on how samples arrive);
+  * the LC approximation with the default short window stays close to the
+    offline output (forward state exact, backward truncated);
+  * bookkeeping: output sample counts, buffer trimming on long streams.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from avsi.infer import streaming
+from avsi.models import blstm as blstm_lib
+
+from helpers import identity_stats, synth_batch, tiny_config
+
+AL = 4800  # 25 frames
+T = 25
+
+
+def _setup(model, **cfg_kw):
+    config = tiny_config(model=model, audio_len=AL, net_dim=(16, 16), **cfg_kw)
+    spec = blstm_lib.parse_model_name(model)
+    params = blstm_lib.init(jax.random.PRNGKey(3), config, spec)
+    stats = identity_stats()
+    batch = synth_batch(config, batch_size=1, seed=5, gap=(6, 13))
+    return config, spec, params, stats, batch
+
+
+def _offline_wav(params, batch, config, stats, spec):
+    out = blstm_lib.forward(params, batch, config, stats, spec=spec, train=False)
+    wav = blstm_lib.enhanced_sources(out, batch, config, stats, oracle_phase=False)
+    return np.asarray(wav[0])
+
+
+def _streaming_inputs(batch):
+    wave = np.asarray(batch["target_sources"][0])
+    frame_mask = np.asarray(batch["masks"][0, :, 0])
+    video = np.asarray(batch["video_features"][0])
+    return wave, frame_mask, video
+
+
+@pytest.mark.parametrize(
+    "model,cfg_kw",
+    [
+        ("a-blstm", {}),
+        ("v-blstm", {}),
+        ("av-blstm-ssnn-ctc", {}),
+        ("av-blstm-ssnn", {"integration_layer": 1}),
+        ("av-blstm-emb", {}),
+    ],
+)
+def test_full_window_matches_offline(model, cfg_kw):
+    config, spec, params, stats, batch = _setup(model, **cfg_kw)
+    off = _offline_wav(params, batch, config, stats, spec)
+    wave, frame_mask, video = _streaming_inputs(batch)
+    emb = np.asarray(batch["embeddings"][0]) if spec.conditioning == "emb" else None
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=T, lookahead_frames=0, embedding=emb
+    )
+    got = streaming.stream_utterance(inp, wave, frame_mask, video)
+    assert got.shape == (T * 192,)
+    scale = np.max(np.abs(off)) + 1e-12
+    np.testing.assert_allclose(got, off[: T * 192], atol=2e-3 * scale, rtol=0)
+
+
+def test_push_size_invariance():
+    config, spec, params, stats, batch = _setup("av-blstm-ssnn-ctc")
+    wave, frame_mask, video = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=5, lookahead_frames=7
+    )
+    outs = [
+        streaming.stream_utterance(inp, wave, frame_mask, video, samples_per_push=n)
+        for n in (173, 1536, len(wave))
+    ]
+    for other in outs[1:]:
+        np.testing.assert_allclose(outs[0], other, atol=1e-5, rtol=0)
+
+
+def test_lc_window_close_to_offline():
+    config, spec, params, stats, batch = _setup("a-blstm")
+    off = _offline_wav(params, batch, config, stats, spec)[: T * 192]
+    wave, frame_mask, _ = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=8, lookahead_frames=16
+    )
+    got = streaming.stream_utterance(inp, wave, frame_mask)
+    rel = np.linalg.norm(got - off) / (np.linalg.norm(off) + 1e-12)
+    assert rel < 0.05, rel
+    # and the hole region is actually synthesized, not silence
+    hole = got[6 * 192 : 13 * 192]
+    assert np.abs(hole).max() > 0
+
+
+def test_incremental_emission_and_latency():
+    """Chunks come out as soon as the lookahead is satisfied, and the
+    total equals ceil(len/192)*192 samples."""
+    config, spec, params, stats, batch = _setup("a-blstm")
+    wave, frame_mask, _ = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=4, lookahead_frames=6
+    )
+    total = 0
+    emitted_early = False
+    frames_fed = 0
+    for lo in range(0, len(wave), 960):  # 5 frames per push
+        chunk = wave[lo : lo + 960]
+        done = lo + len(chunk)
+        n_frames = min(max(0, (done - 384) // 192 + 1), len(frame_mask))
+        out = inp.push(chunk, frame_mask[frames_fed:n_frames])
+        frames_fed = n_frames
+        total += len(out)
+        if done < len(wave) and len(out):
+            emitted_early = True
+    total += len(inp.flush())
+    assert emitted_early, "no output until flush: not streaming"
+    assert total == T * 192
+
+
+def test_long_stream_buffers_bounded():
+    config, spec, params, stats, batch = _setup("av-blstm-ssnn-ctc")
+    wave, frame_mask, video = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=4, lookahead_frames=4
+    )
+    # loop the utterance 12 times through one unbroken stream
+    for rep in range(12):
+        inp.push(wave, frame_mask, video)
+    cap = 16 * inp.window + 2 * T
+    assert len(inp._mask_buf) < cap
+    assert len(inp._frames["spec_norm"]) < cap
+    out = inp.flush()
+    assert len(out) > 0
+
+
+def test_mask_underflow_raises():
+    config, spec, params, stats, batch = _setup("a-blstm")
+    wave, frame_mask, _ = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(config, stats, params)
+    with pytest.raises(ValueError):
+        inp.push(wave, frame_mask[:3])
+
+
+def test_emb_model_requires_embedding():
+    config, spec, params, stats, batch = _setup("av-blstm-emb")
+    with pytest.raises(ValueError):
+        streaming.StreamingInpainter(config, stats, params)
