@@ -199,6 +199,17 @@ def measure_tf_cpu_baseline(batch_size=8, iters=3) -> dict:
     return {"batch": batch_size, "sec_per_batch": dt, "utt_per_sec": batch_size / dt}
 
 
+def measure_tf_cpu_baseline_best(batches=(8, 32, 128), iters=3) -> dict:
+    """Best-of-batches TF-CPU anchor: the TPU figure is measured at its own
+    throughput-optimal batch, so the CPU anchor gets the same courtesy
+    (round-1 review: a single batch-8 CPU number understates the baseline)."""
+    runs = [measure_tf_cpu_baseline(b, iters) for b in batches]
+    best = max(runs, key=lambda r: r["utt_per_sec"])
+    best = dict(best)
+    best["all_batches"] = {str(r["batch"]): round(r["utt_per_sec"], 3) for r in runs}
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-baseline", action="store_true")
@@ -207,7 +218,7 @@ def main():
 
     if args.measure_baseline or not os.path.isfile(BASELINE_CACHE):
         try:
-            base = measure_tf_cpu_baseline()
+            base = measure_tf_cpu_baseline_best()
             with open(BASELINE_CACHE, "w") as f:
                 json.dump(base, f)
         except Exception as e:  # keep bench robust if TF is absent
