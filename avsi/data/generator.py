@@ -233,10 +233,12 @@ def group_tfrecords(
     n_out = 0
     for i in range(0, len(files_ord), group_size):
         out = os.path.join(output_dir, f"data_{n_out:05d}.tfrecord")
-        with tfr.TFRecordWriter(out) as w:
+        # raw framed-bytes pass-through: grouping only concatenates already
+        # checksummed frames, so skip decode + re-CRC entirely
+        with open(out, "wb") as w:
             for f in files_ord[i : i + group_size]:
-                for record in tfr.read_records(f):
-                    w.write(record)
+                for frame in tfr.read_raw_records(f):
+                    w.write(frame)
         n_out += 1
     if delete_input_dir:
         shutil.rmtree(input_dir)

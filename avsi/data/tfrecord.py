@@ -275,6 +275,24 @@ class TFRecordWriter:
         self.close()
 
 
+def read_raw_records(path: str) -> Iterator[bytes]:
+    """Yield complete framed records verbatim (length header + masked CRCs
+    + payload).  Re-packing records into grouped files (group_tfrecords)
+    is pure concatenation of these frames — no decode, no re-checksum."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 12 > n:
+            raise ValueError(f"truncated TFRecord header in {path}")
+        (length,) = struct.unpack_from("<Q", data, pos)
+        if pos + 16 + length > n:
+            raise ValueError(f"truncated TFRecord payload in {path}")
+        yield data[pos : pos + 16 + length]
+        pos += 16 + length
+
+
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
     with open(path, "rb") as f:
         data = f.read()

@@ -103,3 +103,38 @@ def test_embedding_variant():
     rec = tfr.serialize_sample_fixed(embedding=emb, **s)
     out = tfr.parse_sample_fixed(rec, with_embedding=True)
     np.testing.assert_array_equal(out["embedding"], emb)
+
+
+def test_group_tfrecords_raw_passthrough(tmp_path):
+    """Grouping re-packs framed records verbatim: grouped files carry
+    byte-identical records with valid CRCs, in jittered-length order."""
+    import os
+
+    from avsi.data import generator
+    from avsi.data.tfrecord import TFRecordWriter, read_records
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    originals = []
+    for i in range(7):
+        rec = tfr.serialize_sample_fixed(
+            5, 2, rng.randn(64).astype(np.float32),
+            rng.randn(5, 4).astype(np.float32),
+            np.ones((5, 4), np.float32),
+            np.arange(6, dtype=np.float32), f"s{i}",
+        )
+        originals.append(rec)
+        with TFRecordWriter(str(src / f"data_{i:05d}.tfrecord")) as w:
+            w.write(rec)
+    np.save(str(src / "seq_lengths.npy"), np.full(7, 5))
+
+    out = tmp_path / "out"
+    generator.group_tfrecords(str(src), str(out), group_size=3)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".tfrecord"))
+    assert len(files) == 3  # 3 + 3 + 1
+    grouped = []
+    for f in files:
+        grouped += list(read_records(str(out / f), verify_crc=True))
+    assert sorted(grouped) == sorted(originals)
+    assert (out / "seq_lengths.npy").exists()
