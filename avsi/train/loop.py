@@ -126,8 +126,17 @@ def _host_per(decoded: np.ndarray, batch: dict) -> float:
     return ctc_ops.per_metric(dec, labs)
 
 
-def train(config_file: str, is_asr: bool = False) -> dict:
-    """Train one model per the config file. Returns summary metrics."""
+def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = None) -> dict:
+    """Train one model per the config file. Returns summary metrics.
+
+    corpus_cache: optional dict shared across train() calls in one process.
+    On first use it is populated with the device-resident compacted corpus
+    ({"train": [batches], "val": [(meta, batch)]}); later calls train
+    straight from HBM with ZERO host->device input traffic — on a slow
+    host<->device link the corpus upload is by far the dominant cost, so
+    training several models on the same corpus (e.g. the SI flagship and
+    its ASR judge) should pay it once.  Caller must keep batch_size and
+    the corpus identical across sharing calls."""
     config = config_lib.check_trainconfiguration(config_lib.load_configfile(config_file))
     model_name = config["model"]
     exp_folder = config["exp_folder"]
@@ -241,16 +250,22 @@ def train(config_file: str, is_asr: bool = False) -> dict:
     device_cache = (
         bool(int(config.get("device_cache_corpus", 0)))
         and int(config["max_n_epochs"]) > 1
-    )
-    cached_train: list = []
-    cached_val: list = []
+    ) or corpus_cache is not None
+    if corpus_cache is not None:
+        cached_train = corpus_cache.setdefault("train", [])
+        cached_val = corpus_cache.setdefault("val", [])
+    else:
+        cached_train = []
+        cached_val = []
+    prefilled = bool(cached_train)  # a previous train() call uploaded it
     cache_rng = np.random.default_rng(int(config.get("seed", 0)) + 101)
     for epoch in range(int(config["max_n_epochs"])):
         t_epoch = time.time()
         loss_accum = None
         n_acc = 0
         last_ldict = None
-        if device_cache and epoch > 0:
+        from_cache = device_cache and (epoch > 0 or prefilled)
+        if from_cache:
             train_iter = (cached_train[i] for i in cache_rng.permutation(len(cached_train)))
         else:
             train_iter = dm.prefetch_batches(
@@ -260,8 +275,8 @@ def train(config_file: str, is_asr: bool = False) -> dict:
             rng, step_rng = jax.random.split(rng)
             if profile_steps and step - start_step == 3:
                 jax.profiler.start_trace(profile_dir)
-            placed = batch if (device_cache and epoch > 0) else place(batch)
-            if device_cache and epoch == 0:
+            placed = batch if from_cache else place(batch)
+            if device_cache and epoch == 0 and not prefilled:
                 if not use_mesh:  # mesh place() already device_put with sharding
                     placed = jax.device_put(placed)
                 cached_train.append(placed)
@@ -319,10 +334,10 @@ def train(config_file: str, is_asr: bool = False) -> dict:
         # ssnn/emb/ctc variants (training_ctc.py:383-389)
         spec = model.extra.get("spec") if model.extra else None
         select_hole = bool(spec and spec.loss_on_hole_only)
-        if device_cache and epoch > 0:
+        if device_cache and (epoch > 0 or prefilled):
             pairs = cached_val
         elif device_cache:
-            cached_val = [
+            cached_val[:] = [
                 (meta, placed if use_mesh else jax.device_put(placed))
                 for meta, placed in _val_pairs(dm, val_files, batch_size, place)
             ]

@@ -9,24 +9,49 @@ with the device-resident corpus cache (`device_cache_corpus=1`) so epochs
 after the first run at device speed.
 
 Usage: python scripts/grid_capstone.py [drill_dir] [epochs_si] [epochs_asr]
+                                       [subset_train_files] [subset_val_files]
 Prints CAPSTONE_SUMMARY <json> at the end.
+
+The SI flagship and the ASR judge share ONE device-resident corpus upload
+(loop.train's corpus_cache) — on a relayed host<->device link the upload
+dominates everything else, so it is paid once.  subset_train_files > 0
+trains on the first K grouped files (16 utterances each) instead of the
+full 1815; evaluation always runs on the full held-out test split.
 """
 
 import json
 import os
 import sys
 import time
+from glob import glob
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(dest="/dev/shm/grid_drill", epochs_si=10, epochs_asr=4):
+def make_subset(grouped: str, dest: str, k_train: int, k_val: int) -> str:
+    """Symlink the first K grouped TFRecord files per split (16 utts/file)."""
+    sub = os.path.join(dest, f"grouped_sub_{k_train}_{k_val}")
+    for split, k in (("training-set", k_train), ("validation-set", k_val)):
+        sdir = os.path.join(sub, split)
+        os.makedirs(sdir, exist_ok=True)
+        for f in sorted(glob(os.path.join(grouped, split, "*.tfrecord")))[:k]:
+            link = os.path.join(sdir, os.path.basename(f))
+            if not os.path.exists(link):
+                os.symlink(f, link)
+    return sub
+
+
+def main(dest="/dev/shm/grid_drill", epochs_si=10, epochs_asr=4,
+         subset_train=0, subset_val=0):
     from avsi import config as config_lib
     from avsi.eval import harness
     from avsi.infer import asr as asr_infer, masking, siasr
     from avsi.train import loop
 
     grouped = os.path.join(dest, "grouped")
+    train_root = grouped
+    if subset_train:
+        train_root = make_subset(grouped, dest, subset_train, subset_val or 16)
     test_tfr = os.path.join(grouped, "test-set")
     test_audio = os.path.join(dest, "syn", "test-set")
     dict_file = os.path.join(dest, "dictionary.txt")
@@ -45,7 +70,7 @@ def main(dest="/dev/shm/grid_drill", epochs_si=10, epochs_asr=4):
             "optimizer_type": "adam", "starter_learning_rate": 0.001,
             "lr_decay": 1.0, "num_asr_labels": 33, "ctc_loss": 0.001,
             "compute_dtype": "bfloat16", "device_cache_corpus": 1,
-            "root_folder": grouped,
+            "root_folder": train_root,
             "exp_folder": os.path.join(dest, exp),
             "audio_feat_mean": mean, "audio_feat_std": std, "tb_media": 0,
         }
@@ -56,18 +81,20 @@ def main(dest="/dev/shm/grid_drill", epochs_si=10, epochs_asr=4):
 
     timings = {}
 
-    print("=== training ASR judge (29k utterances) ===", flush=True)
+    corpus_cache: dict = {}  # ONE corpus upload shared by both trainings
+
+    print("=== training ASR judge ===", flush=True)
     t0 = time.time()
     asr_cfg = cfg("a-blstm", "exp_asr", fbanks + "_mean.npy", fbanks + "_std.npy",
                   epochs_asr, net_dim=[250, 250], frame_stack=3)
-    asr_summary = loop.train(asr_cfg, is_asr=True)
+    asr_summary = loop.train(asr_cfg, is_asr=True, corpus_cache=corpus_cache)
     timings["asr_train_s"] = round(time.time() - t0, 1)
 
-    print("=== training SI flagship (29k utterances) ===", flush=True)
+    print("=== training SI flagship (cached corpus) ===", flush=True)
     t0 = time.time()
     si_cfg = cfg("av-blstm-ssnn-ctc", "exp_si", spec + "_mean.npy",
                  spec + "_std.npy", epochs_si)
-    si_summary = loop.train(si_cfg)
+    si_summary = loop.train(si_cfg, corpus_cache=corpus_cache)
     timings["si_train_s"] = round(time.time() - t0, 1)
 
     asr_ckpt = os.path.join(dest, "exp_asr", "netmodel")
@@ -130,4 +157,6 @@ if __name__ == "__main__":
         args[0] if args else "/dev/shm/grid_drill",
         int(args[1]) if len(args) > 1 else 10,
         int(args[2]) if len(args) > 2 else 4,
+        int(args[3]) if len(args) > 3 else 0,
+        int(args[4]) if len(args) > 4 else 0,
     )

@@ -165,3 +165,34 @@ def test_device_cache_corpus(corpus, tmp_path):
     assert first(str(tmp_path / "exp_cache" / "training_log.txt")) == first(
         str(tmp_path / "exp_stream" / "training_log.txt")
     )
+
+
+def test_shared_corpus_cache_across_models(corpus, tmp_path):
+    """Two train() calls share one device-resident corpus upload: the SI
+    model populates the cache, the ASR judge trains from it without
+    touching the reader (the slow-link capstone path)."""
+    cache = {}
+    cfg_si = _write_config(
+        tmp_path, corpus, model="a-blstm-ssnn-ctc", max_n_epochs=2,
+        exp_folder=str(tmp_path / "exp_si"),
+    )
+    s1 = loop.train(cfg_si, corpus_cache=cache)
+    assert np.isfinite(s1["best_val"])
+    assert len(cache["train"]) > 0 and len(cache["val"]) > 0
+    n_batches = len(cache["train"])
+
+    stats_prefix = os.path.join(os.path.dirname(corpus["mean"]), "fbanks_cache")
+    stats_lib.compute_mean_std_features(
+        corpus["training-set"], "target", stats_prefix, feat_type="fbanks",
+        window_size=24, step_size=12, n_fft=512,
+    )
+    cfg_asr = _write_config(
+        tmp_path, corpus, model="a-blstm", max_n_epochs=2,
+        exp_folder=str(tmp_path / "exp_asr"),
+        audio_feat_mean=stats_prefix + "_mean.npy",
+        audio_feat_std=stats_prefix + "_std.npy",
+    )
+    s2 = loop.train(cfg_asr, is_asr=True, corpus_cache=cache)
+    assert np.isfinite(s2["best_val"])
+    assert len(cache["train"]) == n_batches  # reused, not re-uploaded
+    assert os.path.isfile(str(tmp_path / "exp_asr" / "netmodel" / "asrnet.npz"))
