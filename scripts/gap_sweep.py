@@ -7,6 +7,10 @@ re-sampled at each gap size), then runs masking -> fused SI->ASR ->
 evaluation per gap and prints one summary table.
 
 Usage: python scripts/gap_sweep.py <fixture_workdir> <si_ckpt> <asr_ckpt> [gaps...]
+Env: GAP_SWEEP_MAX_UTTS=N caps held-out utterances per speaker (all 33
+speakers kept) — the per-gap corpus build + relay uploads scale linearly,
+so a capped sweep fits a bounded time budget; the cap is recorded in the
+output line.
 """
 
 import json
@@ -32,6 +36,10 @@ def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
     utt_names = sorted(
         {d.split("_")[1] for d in os.listdir(test_dir) if "_" in d}
     )
+    max_utts = int(os.environ.get("GAP_SWEEP_MAX_UTTS", "0"))
+    if max_utts:
+        utt_names = utt_names[:max_utts]
+        print(f"# capped to {max_utts} held-out utterances per speaker", flush=True)
     speakers = sorted(
         int(s[1:]) for s in os.listdir(raw) if s.startswith("s") and s[1:].isdigit()
     )
