@@ -294,27 +294,18 @@ def read_raw_records(path: str) -> Iterator[bytes]:
 
 
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
-    with open(path, "rb") as f:
-        data = f.read()
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if pos + 12 > n:
-            raise ValueError(f"truncated TFRecord header in {path}")
-        (length,) = struct.unpack_from("<Q", data, pos)
-        if pos + 16 + length > n:
-            raise ValueError(f"truncated TFRecord payload in {path}")
+    """Yield record payloads; one frame-walker (read_raw_records) serves
+    both the payload and the verbatim-frame paths."""
+    for frame in read_raw_records(path):
+        payload = frame[12:-4]
         if verify_crc:
-            (crc,) = struct.unpack_from("<I", data, pos + 8)
-            if crc != _masked_crc(data[pos : pos + 8]):
+            (crc,) = struct.unpack_from("<I", frame, 8)
+            if crc != _masked_crc(frame[:8]):
                 raise ValueError(f"corrupt TFRecord length crc in {path}")
-        payload = data[pos + 12 : pos + 12 + length]
-        if verify_crc:
-            (crc,) = struct.unpack_from("<I", data, pos + 12 + length)
+            (crc,) = struct.unpack_from("<I", frame, 12 + len(payload))
             if crc != _masked_crc(payload):
                 raise ValueError(f"corrupt TFRecord data crc in {path}")
         yield payload
-        pos += 16 + length
 
 
 # ---------------------------------------------------------------------------

@@ -147,11 +147,21 @@ class StreamingInpainter:
         chunk_frames: int = 8,
         lookahead_frames: int = 16,
         embedding: np.ndarray | None = None,
+        program_cache: dict | None = None,
     ):
+        """program_cache: optional dict shared by streams of the SAME model
+        (same config/stats/params provenance): jitted window programs are
+        reused across instances keyed by (chunk, lookahead), so a new live
+        stream skips re-tracing (the step reads only static model config,
+        identical across such streams)."""
         self.spec = blstm_lib.parse_model_name(config["model"])
         self.config = config
         self.chunk = int(chunk_frames)
         self.look = int(lookahead_frames)
+        if self.chunk < 1:
+            raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
+        if self.look < 0:
+            raise ValueError(f"lookahead_frames must be >= 0, got {lookahead_frames}")
         self.window = self.chunk + self.look
         self.af = int(config["audio_feat_dim"])
         self.vf = int(config["video_feat_dim"])
@@ -173,8 +183,14 @@ class StreamingInpainter:
             p["wh"].shape[1] for p, _ in _layer_list(params, self.spec, self.int_layer)
         ]
         self._window_fn = stft_ops.hann_window(FRAME_LENGTH).astype(np.float32)
-        self._step = jax.jit(partial(StreamingInpainter._window_step, self))
-        self._ssnn_step = jax.jit(partial(StreamingInpainter._ssnn_update, self))
+        key = (self.chunk, self.look)
+        if program_cache is not None and key in program_cache:
+            self._step, self._ssnn_step = program_cache[key]
+        else:
+            self._step = jax.jit(partial(StreamingInpainter._window_step, self))
+            self._ssnn_step = jax.jit(partial(StreamingInpainter._ssnn_update, self))
+            if program_cache is not None:
+                program_cache[key] = (self._step, self._ssnn_step)
         self.reset()
 
     # ------------------------------------------------------------------ state
@@ -317,20 +333,24 @@ class StreamingInpainter:
         buf = np.concatenate([self._sample_buf, wave])
         n_frames = max(0, (len(buf) - FRAME_LENGTH) // FRAME_STEP + 1)
         frame_masks = np.asarray(frame_masks, np.float32).reshape(-1)
-        self._mask_buf = np.concatenate([self._mask_buf, frame_masks])
-        if self.spec.input_type != "a" and video is not None:
+        if video is not None:
             video = np.asarray(video, np.float32).reshape(-1, self.vf)
-            self._video_buf = np.concatenate([self._video_buf, video])
+        # validate BEFORE touching stream state: a rejected push must leave
+        # the buffers exactly as they were so the caller can retry
         total = self._frames_in + n_frames
-        if total > self._buf_base + len(self._mask_buf):
+        if total > self._buf_base + len(self._mask_buf) + len(frame_masks):
             raise ValueError(
                 f"{total} frames completed but only "
-                f"{self._buf_base + len(self._mask_buf)} mask values supplied"
+                f"{self._buf_base + len(self._mask_buf) + len(frame_masks)} "
+                "mask values supplied"
             )
-        if self.spec.input_type != "a" and (
-            total > self._buf_base + len(self._video_buf)
+        if self.spec.input_type != "a" and total > (
+            self._buf_base + len(self._video_buf) + (len(video) if video is not None else 0)
         ):
             raise ValueError("not enough video feature rows supplied")
+        self._mask_buf = np.concatenate([self._mask_buf, frame_masks])
+        if self.spec.input_type != "a" and video is not None:
+            self._video_buf = np.concatenate([self._video_buf, video])
         if n_frames:
             self._featurize(
                 np.stack(
@@ -532,7 +552,10 @@ class StreamingInpainter:
     def _trim_buffers(self):
         """Bound memory on long-lived streams: drop mask/video/masked rows
         no window or delta computation can reference again."""
-        keep_from = min(self._frames_out, max(0, self._deltas_done - _DELTA_N))
+        if self.spec.conditioning == "ssnn":
+            keep_from = min(self._frames_out, max(0, self._deltas_done - _DELTA_N))
+        else:  # no delta bookkeeping holds rows back
+            keep_from = self._frames_out
         cut = keep_from - self._buf_base
         if cut > 4 * self.window:
             self._mask_buf = self._mask_buf[cut:]

@@ -97,19 +97,40 @@ class InpaintingService:
         return self.enhance_batch(wave[None], mask_frames[None])[0]
 
     def open_stream(self, chunk_frames: int = 8, lookahead_frames: int = 16):
-        """A live LC-BLSTM stream sharing this service's warm weights."""
+        """A live LC-BLSTM stream sharing this service's warm weights (and,
+        across streams with the same chunk/lookahead, the compiled window
+        program)."""
         from avsi.infer.streaming import StreamingInpainter
 
+        if not hasattr(self, "_stream_programs"):
+            self._stream_programs = {}
         return StreamingInpainter(
             self.config, self.stats, self.params,
             chunk_frames=chunk_frames, lookahead_frames=lookahead_frames,
+            program_cache=self._stream_programs,
         )
 
 
-def serve(model_path: str, host: str = "127.0.0.1", port: int = 8571, **kw):
+def serve(
+    model_path: str,
+    host: str = "127.0.0.1",
+    port: int = 8571,
+    max_streams: int = 64,
+    stream_idle_s: float = 600.0,
+    **kw,
+):
     service = InpaintingService(model_path, **kw)
-    streams: dict = {}
+    streams: dict = {}  # sid -> [StreamingInpainter, last_used_monotonic]
     streams_lock = threading.Lock()
+    import time as _time
+
+    def _reap_streams():
+        """Evict sessions idle past the TTL (abandoned clients would
+        otherwise leak per-stream device + host state forever)."""
+        now = _time.monotonic()
+        with streams_lock:
+            for sid in [s for s, v in streams.items() if now - v[1] > stream_idle_s]:
+                del streams[sid]
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -150,6 +171,7 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8571, **kw):
             parts = path.split("/")[2:]  # after /stream/
             n = int(self.headers.get("Content-Length", "0"))
             raw = self.rfile.read(n)
+            _reap_streams()
             if parts == ["open"]:
                 from avsi.models.blstm import parse_model_name
 
@@ -161,10 +183,16 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8571, **kw):
                 q = urllib.parse.parse_qs(query)
                 chunk = int(q.get("chunk", ["8"])[0])
                 look = int(q.get("look", ["16"])[0])
+                if not (1 <= chunk <= 256 and 0 <= look <= 256):
+                    raise ValueError("chunk must be in [1,256], look in [0,256]")
+                with streams_lock:
+                    if len(streams) >= max_streams:
+                        self._reply(429, b"too many live streams")
+                        return
                 inp = service.open_stream(chunk, look)
                 sid = uuid.uuid4().hex[:12]
                 with streams_lock:
-                    streams[sid] = inp
+                    streams[sid] = [inp, _time.monotonic()]
                 self._reply(200, json.dumps({
                     "id": sid, "chunk_frames": chunk, "lookahead_frames": look,
                     "frame_step": 192, "frame_length": 384,
@@ -173,10 +201,13 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8571, **kw):
             sid = parts[0]
             closing = len(parts) > 1 and parts[1] == "close"
             with streams_lock:
-                inp = streams.get(sid)
-            if inp is None:
+                entry = streams.get(sid)
+                if entry is not None:
+                    entry[1] = _time.monotonic()
+            if entry is None:
                 self._reply(404, b"no such stream")
                 return
+            inp = entry[0]
             with service._lock:  # one device stream
                 if closing:
                     out = inp.flush()

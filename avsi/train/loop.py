@@ -135,8 +135,9 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     straight from HBM with ZERO host->device input traffic — on a slow
     host<->device link the corpus upload is by far the dominant cost, so
     training several models on the same corpus (e.g. the SI flagship and
-    its ASR judge) should pay it once.  Caller must keep batch_size and
-    the corpus identical across sharing calls."""
+    its ASR judge) should pay it once.  Caller must keep batch_size, the
+    corpus, and the embedding requirement (models.needs_embeddings)
+    identical across sharing calls — an embeddings mismatch is rejected."""
     config = config_lib.check_trainconfiguration(config_lib.load_configfile(config_file))
     model_name = config["model"]
     exp_folder = config["exp_folder"]
@@ -258,6 +259,11 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
         cached_train = []
         cached_val = []
     prefilled = bool(cached_train)  # a previous train() call uploaded it
+    if prefilled and model.needs_embeddings and "embeddings" not in cached_train[0]:
+        raise ValueError(
+            f"shared corpus_cache was built without speaker embeddings but "
+            f"model {model_name} needs them — use a separate cache"
+        )
     cache_rng = np.random.default_rng(int(config.get("seed", 0)) + 101)
     for epoch in range(int(config["max_n_epochs"])):
         t_epoch = time.time()

@@ -40,6 +40,9 @@ def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
     if max_utts:
         utt_names = utt_names[:max_utts]
         print(f"# capped to {max_utts} held-out utterances per speaker", flush=True)
+    cap_tag = f"-u{max_utts}" if max_utts else ""  # capped corpora get their
+    # own dirs so a cached full-corpus build is never silently reused (and
+    # vice versa)
     speakers = sorted(
         int(s[1:]) for s in os.listdir(raw) if s.startswith("s") and s[1:].isdigit()
     )
@@ -48,9 +51,9 @@ def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
         spec_mean = os.path.join(work, "audio_spec_mean.npy")  # grid_drill layout
     spec_std = spec_mean.replace("_mean.npy", "_std.npy")
 
-    results = {}
+    results = {"utts_per_gap": len(utt_names) * len(speakers)}
     for gap in gaps:
-        tag = f"test-set-{gap}ms"
+        tag = f"test-set-{gap}ms{cap_tag}"
         syn_dir = os.path.join(work, "syn", tag)
         tfr_dir = os.path.join(work, "tfrecords", tag)
         if not os.path.isdir(tfr_dir):
@@ -98,6 +101,8 @@ def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
         "L1_mask    L1_enh    PER_mask PER_enh"
     )
     for gap, r in results.items():
+        if not isinstance(r, dict):  # meta keys (utts_per_gap)
+            continue
         print(
             f"{gap:6d}  {r['stoi_masked']:.4f}    {r['stoi_enhanced']:.4f}   "
             f"{r['stoi_enhanced']-r['stoi_masked']:+.4f} "

@@ -125,8 +125,9 @@ def test_incremental_emission_and_latency():
     assert total == T * 192
 
 
-def test_long_stream_buffers_bounded():
-    config, spec, params, stats, batch = _setup("av-blstm-ssnn-ctc")
+@pytest.mark.parametrize("model", ["av-blstm-ssnn-ctc", "av-blstm"])
+def test_long_stream_buffers_bounded(model):
+    config, spec, params, stats, batch = _setup(model)
     wave, frame_mask, video = _streaming_inputs(batch)
     inp = streaming.StreamingInpainter(
         config, stats, params, chunk_frames=4, lookahead_frames=4
