@@ -63,6 +63,14 @@ FRAME_LENGTH = blstm_lib.FRAME_LENGTH  # 384
 FRAME_STEP = blstm_lib.FRAME_STEP  # 192
 FFT_LENGTH = blstm_lib.FFT_LENGTH  # 512
 _DELTA_N = 2  # delta(N=2): a frame's delta needs frames t-2 .. t+2
+_WINDOW_FN = stft_ops.hann_window(FRAME_LENGTH).astype(np.float32)
+
+
+def _cut_frames(buf: np.ndarray, n: int) -> np.ndarray:
+    """First n hop-aligned analysis frames of a sample buffer."""
+    return np.stack(
+        [buf[i * FRAME_STEP : i * FRAME_STEP + FRAME_LENGTH] for i in range(n)]
+    )
 
 
 def _lc_bilstm_layer(params, x, carry_h, carry_c, emit, compute_dtype):
@@ -110,6 +118,116 @@ def _layer_list(params: dict, spec, int_layer: int):
     out = [(p, False) for p in params["blstm1"]]
     out += [(p, i == 0) for i, p in enumerate(params["blstm2"])]
     return out
+
+
+def _ssnn_update(params, deltas, mask, n_valid, ssnn_sum, ssnn_cnt):
+    """Fold <= W finalized frames into the masked running sums
+    (models.py:800-842; the +1 mean denominator is applied at read).
+    Pure in params + arrays — one jitted program serves every stream."""
+    h = core.dense(params["ssnn"][0], deltas)
+    h = jax.nn.leaky_relu(h, 0.3)
+    h = core.dense(params["ssnn"][1], h)
+    h = jax.nn.leaky_relu(h, 0.3)
+    h = core.dense(params["ssnn"][2], h)  # (1, W, 200)
+    pos = jnp.arange(h.shape[1], dtype=jnp.float32)[None, :]
+    fm = mask * (pos < n_valid).astype(jnp.float32)
+    return (
+        ssnn_sum + (h * fm[:, :, None]).sum(axis=1),
+        ssnn_cnt + fm.sum(axis=1),
+    )
+
+
+_SSNN_STEP = jax.jit(_ssnn_update)
+
+
+class _ProgSpec:
+    """The static inputs of the jitted window program — a deliberately
+    small object so the compiled step (which outlives any one stream via
+    the program cache) pins only these fields, never a whole
+    StreamingInpainter with its live buffers."""
+
+    __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "stats")
+
+    def __init__(self, spec, int_layer, chunk, compute_dtype, stats):
+        self.spec = spec
+        self.int_layer = int_layer
+        self.chunk = chunk
+        self.compute_dtype = compute_dtype
+        self.stats = stats
+
+
+def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
+    """Jitted: one LC window -> emitted samples + chunk mag/phase + new
+    recurrent state, all in one device program (one dispatch, one small
+    fetch per window).
+
+    window: spec_norm/re/im (1, W, af), mask (1, W), video (1, W, vf),
+    plus — for ssnn models — the fused running-average fold inputs
+    ssnn_feats (1, W, 2*af), ssnn_mask (1, W), ssnn_n (scalar)."""
+    spec = prog.spec
+    mask_bins = window["mask"][:, :, None]  # broadcast over the 257 bins
+    spec_norm = window["spec_norm"]
+    audio_feat = spec_norm * mask_bins
+
+    emb = None
+    if spec.conditioning == "ssnn":
+        ssnn_sum, ssnn_cnt = _ssnn_update(
+            params, window["ssnn_feats"], window["ssnn_mask"],
+            window["ssnn_n"], ssnn_sum, ssnn_cnt,
+        )
+        emb = ssnn_sum / (ssnn_cnt + 1.0)[:, None]
+    elif spec.conditioning == "emb":
+        emb = window["embedding"]
+
+    if spec.input_type == "a":
+        net_in = audio_feat
+    elif spec.input_type == "v":
+        net_in = window["video"]
+    else:
+        net_in = jnp.concatenate([audio_feat, window["video"]], axis=2)
+
+    layers = _layer_list(params, spec, prog.int_layer)
+    x = net_in
+    new_carries = []
+    for (layer_params, inject), (ch, cc) in zip(layers, carries):
+        if inject and emb is not None:
+            tiled = jnp.broadcast_to(
+                emb[:, None, :], (x.shape[0], x.shape[1], emb.shape[-1])
+            )
+            x = jnp.concatenate([x, tiled], axis=2)
+        x, nh, nc = _lc_bilstm_layer(
+            layer_params, x, ch, cc, prog.chunk, prog.compute_dtype
+        )
+        new_carries.append((nh, nc))
+
+    inference = core.dense(params["head_ipt"], x).astype(jnp.float32)
+    if spec.restore_unmasked:
+        prediction = spec_norm * mask_bins + inference * (1 - mask_bins)
+    else:
+        prediction = inference
+
+    mean, std = prog.stats
+    mag = jnp.exp(prediction * std + mean)[0, : prog.chunk]
+    re = window["re"][0, : prog.chunk]
+    im = window["im"][0, : prog.chunk]
+    m = mask_bins[0, : prog.chunk]
+    phase = jnp.arctan2(im * m, re * m)  # masked phase: 0 in the hole
+
+    # fused OLA: resynthesize [prev_frame, chunk frames] on device and
+    # return only the samples the chunk finalizes
+    prev_mag, prev_phase = prev
+    frames_mag = jnp.concatenate([prev_mag[None], mag])
+    frames_ph = jnp.concatenate([prev_phase[None], phase])
+    wav = stft_ops.waveform_from_mag_phase(
+        frames_mag[None],
+        frames_ph[None],
+        num_samples=prog.chunk * FRAME_STEP + FRAME_LENGTH,
+        frame_length=FRAME_LENGTH,
+        frame_step=FRAME_STEP,
+        fft_length=FFT_LENGTH,
+    )[0, FRAME_STEP : FRAME_STEP + prog.chunk * FRAME_STEP]
+    new_prev = (mag[-1], phase[-1])
+    return wav, mag, phase, new_carries, new_prev, ssnn_sum, ssnn_cnt
 
 
 def _clamped_deltas(masked: np.ndarray, lo: int, hi: int, t_end: int | None):
@@ -182,15 +300,24 @@ class StreamingInpainter:
         self._hidden = [
             p["wh"].shape[1] for p, _ in _layer_list(params, self.spec, self.int_layer)
         ]
-        self._window_fn = stft_ops.hann_window(FRAME_LENGTH).astype(np.float32)
         key = (self.chunk, self.look)
         if program_cache is not None and key in program_cache:
-            self._step, self._ssnn_step = program_cache[key]
+            self._step = program_cache[key]
         else:
-            self._step = jax.jit(partial(StreamingInpainter._window_step, self))
-            self._ssnn_step = jax.jit(partial(StreamingInpainter._ssnn_update, self))
+            prog = _ProgSpec(
+                spec=self.spec,
+                int_layer=self.int_layer,
+                chunk=self.chunk,
+                compute_dtype=(
+                    jnp.bfloat16
+                    if config.get("compute_dtype") == "bfloat16"
+                    else jnp.float32
+                ),
+                stats=self._stats,
+            )
+            self._step = jax.jit(partial(_window_step, prog))
             if program_cache is not None:
-                program_cache[key] = (self._step, self._ssnn_step)
+                program_cache[key] = self._step
         self.reset()
 
     # ------------------------------------------------------------------ state
@@ -220,107 +347,10 @@ class StreamingInpainter:
             jnp.zeros((self.af,), jnp.float32),
             jnp.zeros((self.af,), jnp.float32),
         )
-        self._prev_frame = (
-            np.zeros(self.af, np.float32),
-            np.zeros(self.af, np.float32),
-        )
         self._frames_in = 0  # featurized
         self._frames_out = 0  # emitted
         self._deltas_done = 0  # frames whose ssnn contribution is summed
         self._buf_base = 0  # absolute frame index of mask/video/masked row 0
-
-    # ------------------------------------------------------------ device step
-
-    def _ssnn_update(self, params, deltas, mask, n_valid, ssnn_sum, ssnn_cnt):
-        """Jitted: fold <= W finalized frames into the masked running sums
-        (models.py:800-842; the +1 mean denominator is applied at read)."""
-        h = core.dense(params["ssnn"][0], deltas)
-        h = jax.nn.leaky_relu(h, 0.3)
-        h = core.dense(params["ssnn"][1], h)
-        h = jax.nn.leaky_relu(h, 0.3)
-        h = core.dense(params["ssnn"][2], h)  # (1, W, 200)
-        pos = jnp.arange(h.shape[1], dtype=jnp.float32)[None, :]
-        fm = mask * (pos < n_valid).astype(jnp.float32)
-        return (
-            ssnn_sum + (h * fm[:, :, None]).sum(axis=1),
-            ssnn_cnt + fm.sum(axis=1),
-        )
-
-    def _window_step(self, params, window, carries, prev, ssnn_sum, ssnn_cnt):
-        """Jitted: one LC window -> emitted samples + chunk mag/phase + new
-        recurrent state, all in one device program (one dispatch, one small
-        fetch per window).
-
-        window: spec_norm/re/im (1, W, af), mask (1, W), video (1, W, vf),
-        plus — for ssnn models — the fused running-average fold inputs
-        ssnn_feats (1, W, 2*af), ssnn_mask (1, W), ssnn_n (scalar)."""
-        cfg, spec = self.config, self.spec
-        compute_dtype = (
-            jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
-        )
-        mask_bins = window["mask"][:, :, None]  # broadcast over the 257 bins
-        spec_norm = window["spec_norm"]
-        audio_feat = spec_norm * mask_bins
-
-        emb = None
-        if spec.conditioning == "ssnn":
-            ssnn_sum, ssnn_cnt = self._ssnn_update(
-                params, window["ssnn_feats"], window["ssnn_mask"],
-                window["ssnn_n"], ssnn_sum, ssnn_cnt,
-            )
-            emb = ssnn_sum / (ssnn_cnt + 1.0)[:, None]
-        elif spec.conditioning == "emb":
-            emb = window["embedding"]
-
-        if spec.input_type == "a":
-            net_in = audio_feat
-        elif spec.input_type == "v":
-            net_in = window["video"]
-        else:
-            net_in = jnp.concatenate([audio_feat, window["video"]], axis=2)
-
-        layers = _layer_list(params, spec, self.int_layer)
-        x = net_in
-        new_carries = []
-        for (layer_params, inject), (ch, cc) in zip(layers, carries):
-            if inject and emb is not None:
-                tiled = jnp.broadcast_to(
-                    emb[:, None, :], (x.shape[0], x.shape[1], emb.shape[-1])
-                )
-                x = jnp.concatenate([x, tiled], axis=2)
-            x, nh, nc = _lc_bilstm_layer(
-                layer_params, x, ch, cc, self.chunk, compute_dtype
-            )
-            new_carries.append((nh, nc))
-
-        inference = core.dense(params["head_ipt"], x).astype(jnp.float32)
-        if spec.restore_unmasked:
-            prediction = spec_norm * mask_bins + inference * (1 - mask_bins)
-        else:
-            prediction = inference
-
-        mean, std = self._stats
-        mag = jnp.exp(prediction * std + mean)[0, : self.chunk]
-        re = window["re"][0, : self.chunk]
-        im = window["im"][0, : self.chunk]
-        m = mask_bins[0, : self.chunk]
-        phase = jnp.arctan2(im * m, re * m)  # masked phase: 0 in the hole
-
-        # fused OLA: resynthesize [prev_frame, chunk frames] on device and
-        # return only the samples the chunk finalizes
-        prev_mag, prev_phase = prev
-        frames_mag = jnp.concatenate([prev_mag[None], mag])
-        frames_ph = jnp.concatenate([prev_phase[None], phase])
-        wav = stft_ops.waveform_from_mag_phase(
-            frames_mag[None],
-            frames_ph[None],
-            num_samples=self.chunk * FRAME_STEP + FRAME_LENGTH,
-            frame_length=FRAME_LENGTH,
-            frame_step=FRAME_STEP,
-            fft_length=FFT_LENGTH,
-        )[0, FRAME_STEP : FRAME_STEP + self.chunk * FRAME_STEP]
-        new_prev = (mag[-1], phase[-1])
-        return wav, mag, phase, new_carries, new_prev, ssnn_sum, ssnn_cnt
 
     # ------------------------------------------------------------------- api
 
@@ -352,14 +382,7 @@ class StreamingInpainter:
         if self.spec.input_type != "a" and video is not None:
             self._video_buf = np.concatenate([self._video_buf, video])
         if n_frames:
-            self._featurize(
-                np.stack(
-                    [
-                        buf[i * FRAME_STEP : i * FRAME_STEP + FRAME_LENGTH]
-                        for i in range(n_frames)
-                    ]
-                )
-            )
+            self._featurize(_cut_frames(buf, n_frames))
             self._sample_buf = buf[n_frames * FRAME_STEP :]
         else:
             self._sample_buf = buf
@@ -394,14 +417,7 @@ class StreamingInpainter:
                     self._video_buf = np.concatenate(
                         [self._video_buf, np.repeat(tail, short, axis=0)]
                     )
-            self._featurize(
-                np.stack(
-                    [
-                        buf[i * FRAME_STEP : i * FRAME_STEP + FRAME_LENGTH]
-                        for i in range(n_frames)
-                    ]
-                )
-            )
+            self._featurize(_cut_frames(buf, n_frames))
             self._sample_buf = np.zeros((0,), np.float32)
         return self._drain(final=True)
 
@@ -411,7 +427,7 @@ class StreamingInpainter:
         """Raw 384-sample frames -> (spec_norm, re, im) buffer rows, with
         the same windowed-rDFT + log(|X| + 1e-6) chain as the offline
         front-end (ops/stft.py)."""
-        spec = np.fft.rfft(frames * self._window_fn, n=FFT_LENGTH, axis=-1)
+        spec = np.fft.rfft(frames * _WINDOW_FN, n=FFT_LENGTH, axis=-1)
         re = spec.real.astype(np.float32)[:, : self.af]
         im = spec.imag.astype(np.float32)[:, : self.af]
         logmag = np.log(np.sqrt(re * re + im * im) + 1e-6)
@@ -471,7 +487,7 @@ class StreamingInpainter:
         while upto - lo > self.window:
             hi = lo + self.window
             feats, masks, n_valid = self._fold_chunk(lo, hi, t_end)
-            self._ssnn_sum, self._ssnn_cnt = self._ssnn_step(
+            self._ssnn_sum, self._ssnn_cnt = _SSNN_STEP(
                 self.params, jnp.asarray(feats)[None], jnp.asarray(masks)[None],
                 jnp.asarray(n_valid), self._ssnn_sum, self._ssnn_cnt,
             )
@@ -544,8 +560,11 @@ class StreamingInpainter:
         else:
             # terminal short flush window: host OLA over the n_emit frames
             # with the pre-step device prev as left context
-            self._prev_frame = tuple(np.asarray(p) for p in prev_before)
-            out = self._emit(np.asarray(mag)[:n_emit], np.asarray(phase)[:n_emit])
+            out = self._emit(
+                np.asarray(mag)[:n_emit],
+                np.asarray(phase)[:n_emit],
+                tuple(np.asarray(p) for p in prev_before),
+            )
         self._trim_buffers()
         return out
 
@@ -565,15 +584,15 @@ class StreamingInpainter:
                 self._masked_buf = self._masked_buf[cut:]
             self._buf_base = keep_from
 
-    def _emit(self, mag, phase):
-        """OLA-reconstruct the emitted frames with one frame of left
-        context; the emitted sample region then matches the offline iSTFT
-        (whose synthesis-window normalization is position-independent)
-        exactly."""
+    def _emit(self, mag, phase, prev):
+        """Host OLA over the emitted frames with `prev` (mag, phase) as the
+        one-frame left context; the emitted sample region then matches the
+        offline iSTFT (whose synthesis-window normalization is
+        position-independent) exactly.  Only the terminal short flush
+        window takes this path — full windows emit on device."""
         c = mag.shape[0]
-        frames_mag = np.concatenate([self._prev_frame[0][None], mag])
-        frames_ph = np.concatenate([self._prev_frame[1][None], phase])
-        self._prev_frame = (mag[-1], phase[-1])
+        frames_mag = np.concatenate([prev[0][None], mag])
+        frames_ph = np.concatenate([prev[1][None], phase])
         wav = stft_ops.waveform_from_mag_phase(
             jnp.asarray(frames_mag)[None],
             jnp.asarray(frames_ph)[None],

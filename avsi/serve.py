@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import struct
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -122,12 +123,11 @@ def serve(
     service = InpaintingService(model_path, **kw)
     streams: dict = {}  # sid -> [StreamingInpainter, last_used_monotonic]
     streams_lock = threading.Lock()
-    import time as _time
 
     def _reap_streams():
         """Evict sessions idle past the TTL (abandoned clients would
         otherwise leak per-stream device + host state forever)."""
-        now = _time.monotonic()
+        now = time.monotonic()
         with streams_lock:
             for sid in [s for s, v in streams.items() if now - v[1] > stream_idle_s]:
                 del streams[sid]
@@ -192,7 +192,7 @@ def serve(
                 inp = service.open_stream(chunk, look)
                 sid = uuid.uuid4().hex[:12]
                 with streams_lock:
-                    streams[sid] = [inp, _time.monotonic()]
+                    streams[sid] = [inp, time.monotonic()]
                 self._reply(200, json.dumps({
                     "id": sid, "chunk_frames": chunk, "lookahead_frames": look,
                     "frame_step": 192, "frame_length": 384,
@@ -203,7 +203,7 @@ def serve(
             with streams_lock:
                 entry = streams.get(sid)
                 if entry is not None:
-                    entry[1] = _time.monotonic()
+                    entry[1] = time.monotonic()
             if entry is None:
                 self._reply(404, b"no such stream")
                 return
