@@ -207,27 +207,91 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
         prediction = inference
 
     mean, std = prog.stats
-    mag = jnp.exp(prediction * std + mean)[0, : prog.chunk]
-    re = window["re"][0, : prog.chunk]
-    im = window["im"][0, : prog.chunk]
-    m = mask_bins[0, : prog.chunk]
+    mag = jnp.exp(prediction * std + mean)[:, : prog.chunk]  # (B, C, af)
+    re = window["re"][:, : prog.chunk]
+    im = window["im"][:, : prog.chunk]
+    m = mask_bins[:, : prog.chunk]
     phase = jnp.arctan2(im * m, re * m)  # masked phase: 0 in the hole
 
     # fused OLA: resynthesize [prev_frame, chunk frames] on device and
-    # return only the samples the chunk finalizes
-    prev_mag, prev_phase = prev
-    frames_mag = jnp.concatenate([prev_mag[None], mag])
-    frames_ph = jnp.concatenate([prev_phase[None], phase])
+    # return only the samples the chunk finalizes.  Batch-generic: the
+    # same program serves one live stream (B=1) or a lockstep fleet.
+    prev_mag, prev_phase = prev  # (B, af) each
+    frames_mag = jnp.concatenate([prev_mag[:, None], mag], axis=1)
+    frames_ph = jnp.concatenate([prev_phase[:, None], phase], axis=1)
     wav = stft_ops.waveform_from_mag_phase(
-        frames_mag[None],
-        frames_ph[None],
+        frames_mag,
+        frames_ph,
         num_samples=prog.chunk * FRAME_STEP + FRAME_LENGTH,
         frame_length=FRAME_LENGTH,
         frame_step=FRAME_STEP,
         fft_length=FFT_LENGTH,
-    )[0, FRAME_STEP : FRAME_STEP + prog.chunk * FRAME_STEP]
-    new_prev = (mag[-1], phase[-1])
+    )[:, FRAME_STEP : FRAME_STEP + prog.chunk * FRAME_STEP]
+    new_prev = (mag[:, -1], phase[:, -1])
     return wav, mag, phase, new_carries, new_prev, ssnn_sum, ssnn_cnt
+
+
+_EXT_CTX = 4  # left-context frames in a raw window (the fold's delta +-2)
+
+
+def _window_step_raw(prog, params, raw, carries, prev, ssnn_sum, ssnn_cnt):
+    """Raw-sample window step: the STFT -> log -> normalize front-end (and,
+    for ssnn, the fold's delta features) run IN-GRAPH via the matmul-DFT
+    ops, so the host ships raw samples instead of f32 feature tensors —
+    ~6x fewer bytes per window, the lever that matters when many lockstep
+    streams share one link.
+
+    raw: samples (B, (EXT+W-1)*192+384) covering frames [t0-EXT, t0+W),
+    mask_ext (B, EXT+W), video (B, W, vf), optional embedding (B, E),
+    t_valid (scalar: first window-relative frame past the stream — rows
+    beyond it are zeroed so tail windows see the same zero-FEATURE padding
+    the single-stream class uses, not silence features from zero samples);
+    ssnn scalars (window-relative frame indices): fold_lo, fold_n,
+    clamp_lo, clamp_hi."""
+    mean, std = prog.stats
+    n_ext = raw["mask_ext"].shape[1]
+    w_len = n_ext - _EXT_CTX
+    logmag, re, im = stft_ops.log_magnitude_spectrogram(
+        raw["samples"], FRAME_LENGTH, FRAME_STEP, FFT_LENGTH
+    )
+    af = mean.shape[-1]
+    valid = (jnp.arange(n_ext) < raw["t_valid"])[None, :, None]
+    logmag = jnp.where(valid, logmag[:, :n_ext, :af], 0.0)
+    re = jnp.where(valid, re[:, :n_ext, :af], 0.0)
+    im = jnp.where(valid, im[:, :n_ext, :af], 0.0)
+    sn_ext = jnp.where(valid, (logmag - mean) / std, 0.0)
+    window = {
+        "spec_norm": sn_ext[:, _EXT_CTX:],
+        "re": re[:, _EXT_CTX:],
+        "im": im[:, _EXT_CTX:],
+        "mask": raw["mask_ext"][:, _EXT_CTX:],
+        "video": raw["video"],
+    }
+    if "embedding" in raw:
+        window["embedding"] = raw["embedding"]
+    if prog.spec.conditioning == "ssnn":
+        masked_ext = sn_ext * raw["mask_ext"][:, :, None]
+        pos = raw["fold_lo"] + jnp.arange(w_len)  # traced rel indices
+        lo_c, hi_c = raw["clamp_lo"], raw["clamp_hi"]
+
+        def g(arr, idx):
+            return jnp.take(
+                arr, jnp.clip(idx, 0, n_ext - 1).astype(jnp.int32), axis=1
+            )
+
+        denom = 2.0 * sum(i * i for i in range(1, _DELTA_N + 1))
+        base = g(masked_ext, jnp.clip(pos, lo_c, hi_c))
+        d = jnp.zeros_like(base)
+        for i in range(1, _DELTA_N + 1):
+            f = jnp.clip(pos + i, lo_c, hi_c)
+            b = jnp.clip(pos - i, lo_c, hi_c)
+            d = d + i * (g(masked_ext, f) - g(masked_ext, b))
+        window["ssnn_feats"] = jnp.concatenate([base, d / denom], axis=2)
+        window["ssnn_mask"] = g(
+            raw["mask_ext"][:, :, None], jnp.clip(pos, lo_c, hi_c)
+        )[..., 0]
+        window["ssnn_n"] = raw["fold_n"]
+    return _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt)
 
 
 def _clamped_deltas(masked: np.ndarray, lo: int, hi: int, t_end: int | None):
@@ -344,8 +408,8 @@ class StreamingInpainter:
         # Device copy feeds the fused on-device OLA; the host mirror serves
         # the short terminal flush window.
         self._prev_dev = (
-            jnp.zeros((self.af,), jnp.float32),
-            jnp.zeros((self.af,), jnp.float32),
+            jnp.zeros((1, self.af), jnp.float32),
+            jnp.zeros((1, self.af), jnp.float32),
         )
         self._frames_in = 0  # featurized
         self._frames_out = 0  # emitted
@@ -556,14 +620,14 @@ class StreamingInpainter:
         if n_emit == self.chunk:
             # fused on-device OLA already produced exactly these samples
             self._frames_out += n_emit
-            out = np.asarray(wav)
+            out = np.asarray(wav)[0]
         else:
             # terminal short flush window: host OLA over the n_emit frames
             # with the pre-step device prev as left context
             out = self._emit(
-                np.asarray(mag)[:n_emit],
-                np.asarray(phase)[:n_emit],
-                tuple(np.asarray(p) for p in prev_before),
+                np.asarray(mag)[0, :n_emit],
+                np.asarray(phase)[0, :n_emit],
+                tuple(np.asarray(p)[0] for p in prev_before),
             )
         self._trim_buffers()
         return out
@@ -634,3 +698,143 @@ def stream_utterance(
                             frame_mask[frames_fed:], vid))
     out.append(inp.flush())
     return np.concatenate(out)
+
+
+def _clamped_deltas_batched(masked, lo, hi, t_end):
+    """Batched `_clamped_deltas`: masked (B, T, af), frame axis 1."""
+    denom = 2.0 * sum(i * i for i in range(1, _DELTA_N + 1))
+    top = (t_end if t_end is not None else masked.shape[1]) - 1
+    idx = np.arange(lo, hi)
+    out = np.zeros((masked.shape[0], hi - lo, masked.shape[2]), np.float32)
+    for i in range(1, _DELTA_N + 1):
+        fwd = np.clip(idx + i, 0, top)
+        bwd = np.clip(idx - i, 0, top)
+        out += i * (masked[:, fwd] - masked[:, bwd])
+    return out / denom
+
+
+def stream_utterances_lockstep(
+    config: dict,
+    stats: tuple,
+    params: dict,
+    waves: np.ndarray,
+    frame_masks: np.ndarray,
+    videos: np.ndarray | None = None,
+    embeddings: np.ndarray | None = None,
+    chunk_frames: int = 8,
+    lookahead_frames: int = 16,
+    program_cache: dict | None = None,
+) -> np.ndarray:
+    """Serve B streams in lockstep: each window is ONE fused device
+    dispatch covering every stream (the multi-tenant serving shape), and
+    the whole front-end — STFT, log, normalization, ssnn delta fold —
+    runs in-graph from raw samples, so the host ships ~6x fewer bytes per
+    window than a feature-level interface.  Window schedule, padding and
+    ssnn fold timing replicate StreamingInpainter exactly, so a B=1 call
+    matches the single-stream class sample for sample (float tolerance:
+    the class featurizes via host np.fft, this path via the device
+    matmul-DFT).
+
+    waves (B, S) int16-scale float; frame_masks (B, T) with
+    T = ceil(S / 192); videos (B, T, 136) for visual models; embeddings
+    (B, emb_dim) for external-embedding models.  Returns (B, T * 192)."""
+    spec = blstm_lib.parse_model_name(config["model"])
+    af = int(config["audio_feat_dim"])
+    vf = int(config["video_feat_dim"])
+    int_layer = int(config.get("integration_layer", 0)) if spec.conditioning else 0
+    chunk, look = int(chunk_frames), int(lookahead_frames)
+    if chunk < 1 or look < 0:
+        raise ValueError("chunk_frames >= 1 and lookahead_frames >= 0 required")
+    window_n = chunk + look
+    b_sz, n_samples = waves.shape
+    t_frames = -(-n_samples // FRAME_STEP)
+    if frame_masks.shape != (b_sz, t_frames):
+        raise ValueError(
+            f"frame_masks must be {(b_sz, t_frames)}, got {frame_masks.shape}"
+        )
+    if spec.conditioning == "emb" and embeddings is None:
+        raise ValueError("model needs external speaker embeddings")
+    if spec.input_type != "a" and videos is None:
+        raise ValueError("model consumes video features")
+
+    stats_j = (jnp.asarray(stats[0], jnp.float32), jnp.asarray(stats[1], jnp.float32))
+    key = ("raw", chunk, look)
+    if program_cache is not None and key in program_cache:
+        step = program_cache[key]
+    else:
+        prog = _ProgSpec(
+            spec=spec, int_layer=int_layer, chunk=chunk,
+            compute_dtype=(
+                jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
+                else jnp.float32
+            ),
+            stats=stats_j,
+        )
+        step = jax.jit(partial(_window_step_raw, prog))
+        if program_cache is not None:
+            program_cache[key] = step
+
+    # global sample/mask planes in extended coordinates: EXT zero frames
+    # of left context, the stream, then pad_end zeros / intact masks
+    n_windows = -(-t_frames // chunk)
+    t0_max = (n_windows - 1) * chunk
+    ext_frames = _EXT_CTX + window_n
+    samp_len = (t0_max + window_n + _EXT_CTX - 1) * FRAME_STEP + FRAME_LENGTH
+    samp = np.zeros((b_sz, samp_len), np.float32)
+    samp[:, _EXT_CTX * FRAME_STEP : _EXT_CTX * FRAME_STEP + n_samples] = waves
+    fm = np.asarray(frame_masks, np.float32)
+    mask_glob = np.concatenate(
+        [np.zeros((b_sz, _EXT_CTX), np.float32), fm,
+         np.ones((b_sz, t0_max + window_n - t_frames), np.float32)], axis=1,
+    )
+    vid_glob = None
+    if spec.input_type != "a":
+        vid_glob = np.zeros((b_sz, t0_max + window_n, vf), np.float32)
+        vid_glob[:, :t_frames] = np.asarray(videos, np.float32)
+    ext_emb = (
+        jnp.asarray(embeddings, jnp.float32) if spec.conditioning == "emb" else None
+    )
+
+    hidden = [p["wh"].shape[1] for p, _ in _layer_list(params, spec, int_layer)]
+    carries = [
+        (jnp.zeros((b_sz, h), jnp.float32), jnp.zeros((b_sz, h), jnp.float32))
+        for h in hidden
+    ]
+    prev = (jnp.zeros((b_sz, af), jnp.float32), jnp.zeros((b_sz, af), jnp.float32))
+    ssnn_sum = jnp.zeros((b_sz, blstm_lib.SSNN_DIM), jnp.float32)
+    ssnn_cnt = jnp.zeros((b_sz,), jnp.float32)
+    raw_len = (ext_frames - 1) * FRAME_STEP + FRAME_LENGTH
+
+    outs = []
+    deltas_done = 0
+    for t0 in range(0, t_frames, chunk):
+        buffered = t_frames - t0
+        final = buffered < window_n  # the class's flush-window condition
+        raw = {
+            "samples": jnp.asarray(samp[:, t0 * FRAME_STEP : t0 * FRAME_STEP + raw_len]),
+            "mask_ext": jnp.asarray(mask_glob[:, t0 : t0 + ext_frames]),
+            "video": (
+                jnp.asarray(vid_glob[:, t0 : t0 + window_n])
+                if vid_glob is not None
+                else jnp.zeros((b_sz, window_n, vf), jnp.float32)
+            ),
+            "t_valid": jnp.asarray(min(_EXT_CTX + t_frames - t0, ext_frames)),
+        }
+        if ext_emb is not None:
+            raw["embedding"] = ext_emb
+        if spec.conditioning == "ssnn":
+            visible = min(t0 + window_n, t_frames)
+            upto = visible if final else max(0, visible - _DELTA_N)
+            n_new = max(0, upto - deltas_done)
+            raw["fold_lo"] = jnp.asarray(_EXT_CTX + deltas_done - t0)
+            raw["fold_n"] = jnp.asarray(float(n_new))
+            raw["clamp_lo"] = jnp.asarray(max(0, _EXT_CTX - t0))
+            raw["clamp_hi"] = jnp.asarray(
+                _EXT_CTX + (t_frames - 1 - t0) if final else ext_frames - 1
+            )
+            deltas_done = upto
+        wav, _, _, carries, prev, ssnn_sum, ssnn_cnt = step(
+            params, raw, carries, prev, ssnn_sum, ssnn_cnt
+        )
+        outs.append(np.asarray(wav))
+    return np.concatenate(outs, axis=1)[:, : t_frames * FRAME_STEP]

@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--look", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--model", default="av-blstm-ssnn-ctc")
+    ap.add_argument("--fleet", type=int, default=0,
+                    help="also bench N lockstep streams through one "
+                    "batched window program (multi-tenant serving shape)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +66,37 @@ def main():
     dt = min(times)
     n_windows = -(-250 // args.chunk)
     assert out.shape == (48000,) and np.isfinite(out).all()
+    if args.fleet:
+        b = args.fleet
+        waves = (3000 * rng.randn(b, 48000)).astype(np.float32)
+        fmask = np.tile(mask, (b, 1))
+        vids = rng.randn(b, 250, 136).astype(np.float32) if vid is not None else None
+        streaming.stream_utterances_lockstep(  # compile
+            config, stats, params, waves, fmask, vids,
+            chunk_frames=args.chunk, lookahead_frames=args.look,
+        )
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            fo = streaming.stream_utterances_lockstep(
+                config, stats, params, waves, fmask, vids,
+                chunk_frames=args.chunk, lookahead_frames=args.look,
+            )
+            ts.append(time.time() - t0)
+        fdt = min(ts)
+        assert fo.shape == (b, 48000)
+        # each window advances chunk*12 ms of audio PER STREAM; real-time
+        # capacity = streams the chip sustains at <= real time
+        rtf_fleet = b * 3.0 / fdt
+        print(json.dumps({
+            "metric": "streaming_fleet",
+            "value": round(rtf_fleet, 1),
+            "unit": "concurrent_realtime_streams_per_chip",
+            "fleet": b,
+            "wall_s_per_3s_utt_fleet": round(fdt, 3),
+            "ms_per_window_fleet": round(1000 * fdt / n_windows, 1),
+        }))
+
     print(json.dumps({
         "metric": "streaming_window_latency",
         "value": round(1000 * dt / n_windows, 1),

@@ -154,3 +154,47 @@ def test_emb_model_requires_embedding():
     config, spec, params, stats, batch = _setup("av-blstm-emb")
     with pytest.raises(ValueError):
         streaming.StreamingInpainter(config, stats, params)
+
+
+def test_lockstep_matches_single_stream():
+    """The batched lockstep API replicates the single-stream class sample
+    for sample — every stream in the fleet gets the exact per-stream
+    window schedule, padding, and ssnn fold timing."""
+    config, spec, params, stats, _ = _setup("av-blstm-ssnn-ctc")
+    b = synth_batch(config, batch_size=3, seed=9, gap=(4, 11))
+    waves = np.asarray(b["target_sources"])
+    masks = np.array(b["masks"][:, :, 0])  # writable copy
+    videos = np.asarray(b["video_features"])
+    # vary the hole per stream so rows are genuinely different
+    masks[1, 15:22] = 0.0
+    masks[2, :] = 1.0
+
+    got = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos,
+        chunk_frames=5, lookahead_frames=7,
+    )
+    assert got.shape == (3, T * 192)
+
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=5, lookahead_frames=7
+    )
+    for i in range(3):
+        single = streaming.stream_utterance(inp, waves[i], masks[i], videos[i])
+        np.testing.assert_allclose(got[i], single, atol=2e-4, rtol=0)
+
+
+def test_lockstep_emb_and_validation():
+    config, spec, params, stats, batch = _setup("av-blstm-emb")
+    waves = np.asarray(batch["target_sources"])
+    masks = np.asarray(batch["masks"][:, :, 0])
+    videos = np.asarray(batch["video_features"])
+    embs = np.asarray(batch["embeddings"])
+    out = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos, embeddings=embs,
+        chunk_frames=6, lookahead_frames=6,
+    )
+    assert out.shape == (1, T * 192) and np.isfinite(out).all()
+    with pytest.raises(ValueError):
+        streaming.stream_utterances_lockstep(
+            config, stats, params, waves, masks[:, :5], videos, embeddings=embs
+        )
