@@ -10,14 +10,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from avsi.models import asr, blstm, twosteps, unet
+from avsi.models import asr, blstm, twosteps, unet, unet_pconv
 
 BLSTM_NAMES = [
     f"{i}-blstm{s}"
     for i in ("a", "v", "av")
     for s in ("", "-ssnn", "-emb", "-ctc", "-ssnn-ctc")
 ]
-ALL_INPAINTING_MODELS = BLSTM_NAMES + ["av-blstm-twosteps", "unet"]
+ALL_INPAINTING_MODELS = BLSTM_NAMES + ["av-blstm-twosteps", "unet", "unet-pconv"]
 ASR_MODELS = ["a-blstm", "v-blstm", "av-blstm"]
 
 
@@ -42,13 +42,14 @@ class ModelDef:
 
 def get_model(name: str) -> ModelDef:
     """Inpainting model lookup by config name."""
-    if name == "unet":
+    if name in ("unet", "unet-pconv"):
+        mod = unet if name == "unet" else unet_pconv
         return ModelDef(
             name,
-            unet.init,
-            unet.forward,
-            unet.losses,
-            unet.enhanced_sources,
+            mod.init,
+            mod.forward,
+            mod.losses,
+            mod.enhanced_sources,
             frame_length=unet.FRAME_LENGTH,
             frame_step=unet.FRAME_STEP,
             fft_length=unet.FFT_LENGTH,

@@ -211,6 +211,7 @@ def apply_bn_update(params: dict, bn_stats: dict) -> dict:
             out["enc"][i]["bn"]["mean"] = upd["mean"]
             out["enc"][i]["bn"]["var"] = upd["var"]
     for i, upd in enumerate(bn_stats["dec"]):
-        out["dec"][i]["bn"]["mean"] = upd["mean"]
-        out["dec"][i]["bn"]["var"] = upd["var"]
+        if upd:  # the pconv twin's last decoder has no BN (models.py:406)
+            out["dec"][i]["bn"]["mean"] = upd["mean"]
+            out["dec"][i]["bn"]["var"] = upd["var"]
     return out

@@ -75,7 +75,7 @@ def _png_grayscale(img: np.ndarray) -> bytes:
 
 
 def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
-    data = np.clip(samples, -32768, 32767).astype("<i2").tobytes()
+    data = np.clip(np.nan_to_num(samples), -32768, 32767).astype("<i2").tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,

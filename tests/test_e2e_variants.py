@@ -64,7 +64,8 @@ def test_embedding_model_train_and_infer(emb_corpus, tmp_path):
     assert np.isfinite(res["loss_hole"])
 
 
-def test_unet_train(emb_corpus, tmp_path):
+@pytest.fixture(scope="module")
+def unet_corpus(emb_corpus, tmp_path_factory):
     # unet needs T and F to be multiples of 64: audio_len 8192 -> T=64, F=128.
     # The 600 ms fixture has T=50 masks at 257 bins, so build a unet-shaped
     # corpus via masks directly: reuse the fixture wavs, crop to 8192.
@@ -73,7 +74,8 @@ def test_unet_train(emb_corpus, tmp_path):
     from avsi.data import tfrecord as tfr
     from avsi.utils import wav as wavio
 
-    d = str(tmp_path / "unet_tfr")
+    base = str(tmp_path_factory.mktemp("unetfix"))
+    d = os.path.join(base, "unet_tfr")
     for split in ("training-set", "validation-set"):
         os.makedirs(os.path.join(d, split), exist_ok=True)
         dirs = sorted(
@@ -93,25 +95,33 @@ def test_unet_train(emb_corpus, tmp_path):
             with tfr.TFRecordWriter(os.path.join(d, split, f"data_{i:05d}.tfrecord")) as w:
                 w.write(rec)
     # 128-bin spec stats
-    mean = np.zeros(128, np.float32)
-    std = np.ones(128, np.float32)
-    np.save(str(tmp_path / "unet_mean.npy"), mean)
-    np.save(str(tmp_path / "unet_std.npy"), std)
+    mean_p = os.path.join(base, "unet_mean.npy")
+    std_p = os.path.join(base, "unet_std.npy")
+    np.save(mean_p, np.zeros(128, np.float32))
+    np.save(std_p, np.ones(128, np.float32))
+    return {"tfrecords": d, "mean": mean_p, "std": std_p}
+
+
+def _unet_train_and_infer(model, emb_corpus, unet_corpus, tmp_path):
+    from avsi.utils import wav as wavio
+
+    exp = "exp_" + model.replace("-", "_")
     cfg = _config(
-        tmp_path, dict(emb_corpus, tfrecords=d), "unet", "exp_unet",
-        audio_len=8192, audio_feat_dim=128, net_dim=[1],
-        audio_feat_mean=str(tmp_path / "unet_mean.npy"),
-        audio_feat_std=str(tmp_path / "unet_std.npy"),
+        tmp_path, dict(emb_corpus, tfrecords=unet_corpus["tfrecords"]), model,
+        exp, audio_len=8192, audio_feat_dim=128, net_dim=[1],
+        audio_feat_mean=unet_corpus["mean"],
+        audio_feat_std=unet_corpus["std"],
     )
     summary = loop.train(cfg)
     assert np.isfinite(summary["best_val"])
 
     # inference with Griffin-Lim must honor the unet's 16ms/8ms/256 STFT
     # geometry (regression: the GL path once hardcoded the BLSTM geometry)
-    out_audio = str(tmp_path / "unet_audio")
+    out_audio = str(tmp_path / (model + "_audio"))
     res = inpaint.infer(
-        str(tmp_path / "exp_unet" / "netmodel"),
-        os.path.join(d, "validation-set"), out_audio, "unet_out",
+        str(tmp_path / exp / "netmodel"),
+        os.path.join(unet_corpus["tfrecords"], "validation-set"),
+        out_audio, "unet_out",
         norm=True, batch_size=2, phase_recon="gl", gl_iters=4,
     )
     assert res["num_samples"] > 0
@@ -120,6 +130,15 @@ def test_unet_train(emb_corpus, tmp_path):
         os.path.join(out_audio, sample, "enhanced", "unet_out.wav")
     )
     assert len(data) == 64 * 128  # seq_len * unet hop (128), not 192
+
+
+def test_unet_train(emb_corpus, unet_corpus, tmp_path):
+    _unet_train_and_infer("unet", emb_corpus, unet_corpus, tmp_path)
+
+
+def test_unet_pconv_train(emb_corpus, unet_corpus, tmp_path):
+    # the partial-conv twin (models.py:320-516) end-to-end: train + GL infer
+    _unet_train_and_infer("unet-pconv", emb_corpus, unet_corpus, tmp_path)
 
 
 def test_twosteps_with_pretrained_vnet(emb_corpus, tmp_path):
