@@ -807,9 +807,15 @@ def stream_utterances_lockstep(
 
     outs = []
     deltas_done = 0
+    # Frames computable from real pushed samples, pre-flush: the class only
+    # materializes the pad_end frame(s) at flush(), so any window needing
+    # them runs there with final=True — even a FULL window (when
+    # t_frames - t0 == window_n and the tail frames are pad frames).
+    # Matching on t_frames alone would mark that window non-final and
+    # diverge from the class's fold timing / t_end clamp.
+    real_frames = max(0, (n_samples - FRAME_LENGTH) // FRAME_STEP + 1)
     for t0 in range(0, t_frames, chunk):
-        buffered = t_frames - t0
-        final = buffered < window_n  # the class's flush-window condition
+        final = t0 + window_n > real_frames  # the class's flush-window condition
         raw = {
             "samples": jnp.asarray(samp[:, t0 * FRAME_STEP : t0 * FRAME_STEP + raw_len]),
             "mask_ext": jnp.asarray(mask_glob[:, t0 : t0 + ext_frames]),

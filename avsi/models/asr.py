@@ -81,9 +81,9 @@ def forward(
 ) -> dict:
     """Returns {'logits': (B, T, C)}.  `audio_sources` overrides the batch
     waveform — used by the fused SI->ASR pipeline (inference_siasr)."""
-    compute_dtype = (
-        jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
-    )
+    from avsi.models.blstm import _dtypes
+
+    compute_dtype, gate_dtype = _dtypes(config)
     sources = batch["target_sources"] if audio_sources is None else audio_sources
     t = batch["masks"].shape[1]
     feats = asr_features(
@@ -105,7 +105,7 @@ def forward(
     if k > 1:
         net_in = _stack_frames(net_in, k)
         logit_lengths = -(-logit_lengths // k)
-    rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype)
+    rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype, gate_dtype)
     rnn_out = core.dropout(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train
     )

@@ -70,6 +70,19 @@ class BLSTMSpec:
     loss_on_hole_only: bool
 
 
+def _dtypes(config):
+    """(compute_dtype, gate_dtype) from config. gate_dtype defaults to the
+    compute dtype (ROADMAP.md #3: bf16 gates are the fast bf16 layout);
+    set `gate_dtype = float32` in the config to pin fp32 gate
+    transcendentals under bf16 compute."""
+    import jax.numpy as _jnp
+
+    compute = _jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else _jnp.float32
+    g = config.get("gate_dtype")
+    gate = None if g is None else (_jnp.bfloat16 if g == "bfloat16" else _jnp.float32)
+    return compute, gate
+
+
 def parse_model_name(name: str) -> BLSTMSpec:
     parts = name.split("-")
     input_type = parts[0]
@@ -192,9 +205,7 @@ def forward(
 ) -> dict:
     """Full forward pass. Returns feats + prediction (+ asr logits)."""
     spec = spec or parse_model_name(config["model"])
-    compute_dtype = (
-        jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
-    )
+    compute_dtype, gate_dtype = _dtypes(config)
     feats = features(batch, stats, config)
     net_in = _net_inputs(spec, feats, batch, audio_features)
     t = net_in.shape[1]
@@ -213,16 +224,18 @@ def forward(
     if emb is not None and int_layer == 0:
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
-            params["blstm"], jnp.concatenate([net_in, tiled], axis=2), compute_dtype
+            params["blstm"], jnp.concatenate([net_in, tiled], axis=2), compute_dtype,
+            gate_dtype,
         )
     elif emb is not None:
-        mid = core.blstm_stack(params["blstm1"], net_in, compute_dtype)
+        mid = core.blstm_stack(params["blstm1"], net_in, compute_dtype, gate_dtype)
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
-            params["blstm2"], jnp.concatenate([mid, tiled], axis=2), compute_dtype
+            params["blstm2"], jnp.concatenate([mid, tiled], axis=2), compute_dtype,
+            gate_dtype,
         )
     else:
-        rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype)
+        rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype, gate_dtype)
 
     rnn_out = core.dropout(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train

@@ -52,33 +52,55 @@ def lstm_layer_init(rng, in_dim: int, hidden: int) -> dict:
     return {"wx": wx, "wh": wh, "b": b}
 
 
-def _lstm_cell(carry, xw_t, wh, hidden):
-    """One step for both directions: carry (2, B, H) f32 each."""
+def _lstm_cell(carry, xw_t, wh, hidden, gate_dtype=jnp.float32):
+    """One step for both directions: carry (2, B, H) f32 each.
+
+    `gate_dtype` is the dtype the gate nonlinearities are evaluated in;
+    cell/hidden state stays float32 either way.  With gate_dtype=float32
+    (the default, and the fp32 compute path) this is the round-1/2
+    semantics exactly; bfloat16 gates are the measured-fastest bf16
+    configuration on v5e (see ROADMAP.md #3: fp32 gates are what made
+    bf16 compute SLOWER than fp32 end-to-end)."""
     h, c = carry
-    gates = xw_t + jnp.einsum(
-        "dbh,dhg->dbg", h.astype(wh.dtype), wh, preferred_element_type=jnp.float32
-    )
-    i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    gates = (
+        xw_t.astype(jnp.float32)
+        + jnp.einsum(
+            "dbh,dhg->dbg", h.astype(wh.dtype), wh, preferred_element_type=jnp.float32
+        )
+    ).astype(gate_dtype)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    f32 = jnp.float32
+    c_new = jax.nn.sigmoid(f).astype(f32) * c + jax.nn.sigmoid(i).astype(f32) * jnp.tanh(g).astype(f32)
+    h_new = jax.nn.sigmoid(o).astype(f32) * jnp.tanh(c_new.astype(gate_dtype)).astype(f32)
     return (h_new, c_new), h_new
 
 
-def bilstm_layer(params: dict, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
-    """Bidirectional LSTM layer: (B, T, D) -> (B, T, 2H)."""
+def bilstm_layer(
+    params: dict, x: jax.Array, compute_dtype=jnp.float32, gate_dtype=None
+) -> jax.Array:
+    """Bidirectional LSTM layer: (B, T, D) -> (B, T, 2H).
+
+    gate_dtype=None follows compute_dtype (so bfloat16 compute gets
+    bfloat16 gate transcendentals and a bfloat16 pre-projection stream —
+    the fastest measured bf16 layout; float32 compute is bit-identical to
+    the original fp32-everything path)."""
     b_sz, t_len, _ = x.shape
     hidden = params["wh"].shape[1]
+    if gate_dtype is None:
+        gate_dtype = compute_dtype
     xc = x.astype(compute_dtype)
     # direction axis: fwd sees x, bwd sees time-reversed x
     x2 = jnp.stack([xc, jnp.flip(xc, axis=1)], axis=0)  # (2, B, T, D)
     wx = params["wx"].astype(compute_dtype)
     wh = params["wh"].astype(compute_dtype)
     bias = params["b"].astype(jnp.float32)
-    # whole-sequence input projection: one batched MXU matmul
+    # whole-sequence input projection: one batched MXU matmul, f32
+    # accumulation; stored at compute dtype (halves the scan's HBM stream
+    # under bf16 — xw is by far the largest tensor the scan reads)
     xw = (
         jnp.einsum("dbti,dig->dbtg", x2, wx, preferred_element_type=jnp.float32)
         + bias[:, None, None, :]
-    )
+    ).astype(compute_dtype)
     xw_t = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4H) time-major for scan
 
     h0 = jnp.zeros((2, b_sz, hidden), jnp.float32)
@@ -86,7 +108,7 @@ def bilstm_layer(params: dict, x: jax.Array, compute_dtype=jnp.float32) -> jax.A
     # remat the cell: the scan backward re-derives gates instead of storing
     # per-step residuals in HBM (~8% faster fwd+bwd measured at B=256;
     # free for forward-only use). See ROADMAP.md #3 for the layer roofline.
-    cell = jax.checkpoint(partial(_lstm_cell, wh=wh, hidden=hidden))
+    cell = jax.checkpoint(partial(_lstm_cell, wh=wh, hidden=hidden, gate_dtype=gate_dtype))
     (_, _), hs = jax.lax.scan(cell, (h0, c0), xw_t)
     # hs: (T, 2, B, H) -> fwd (B,T,H) and time-unreversed bwd
     fwd = jnp.moveaxis(hs[:, 0], 0, 1)
@@ -108,11 +130,12 @@ def blstm_stack(
     layers: list[dict],
     x: jax.Array,
     compute_dtype=jnp.float32,
+    gate_dtype=None,
 ) -> jax.Array:
     """Stacked bidirectional LSTM: (B, T, D) -> (B, T, 2*H_last)."""
     out = x
     for layer in layers:
-        out = bilstm_layer(layer, out, compute_dtype)
+        out = bilstm_layer(layer, out, compute_dtype, gate_dtype)
     return out
 
 

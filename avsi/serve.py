@@ -158,6 +158,7 @@ def serve(
             self.wfile.write(body)
 
         def _reply(self, code, body):
+            self._replied = True
             self.send_response(code)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
@@ -185,14 +186,27 @@ def serve(
                 look = int(q.get("look", ["16"])[0])
                 if not (1 <= chunk <= 256 and 0 <= look <= 256):
                     raise ValueError("chunk must be in [1,256], look in [0,256]")
-                with streams_lock:
-                    if len(streams) >= max_streams:
-                        self._reply(429, b"too many live streams")
-                        return
-                inp = service.open_stream(chunk, look)
+                # reserve the slot and insert under ONE lock acquisition
+                # (check-then-insert under separate acquisitions would let
+                # concurrent opens at the limit all pass the check); the
+                # socket write happens outside the lock so a slow client
+                # cannot stall other stream requests.
                 sid = uuid.uuid4().hex[:12]
                 with streams_lock:
-                    streams[sid] = [inp, time.monotonic()]
+                    full = len(streams) >= max_streams
+                    if not full:
+                        streams[sid] = [None, time.monotonic()]  # placeholder
+                if full:
+                    self._reply(429, b"too many live streams")
+                    return
+                try:
+                    inp = service.open_stream(chunk, look)
+                except Exception:
+                    with streams_lock:
+                        streams.pop(sid, None)
+                    raise
+                with streams_lock:
+                    streams[sid][0] = inp
                 self._reply(200, json.dumps({
                     "id": sid, "chunk_frames": chunk, "lookahead_frames": look,
                     "frame_step": 192, "frame_length": 384,
@@ -202,6 +216,8 @@ def serve(
             closing = len(parts) > 1 and parts[1] == "close"
             with streams_lock:
                 entry = streams.get(sid)
+                if entry is not None and entry[0] is None:
+                    entry = None  # placeholder: open() still in flight
                 if entry is not None:
                     entry[1] = time.monotonic()
             if entry is None:
@@ -228,11 +244,19 @@ def serve(
 
         def do_POST(self):
             if self.path.startswith("/stream/"):
+                # client errors -> 400 with the message; anything else is a
+                # server bug -> opaque 500 (no internal detail leaked). If a
+                # response was already started, never write a second one
+                # into the same connection.
+                self._replied = False
                 try:
                     self._do_stream()
-                except Exception as e:
-                    msg = str(e).encode()
-                    self._reply(400, msg)
+                except (ValueError, KeyError, IndexError, struct.error) as e:
+                    if not self._replied:
+                        self._reply(400, str(e).encode())
+                except Exception:
+                    if not self._replied:
+                        self._reply(500, b"internal error")
                 return
             if self.path != "/enhance":
                 self.send_response(404)

@@ -255,6 +255,21 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     if corpus_cache is not None:
         cached_train = corpus_cache.setdefault("train", [])
         cached_val = corpus_cache.setdefault("val", [])
+        # Stamp the cache with the parameters the batches were built under:
+        # a later call with a different corpus/batch geometry must not
+        # silently train on the first call's cached data (same-shape
+        # different-corpus reuse would train on the WRONG data, no error).
+        stamp = {
+            "root_folder": os.path.abspath(str(config["root_folder"])),
+            "batch_size": int(config["batch_size"]),
+            "audio_len": int(config["audio_len"]),
+        }
+        prev = corpus_cache.setdefault("stamp", stamp)
+        if prev != stamp:
+            raise ValueError(
+                f"shared corpus_cache was built for {prev} but this train() "
+                f"call uses {stamp} — use a separate cache"
+            )
     else:
         cached_train = []
         cached_val = []

@@ -258,7 +258,8 @@ def main():
                     "analytic_gflops_per_utt": round(flops / 1e9, 3),
                     "mfu_fp32_vs_bf16_peak": round(mfu["float32"], 4),
                     "mfu_bf16_vs_bf16_peak": round(mfu["bfloat16"], 4),
-                    "peak_tflops_assumed": peak / 1e12,
+                    "peak_tflops_assumed": peak / 1e12,  # v5e bf16 peak
+                    "peak_note": "bf16 peak; both MFU rows use it",
                     "baseline_tf_cpu_utt_per_sec": round(base.get("utt_per_sec", float("nan")), 3),
                     "device": tpu.get("device", "?"),
                 },

@@ -183,6 +183,32 @@ def test_lockstep_matches_single_stream():
         np.testing.assert_allclose(got[i], single, atol=2e-4, rtol=0)
 
 
+def test_lockstep_final_full_window_with_pad_frame():
+    """Regression: when a window is exactly full but its tail frames are
+    pad_end frames (here T=25, real_frames=24, chunk=5, look=5: the t0=15
+    window covers [15,25) and needs the pad frame), the class processes it
+    in flush() with final=True; lockstep must compute `final` from the
+    real (non-pad) frame count, not the padded T, or its fold timing and
+    t_end clamp diverge in that window."""
+    config, spec, params, stats, _ = _setup("av-blstm-ssnn-ctc")
+    b = synth_batch(config, batch_size=2, seed=11, gap=(14, 23))
+    waves = np.asarray(b["target_sources"])
+    masks = np.asarray(b["masks"][:, :, 0])
+    videos = np.asarray(b["video_features"])
+    assert T * 192 > AL - 192  # sanity: at least one pad_end frame exists
+
+    got = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos,
+        chunk_frames=5, lookahead_frames=5,
+    )
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=5, lookahead_frames=5
+    )
+    for i in range(2):
+        single = streaming.stream_utterance(inp, waves[i], masks[i], videos[i])
+        np.testing.assert_allclose(got[i], single, atol=2e-4, rtol=0)
+
+
 def test_lockstep_emb_and_validation():
     config, spec, params, stats, batch = _setup("av-blstm-emb")
     waves = np.asarray(batch["target_sources"])
