@@ -127,6 +127,10 @@ def compute_mean_std_features(
         raise ValueError(f"no samples found under {audio_dir}")
     mean = total / count
     std = np.sqrt(np.maximum(total_sq / count - mean**2, 1e-12))
+    # Reference semantics (audio_feat_preprocessing.py:127-128): out_prefix
+    # is relative to the audio dir; an absolute prefix passes through
+    # (os.path.join drops the left side for absolute right sides).
+    out_prefix = os.path.join(audio_dir, out_prefix)
     np.save(out_prefix + "_mean.npy", mean.astype(np.float32))
     np.save(out_prefix + "_std.npy", std.astype(np.float32))
     return mean, std

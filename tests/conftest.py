@@ -21,3 +21,15 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA:CPU compiles dominate suite wall time
+# (the first full run pays them; re-runs hit the cache and drop from ~14 to
+# a few minutes). Keyed on HLO + compiler version, so stale hits are not a
+# correctness risk.
+_cache_dir = os.environ.get("AVSI_JAX_CACHE", "/tmp/avsi_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs: run uncached
+    pass

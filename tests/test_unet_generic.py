@@ -12,20 +12,21 @@ def test_forward_shapes_and_loss():
     params = unet_generic.init(jax.random.PRNGKey(0), channels_in=1, n_classes=2,
                                layers=3, features_root=4)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 92, 92, 1))
-    logits = unet_generic.forward(params, x)
+    fwd = jax.jit(unet_generic.forward)  # eager op-by-op CPU execution is ~4x slower
+    logits = fwd(params, x)
     b, h, w, c = logits.shape
     assert b == 2 and c == 2 and h < 92 and w < 92  # VALID convs shrink
     probs = unet_generic.pixel_wise_softmax(logits)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
     labels = jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 2)
-    l0 = float(unet_generic.loss(params, x, labels))
-    assert np.isfinite(l0)
+    loss_and_grad = jax.jit(jax.value_and_grad(unet_generic.loss))
+    l0, grads = loss_and_grad(params, x, labels)
+    assert np.isfinite(float(l0))
     # one SGD step reduces the loss on this batch
-    grads = jax.grad(unet_generic.loss)(params, x, labels)
     params2 = jax.tree_util.tree_map(lambda p, g: p - 0.1 * g, params, grads)
-    l1 = float(unet_generic.loss(params2, x, labels))
-    assert l1 < l0
+    l1, _ = loss_and_grad(params2, x, labels)
+    assert float(l1) < float(l0)
 
 
 def _square_provider(rng):
@@ -87,10 +88,11 @@ def test_dropout_changes_forward_only_with_rng():
     params = unet_generic.init(jax.random.PRNGKey(0), channels_in=1, n_classes=2,
                                layers=2, features_root=4)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 60, 60, 1))
-    a = unet_generic.forward(params, x)
-    b = unet_generic.forward(params, x, keep_prob=0.5, rng=None)  # eval: no-op
+    fwd = jax.jit(unet_generic.forward, static_argnames=("keep_prob",))
+    a = fwd(params, x)
+    b = fwd(params, x, keep_prob=0.5, rng=None)  # eval: no-op
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    c = unet_generic.forward(params, x, keep_prob=0.5, rng=jax.random.PRNGKey(2))
+    c = fwd(params, x, keep_prob=0.5, rng=jax.random.PRNGKey(2))
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 

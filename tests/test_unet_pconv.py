@@ -97,7 +97,7 @@ def test_pconv_forward_shapes_and_grad():
 
     out = unet_pconv.forward(params, batch, config, stats, train=False)
     assert out["prediction"].shape == (b, t, f)
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     assert np.isfinite(float(loss))
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
