@@ -41,9 +41,12 @@ Semantics vs the offline path (`avsi/infer/inpaint.py`):
     per 12 ms frame); the offline 75->250 interpolation (`avsync.py`) is a
     whole-utterance operation a live caller performs upstream.
 
-Supported models: the BLSTM family (a/v/av x {-, ssnn, emb} x {-, ctc});
-the CTC head, when present, is simply not evaluated — streaming emits
-audio, not transcripts.
+Supported models: the BLSTM family (a/v/av x {-, ssnn, emb} x {-, ctc}).
+With `transcript=True` on a -ctc model the window program also evaluates
+the ASR head over every emitted chunk and the class maintains an
+incremental greedy CTC decode (argmax -> collapse repeats -> drop blanks,
+with the collapse state carried across chunk boundaries), so the live
+path emits audio AND transcripts at the same 288 ms-class latency.
 """
 
 from __future__ import annotations
@@ -146,14 +149,15 @@ class _ProgSpec:
     the program cache) pins only these fields, never a whole
     StreamingInpainter with its live buffers."""
 
-    __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "stats")
+    __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "stats", "transcript")
 
-    def __init__(self, spec, int_layer, chunk, compute_dtype, stats):
+    def __init__(self, spec, int_layer, chunk, compute_dtype, stats, transcript=False):
         self.spec = spec
         self.int_layer = int_layer
         self.chunk = chunk
         self.compute_dtype = compute_dtype
         self.stats = stats
+        self.transcript = transcript  # also emit CTC argmax ids per chunk
 
 
 def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
@@ -200,6 +204,17 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
         )
         new_carries.append((nh, nc))
 
+    # incremental transcripts: CTC argmax over the emitted chunk frames
+    # (models.py:1599-1604's dual head carried into the live path; the
+    # repeat/blank collapse is incremental host state, _CtcCollapse)
+    if prog.transcript:
+        asr_logits = core.dense(params["head_asr"], x[:, : prog.chunk]).astype(
+            jnp.float32
+        )
+        ids = jnp.argmax(asr_logits, axis=-1).astype(jnp.int32)  # (B, C)
+    else:
+        ids = jnp.zeros((x.shape[0], 0), jnp.int32)
+
     inference = core.dense(params["head_ipt"], x).astype(jnp.float32)
     if spec.restore_unmasked:
         prediction = spec_norm * mask_bins + inference * (1 - mask_bins)
@@ -228,7 +243,7 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
         fft_length=FFT_LENGTH,
     )[:, FRAME_STEP : FRAME_STEP + prog.chunk * FRAME_STEP]
     new_prev = (mag[:, -1], phase[:, -1])
-    return wav, mag, phase, new_carries, new_prev, ssnn_sum, ssnn_cnt
+    return wav, mag, phase, new_carries, new_prev, ssnn_sum, ssnn_cnt, ids
 
 
 _EXT_CTX = 4  # left-context frames in a raw window (the fold's delta +-2)
@@ -330,13 +345,25 @@ class StreamingInpainter:
         lookahead_frames: int = 16,
         embedding: np.ndarray | None = None,
         program_cache: dict | None = None,
+        transcript: bool = False,
     ):
         """program_cache: optional dict shared by streams of the SAME model
         (same config/stats/params provenance): jitted window programs are
-        reused across instances keyed by (chunk, lookahead), so a new live
-        stream skips re-tracing (the step reads only static model config,
-        identical across such streams)."""
+        reused across instances keyed by (chunk, lookahead, transcript), so
+        a new live stream skips re-tracing (the step reads only static
+        model config, identical across such streams).
+
+        transcript=True (CTC models only) additionally runs the ASR head
+        over every emitted chunk and maintains an incremental greedy
+        decode; read it via the `transcript` attribute (collapsed label
+        ids so far)."""
         self.spec = blstm_lib.parse_model_name(config["model"])
+        self.want_transcript = bool(transcript)
+        if self.want_transcript and not self.spec.ctc:
+            raise ValueError(
+                f"model {config['model']} has no CTC head; transcripts need "
+                "a -ctc variant"
+            )
         self.config = config
         self.chunk = int(chunk_frames)
         self.look = int(lookahead_frames)
@@ -364,7 +391,10 @@ class StreamingInpainter:
         self._hidden = [
             p["wh"].shape[1] for p, _ in _layer_list(params, self.spec, self.int_layer)
         ]
-        key = (self.chunk, self.look)
+        self._ctc_blank = (
+            int(params["head_asr"]["b"].shape[0]) - 1 if self.spec.ctc else -1
+        )
+        key = (self.chunk, self.look, self.want_transcript)
         if program_cache is not None and key in program_cache:
             self._step = program_cache[key]
         else:
@@ -378,6 +408,7 @@ class StreamingInpainter:
                     else jnp.float32
                 ),
                 stats=self._stats,
+                transcript=self.want_transcript,
             )
             self._step = jax.jit(partial(_window_step, prog))
             if program_cache is not None:
@@ -415,6 +446,8 @@ class StreamingInpainter:
         self._frames_out = 0  # emitted
         self._deltas_done = 0  # frames whose ssnn contribution is summed
         self._buf_base = 0  # absolute frame index of mask/video/masked row 0
+        self.transcript: list[int] = []  # collapsed CTC label ids so far
+        self._ctc_prev = self._ctc_blank  # collapse state across chunks
 
     # ------------------------------------------------------------------- api
 
@@ -608,13 +641,20 @@ class StreamingInpainter:
             window["ssnn_n"] = jnp.asarray(n_valid)
 
         prev_before = self._prev_dev
-        wav, mag, phase, carries, prev_dev, s_sum, s_cnt = self._step(
+        wav, mag, phase, carries, prev_dev, s_sum, s_cnt, ids = self._step(
             self.params, window, self._carry, self._prev_dev,
             self._ssnn_sum, self._ssnn_cnt,
         )
         self._carry = carries
         self._prev_dev = prev_dev
         self._ssnn_sum, self._ssnn_cnt = s_sum, s_cnt
+        if self.want_transcript:
+            # incremental greedy CTC collapse over the newly emitted frames
+            for label in np.asarray(ids)[0, :n_emit]:
+                label = int(label)
+                if label != self._ctc_blank and label != self._ctc_prev:
+                    self.transcript.append(label)
+                self._ctc_prev = label
         for k in fr:
             fr[k] = fr[k][n_emit:]
         if n_emit == self.chunk:
@@ -839,7 +879,7 @@ def stream_utterances_lockstep(
                 _EXT_CTX + (t_frames - 1 - t0) if final else ext_frames - 1
             )
             deltas_done = upto
-        wav, _, _, carries, prev, ssnn_sum, ssnn_cnt = step(
+        wav, _, _, carries, prev, ssnn_sum, ssnn_cnt, _ = step(
             params, raw, carries, prev, ssnn_sum, ssnn_cnt
         )
         outs.append(np.asarray(wav))

@@ -97,10 +97,12 @@ class InpaintingService:
     def enhance(self, wave: np.ndarray, mask_frames: np.ndarray) -> np.ndarray:
         return self.enhance_batch(wave[None], mask_frames[None])[0]
 
-    def open_stream(self, chunk_frames: int = 8, lookahead_frames: int = 16):
+    def open_stream(self, chunk_frames: int = 8, lookahead_frames: int = 16,
+                    transcript: bool = False):
         """A live LC-BLSTM stream sharing this service's warm weights (and,
-        across streams with the same chunk/lookahead, the compiled window
-        program)."""
+        across streams with the same chunk/lookahead/transcript, the
+        compiled window program). transcript=True (CTC models) maintains an
+        incremental greedy decode on the stream object."""
         from avsi.infer.streaming import StreamingInpainter
 
         if not hasattr(self, "_stream_programs"):
@@ -108,7 +110,7 @@ class InpaintingService:
         return StreamingInpainter(
             self.config, self.stats, self.params,
             chunk_frames=chunk_frames, lookahead_frames=lookahead_frames,
-            program_cache=self._stream_programs,
+            program_cache=self._stream_programs, transcript=transcript,
         )
 
 
@@ -176,16 +178,21 @@ def serve(
             if parts == ["open"]:
                 from avsi.models.blstm import parse_model_name
 
-                if parse_model_name(service.config["model"]).input_type != "a":
-                    raise ValueError(
-                        "HTTP streaming supports audio-input models; visual "
-                        "models stream via InpaintingService.open_stream"
-                    )
+                spec = parse_model_name(service.config["model"])
                 q = urllib.parse.parse_qs(query)
                 chunk = int(q.get("chunk", ["8"])[0])
                 look = int(q.get("look", ["16"])[0])
+                transcript = bool(int(q.get("transcript", ["0"])[0]))
                 if not (1 <= chunk <= 256 and 0 <= look <= 256):
                     raise ValueError("chunk must be in [1,256], look in [0,256]")
+                if transcript and not spec.ctc:
+                    raise ValueError(
+                        f"model {service.config['model']} has no CTC head; "
+                        "transcript=1 needs a -ctc variant"
+                    )
+                vf = 0 if spec.input_type == "a" else int(
+                    service.config["video_feat_dim"]
+                )
                 # reserve the slot and insert under ONE lock acquisition
                 # (check-then-insert under separate acquisitions would let
                 # concurrent opens at the limit all pass the check); the
@@ -200,16 +207,18 @@ def serve(
                     self._reply(429, b"too many live streams")
                     return
                 try:
-                    inp = service.open_stream(chunk, look)
+                    inp = service.open_stream(chunk, look, transcript=transcript)
                 except Exception:
                     with streams_lock:
                         streams.pop(sid, None)
                     raise
+                inp._http_reported = 0  # transcript ids already sent
                 with streams_lock:
                     streams[sid][0] = inp
                 self._reply(200, json.dumps({
                     "id": sid, "chunk_frames": chunk, "lookahead_frames": look,
                     "frame_step": 192, "frame_length": 384,
+                    "video_feat_dim": vf, "transcript": transcript,
                 }).encode())
                 return
             sid = parts[0]
@@ -235,12 +244,29 @@ def serve(
                     wave = np.frombuffer(raw, "<i2", n_samples, off)
                     off += 2 * n_samples
                     mask = np.frombuffer(raw, np.uint8, n_frames, off)
+                    off += n_frames
+                    video = None
+                    if inp.spec.input_type != "a":
+                        # visual rows ride as f16 (the payload-compaction
+                        # convention): n_frames x video_feat_dim
+                        video = np.frombuffer(
+                            raw, "<f2", n_frames * inp.vf, off
+                        ).astype(np.float32).reshape(n_frames, inp.vf)
                     out = inp.push(
-                        wave.astype(np.float32), mask.astype(np.float32)
+                        wave.astype(np.float32), mask.astype(np.float32),
+                        video,
                     )
-            self._reply(
-                200, np.clip(out, -32768, 32767).astype("<i2").tobytes()
-            )
+            body = np.clip(out, -32768, 32767).astype("<i2").tobytes()
+            if inp.want_transcript:
+                # framed reply: <i4 n_wav_samples> wav_i2[] new_label_ids_i2[]
+                new_ids = inp.transcript[inp._http_reported :]
+                inp._http_reported = len(inp.transcript)
+                body = (
+                    struct.pack("<i", len(out))
+                    + body
+                    + np.asarray(new_ids, "<i2").tobytes()
+                )
+            self._reply(200, body)
 
         def do_POST(self):
             if self.path.startswith("/stream/"):

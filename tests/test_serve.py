@@ -96,6 +96,115 @@ def test_http_endpoint(model_dir):
         server.shutdown()
 
 
+@pytest.fixture(scope="module")
+def ctc_model_dir(tmp_path_factory):
+    """A tiny trained av-blstm-ssnn-ctc (visual input + CTC head) for the
+    video-streaming/transcript HTTP surface."""
+    d = str(tmp_path_factory.mktemp("serve_ctc"))
+    paths = fixture.make_fixture(
+        d, n_speakers=1, n_samples=4, audio_len_ms=600, gap_ms=150.0, gap_std_ms=20.0
+    )
+    stats_lib.compute_mean_std_features(
+        paths["training-set"], "target", os.path.join(d, "sn"), "spec",
+        window_size=24, step_size=12,
+    )
+    cfg = {
+        "model": "av-blstm-ssnn-ctc", "audio_feat_dim": 257,
+        "video_feat_dim": 136, "audio_len": 9600, "batch_size": 2,
+        "net_dim": [8, 8], "integration_layer": 0, "num_asr_labels": 33,
+        "ctc_loss": 0.001, "dropout_rate": 0.0, "max_n_epochs": 1,
+        "n_earlystop_epochs": 3, "optimizer_type": "adam",
+        "starter_learning_rate": 0.003, "lr_decay": 1.0,
+        "root_folder": paths["tfrecords"], "exp_folder": os.path.join(d, "exp"),
+        "audio_feat_mean": os.path.join(d, "sn_mean.npy"),
+        "audio_feat_std": os.path.join(d, "sn_std.npy"),
+        "tb_media": 0,
+    }
+    cfg_path = os.path.join(d, "c.config")
+    config_lib.save_configfile(cfg, cfg_path)
+    loop.train(cfg_path)
+    return os.path.join(d, "exp", "netmodel")
+
+
+def test_http_streaming_video_transcript(ctc_model_dir):
+    """Visual models stream over HTTP (f16 video rows in the push payload)
+    and transcript=1 frames the reply as <i4 n_wav> wav_i2[] new_ids_i2[];
+    the decoded ids must match a direct StreamingInpainter run."""
+    import json as json_lib
+
+    from avsi.serve import InpaintingService, serve
+
+    server = serve(ctc_model_dir, port=0, micro_batch=2, phase_recon="none")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body=b""):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    try:
+        info = json_lib.loads(post("/stream/open?chunk=4&look=6&transcript=1"))
+        sid = info["id"]
+        assert info["video_feat_dim"] == 136 and info["transcript"] is True
+
+        rng = np.random.RandomState(5)
+        wave = (3000 * rng.randn(9600)).astype(np.int16)
+        mask = np.ones(50, np.uint8)
+        mask[15:25] = 0
+        video = rng.randn(50, 136).astype(np.float16)
+
+        def parse(resp):
+            (n_wav,) = struct.unpack_from("<i", resp, 0)
+            wav = np.frombuffer(resp, "<i2", n_wav, 4)
+            ids = np.frombuffer(resp, "<i2", offset=4 + 2 * n_wav)
+            return wav, list(ids)
+
+        got_wav, got_ids = [], []
+        frames_fed = 0
+        for lo in range(0, 9600, 1920):
+            chunk = wave[lo : lo + 1920]
+            done = lo + len(chunk)
+            n_frames = min(max(0, (done - 384) // 192 + 1), 50)
+            m = mask[frames_fed:n_frames]
+            v = video[frames_fed:n_frames]
+            body = (
+                struct.pack("<ii", len(chunk), len(m))
+                + chunk.tobytes() + m.tobytes() + v.tobytes()
+            )
+            w, i = parse(post(f"/stream/{sid}", body))
+            got_wav.append(w)
+            got_ids += i
+            frames_fed = n_frames
+        # pad_end frame rows (no new samples)
+        if frames_fed < 50:
+            m = mask[frames_fed:]
+            v = video[frames_fed:]
+            body = struct.pack("<ii", 0, len(m)) + m.tobytes() + v.tobytes()
+            w, i = parse(post(f"/stream/{sid}", body))
+            got_wav.append(w)
+            got_ids += i
+        w, i = parse(post(f"/stream/{sid}/close"))
+        got_wav.append(w)
+        got_ids += i
+        total = np.concatenate(got_wav)
+        assert total.shape == (9600,)
+
+        # must match a direct StreamingInpainter run bit-for-bit on ids
+        svc = InpaintingService(ctc_model_dir, micro_batch=2, phase_recon="none")
+        inp = svc.open_stream(4, 6, transcript=True)
+        from avsi.infer import streaming as streaming_lib
+
+        streaming_lib.stream_utterance(
+            inp, wave.astype(np.float32), mask.astype(np.float32),
+            video.astype(np.float32),
+        )
+        assert got_ids == inp.transcript
+    finally:
+        server.shutdown()
+
+
 def test_http_streaming(model_dir):
     from avsi.serve import serve
 

@@ -183,6 +183,52 @@ def test_lockstep_matches_single_stream():
         np.testing.assert_allclose(got[i], single, atol=2e-4, rtol=0)
 
 
+def test_streaming_transcript_matches_offline_greedy():
+    """transcript=True on a CTC model: with one window covering the whole
+    utterance, the incremental greedy decode must equal the offline
+    greedy_decode of the model's asr_logits exactly (same math, same
+    collapse semantics)."""
+    from avsi.ops import ctc as ctc_ops
+
+    config, spec, params, stats, batch = _setup("av-blstm-ssnn-ctc")
+    wave, frame_mask, video = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=T, lookahead_frames=0,
+        transcript=True,
+    )
+    streaming.stream_utterance(inp, wave, frame_mask, video)
+    out = blstm_lib.forward(params, batch, config, stats, spec=spec, train=False)
+    dec = np.asarray(
+        ctc_ops.greedy_decode(out["asr_logits"], batch["sequence_lengths"])
+    )[0]
+    offline = [int(x) for x in dec if x >= 0]
+    assert inp.transcript == offline
+    assert len(offline) >= 0  # may legitimately be empty for a random net
+
+
+def test_streaming_transcript_push_size_invariant():
+    """The incremental collapse (state across chunk boundaries) must not
+    depend on how samples arrive."""
+    config, spec, params, stats, batch = _setup("av-blstm-ssnn-ctc")
+    wave, frame_mask, video = _streaming_inputs(batch)
+    results = []
+    for push in (480, 1920, len(wave)):
+        inp = streaming.StreamingInpainter(
+            config, stats, params, chunk_frames=5, lookahead_frames=7,
+            transcript=True,
+        )
+        streaming.stream_utterance(inp, wave, frame_mask, video,
+                                   samples_per_push=push)
+        results.append(list(inp.transcript))
+    assert results[0] == results[1] == results[2]
+
+
+def test_transcript_requires_ctc_head():
+    config, spec, params, stats, _ = _setup("av-blstm-ssnn")
+    with pytest.raises(ValueError):
+        streaming.StreamingInpainter(config, stats, params, transcript=True)
+
+
 def test_lockstep_final_full_window_with_pad_frame():
     """Regression: when a window is exactly full but its tail frames are
     pad_end frames (here T=25, real_frames=24, chunk=5, look=5: the t0=15
