@@ -1,0 +1,99 @@
+"""Streaming-transcript PER at live latency (round-2 verdict item #6).
+
+Measures the phoneme error rate of the flagship MTL model's CTC head in
+LC-BLSTM streaming mode (incremental greedy decode over emitted chunks,
+chunk=8 / lookahead=16 -> 288 ms algorithmic latency) against (a) the
+offline greedy decode of the same model and (b) the ground-truth
+transcriptions — on held-out drill-corpus utterances.  The deltas isolate
+what live low-latency transcription costs: the forward recurrent state is
+exact, so the only loss is backward context beyond the lookahead.
+
+Usage: python scripts/stream_per.py [model_dir] [test_tfrecords] [n_utts]
+Writes stream_per.json next to the model dir.
+"""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(model_dir="/dev/shm/grid_drill/exp_si/netmodel",
+         test_dir="/dev/shm/grid_drill/grouped/test-set", n_utts=64,
+         chunk=8, look=16):
+    import jax
+
+    from avsi.data import reader as reader_lib
+    from avsi.infer import streaming
+    from avsi.infer.inpaint import load_model_bundle
+    from avsi.models import blstm as blstm_lib
+    from avsi.ops import ctc as ctc_ops
+
+    config, stats, model, params = load_model_bundle(model_dir, norm=True)
+    spec = blstm_lib.parse_model_name(config["model"])
+    assert spec.ctc, "flagship must have a CTC head"
+    dm = reader_lib.DataManager(
+        num_audio_samples=config["audio_len"],
+        audio_feat_size=config["audio_feat_dim"],
+        video_feat_size=config["video_feat_dim"],
+    )
+    files = sorted(glob.glob(os.path.join(test_dir, "*.tfrecord")))
+    stats_j = (np.asarray(stats[0], np.float32), np.asarray(stats[1], np.float32))
+
+    offline_dec, stream_dec, refs = [], [], []
+    fwd = jax.jit(
+        lambda p, b: blstm_lib.forward(p, b, config, stats_j, spec=spec, train=False)[
+            "asr_logits"
+        ]
+    )
+    programs = {}
+    done = 0
+    for batch in dm.batches(files, 8):
+        logits = np.asarray(fwd(params, batch))
+        dec = np.asarray(
+            ctc_ops.greedy_decode(logits, batch["sequence_lengths"])
+        )
+        n = batch.get("num_real", len(batch["sequence_lengths"]))
+        for i in range(n):
+            offline_dec.append([int(x) for x in dec[i] if x >= 0])
+            ll = int(batch["labels_lengths"][i])
+            refs.append([int(x) for x in batch["labels"][i][:ll]])
+            inp = streaming.StreamingInpainter(
+                config, stats, params, chunk_frames=chunk,
+                lookahead_frames=look, transcript=True, program_cache=programs,
+            )
+            streaming.stream_utterance(
+                inp,
+                np.asarray(batch["target_sources"][i], np.float32),
+                np.asarray(batch["masks"][i, :, 0], np.float32),
+                np.asarray(batch["video_features"][i], np.float32),
+            )
+            stream_dec.append(list(inp.transcript))
+            done += 1
+            if done % 16 == 0:
+                print(f"{done}/{n_utts}", flush=True)
+            if done >= n_utts:
+                break
+        if done >= n_utts:
+            break
+
+    out = {
+        "model": config["model"],
+        "chunk_frames": chunk,
+        "lookahead_frames": look,
+        "latency_ms": (chunk + look) * 12,
+        "n_utts": done,
+        "per_offline": ctc_ops.per_metric(offline_dec, refs),
+        "per_streaming": ctc_ops.per_metric(stream_dec, refs),
+        "per_stream_vs_offline": ctc_ops.per_metric(stream_dec, offline_dec),
+    }
+    with open(os.path.join(os.path.dirname(model_dir), "stream_per.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(*a[:2], **({"n_utts": int(a[2])} if len(a) > 2 else {}))
