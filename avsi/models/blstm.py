@@ -206,6 +206,13 @@ def forward(
     """Full forward pass. Returns feats + prediction (+ asr logits)."""
     spec = spec or parse_model_name(config["model"])
     compute_dtype, gate_dtype = _dtypes(config)
+    # latency-controlled training (lc_chunk/lc_lookahead config keys): the
+    # BLSTM backward context is truncated EXACTLY like the streaming
+    # serving path, so the trained function == the served function
+    # (core.lc_bilstm_layer; ROADMAP.md #5 causal-variant follow-on)
+    lc = None
+    if int(config.get("lc_chunk", 0) or 0) > 0:
+        lc = (int(config["lc_chunk"]), int(config.get("lc_lookahead", 0) or 0))
     feats = features(batch, stats, config)
     net_in = _net_inputs(spec, feats, batch, audio_features)
     t = net_in.shape[1]
@@ -225,17 +232,17 @@ def forward(
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm"], jnp.concatenate([net_in, tiled], axis=2), compute_dtype,
-            gate_dtype,
+            gate_dtype, lc,
         )
     elif emb is not None:
-        mid = core.blstm_stack(params["blstm1"], net_in, compute_dtype, gate_dtype)
+        mid = core.blstm_stack(params["blstm1"], net_in, compute_dtype, gate_dtype, lc)
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm2"], jnp.concatenate([mid, tiled], axis=2), compute_dtype,
-            gate_dtype,
+            gate_dtype, lc,
         )
     else:
-        rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype, gate_dtype)
+        rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype, gate_dtype, lc)
 
     rnn_out = core.dropout(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train

@@ -116,6 +116,102 @@ def bilstm_layer(
     return jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)
 
 
+def lc_bilstm_layer(
+    params: dict,
+    x: jax.Array,
+    chunk: int,
+    lookahead: int,
+    compute_dtype=jnp.float32,
+    gate_dtype=None,
+) -> jax.Array:
+    """Latency-controlled bidirectional layer: (B, T, D) -> (B, T, 2H).
+
+    Train-time twin of the streaming inference path
+    (`avsi/infer/streaming.py:_lc_bilstm_layer`): the forward direction is
+    exact; the backward direction restarts from zero state at each chunk's
+    window end, so an emitted frame sees at most `chunk + lookahead - 1`
+    future frames.  Training with the serving chunk/lookahead makes the
+    train and live-inference functions IDENTICAL — the LC truncation
+    stops being an approximation and becomes the model (the
+    "causal/latency-trained variant" follow-on of ROADMAP.md #5).
+
+    TPU mapping: the backward pass gathers the (n_chunks, chunk+lookahead)
+    overlapping windows and folds them into the batch axis, so it is ONE
+    scan of length chunk+lookahead over a (n_chunks*B, ...) batch —
+    shorter but wider than the full-T scan; compute overhead vs the exact
+    backward is (chunk+lookahead)/chunk on the recurrent matmuls.
+    Sequence-end windows are padded with zero FEATURES before the input
+    projection (pads contribute bias-only gates), exactly like the
+    streaming class's zero-padded flush windows.
+    """
+    b_sz, t_len, d_in = x.shape
+    hidden = params["wh"].shape[1]
+    if gate_dtype is None:
+        gate_dtype = compute_dtype
+    chunk = int(chunk)
+    look = int(lookahead)
+    n_chunks = -(-t_len // chunk)
+    t_pad = n_chunks * chunk
+    w_len = chunk + look
+
+    xc = x.astype(compute_dtype)
+    wx = params["wx"].astype(compute_dtype)
+    wh = params["wh"].astype(compute_dtype)
+    bias = params["b"].astype(jnp.float32)
+
+    # ---- forward direction: exact full-length scan
+    xw_f = (
+        jnp.einsum("bti,ig->btg", xc, wx[0], preferred_element_type=jnp.float32)
+        + bias[0]
+    ).astype(compute_dtype)
+    h0 = jnp.zeros((b_sz, hidden), jnp.float32)
+    c0 = jnp.zeros((b_sz, hidden), jnp.float32)
+
+    def fwd_cell(carry, xw_t):
+        (h, c), _ = _lstm_cell(
+            (carry[0][None], carry[1][None]), xw_t[None], wh[:1], hidden,
+            gate_dtype=gate_dtype,
+        )
+        return (h[0], c[0]), h[0]
+
+    _, hs_f = jax.lax.scan(
+        jax.checkpoint(fwd_cell), (h0, c0), jnp.moveaxis(xw_f, 1, 0)
+    )
+    fwd = jnp.moveaxis(hs_f, 0, 1)  # (B, T, H)
+
+    # ---- backward direction: overlapping windows folded into the batch
+    x_pad = jnp.pad(xc, ((0, 0), (0, t_pad + look - t_len), (0, 0)))
+    starts = jnp.arange(n_chunks) * chunk
+    idx = starts[:, None] + jnp.arange(w_len)[None, :]  # (n_chunks, W)
+    x_win = x_pad[:, idx]  # (B, n_chunks, W, D)
+    xw_b = (
+        jnp.einsum(
+            "bnwi,ig->bnwg", x_win, wx[1], preferred_element_type=jnp.float32
+        )
+        + bias[1]
+    ).astype(compute_dtype)
+    xw_b = xw_b.reshape(b_sz * n_chunks, w_len, 4 * hidden)
+    xw_b_rev = jnp.flip(xw_b, axis=1)  # scan from window end to start
+    hb0 = jnp.zeros((b_sz * n_chunks, hidden), jnp.float32)
+    cb0 = jnp.zeros((b_sz * n_chunks, hidden), jnp.float32)
+
+    def bwd_cell(carry, xw_t):
+        (h, c), _ = _lstm_cell(
+            (carry[0][None], carry[1][None]), xw_t[None], wh[1:], hidden,
+            gate_dtype=gate_dtype,
+        )
+        return (h[0], c[0]), h[0]
+
+    _, hs_b = jax.lax.scan(
+        jax.checkpoint(bwd_cell), (hb0, cb0), jnp.moveaxis(xw_b_rev, 1, 0)
+    )
+    # un-reverse, keep each window's first `chunk` frames (the emitted ones)
+    hs_b = jnp.flip(jnp.moveaxis(hs_b, 0, 1), axis=1)[:, :chunk]
+    bwd = hs_b.reshape(b_sz, n_chunks * chunk, hidden)[:, :t_len]
+
+    return jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)
+
+
 def blstm_stack_init(rng, in_dim: int, net_dim: list[int]) -> list[dict]:
     layers = []
     d = in_dim
@@ -131,11 +227,18 @@ def blstm_stack(
     x: jax.Array,
     compute_dtype=jnp.float32,
     gate_dtype=None,
+    lc: tuple[int, int] | None = None,
 ) -> jax.Array:
-    """Stacked bidirectional LSTM: (B, T, D) -> (B, T, 2*H_last)."""
+    """Stacked bidirectional LSTM: (B, T, D) -> (B, T, 2*H_last).
+
+    lc=(chunk, lookahead) trains/evaluates every layer with the
+    latency-controlled backward truncation (see lc_bilstm_layer)."""
     out = x
     for layer in layers:
-        out = bilstm_layer(layer, out, compute_dtype, gate_dtype)
+        if lc is not None:
+            out = lc_bilstm_layer(layer, out, lc[0], lc[1], compute_dtype, gate_dtype)
+        else:
+            out = bilstm_layer(layer, out, compute_dtype, gate_dtype)
     return out
 
 

@@ -1,0 +1,104 @@
+"""Latency-controlled (LC) training mode (core.lc_bilstm_layer).
+
+Contract: with lc_chunk/lc_lookahead set, the offline forward computes
+EXACTLY the function the streaming serving path
+(avsi/infer/streaming.py) executes at chunk/lookahead — the forward
+recurrent state is continuous, the backward state restarts at each
+window's end, sequence-end windows are zero-feature-padded.  Training
+with the serving latency therefore optimizes the served function itself
+(ROADMAP.md #5 causal-variant follow-on).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avsi.infer import streaming
+from avsi.models import blstm as blstm_lib
+from avsi.models import core
+
+from helpers import identity_stats, synth_batch, tiny_config
+
+AL = 4800  # 25 frames
+T = 25
+
+
+def test_lc_layer_matches_streaming_windows():
+    """Layer-level: lc_bilstm_layer == chaining the streaming LC layer
+    window by window with forward-state carry."""
+    rng = jax.random.PRNGKey(0)
+    d_in, hidden, chunk, look = 12, 10, 5, 7
+    params = core.lstm_layer_init(rng, d_in, hidden)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, T, d_in))
+
+    got = core.lc_bilstm_layer(params, x, chunk, look)
+    assert got.shape == (2, T, 2 * hidden)
+
+    w = chunk + look
+    carry_h = jnp.zeros((2, hidden))
+    carry_c = jnp.zeros((2, hidden))
+    outs = []
+    for t0 in range(0, T, chunk):
+        win = np.zeros((2, w, d_in), np.float32)
+        real = min(w, T - t0)
+        win[:, :real] = np.asarray(x)[:, t0 : t0 + real]
+        out, carry_h, carry_c = streaming._lc_bilstm_layer(
+            params, jnp.asarray(win), carry_h, carry_c, chunk, jnp.float32
+        )
+        outs.append(np.asarray(out)[:, :chunk])
+    want = np.concatenate(outs, axis=1)[:, :T]
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+@pytest.mark.parametrize("model", ["a-blstm", "av-blstm-ssnn-ctc"])
+def test_lc_forward_equals_chunked_streaming(model):
+    """Model-level: offline forward with lc_chunk/lc_lookahead equals the
+    chunked streaming inference sample for sample (not just approximately
+    — the LC truncation is the model now)."""
+    chunk, look = 5, 7
+    config = tiny_config(model=model, audio_len=AL, net_dim=(16, 16),
+                         lc_chunk=chunk, lc_lookahead=look)
+    spec = blstm_lib.parse_model_name(model)
+    params = blstm_lib.init(jax.random.PRNGKey(3), config, spec)
+    stats = identity_stats()
+    batch = synth_batch(config, batch_size=1, seed=5, gap=(6, 13))
+
+    out = blstm_lib.forward(params, batch, config, stats, spec=spec, train=False)
+    offline_wav = np.asarray(
+        blstm_lib.enhanced_sources(out, batch, config, stats, oracle_phase=False)
+    )[0]
+
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=chunk, lookahead_frames=look
+    )
+    wave = np.asarray(batch["target_sources"][0])
+    frame_mask = np.asarray(batch["masks"][0, :, 0])
+    video = np.asarray(batch["video_features"][0])
+    got = streaming.stream_utterance(inp, wave, frame_mask, video)
+    np.testing.assert_allclose(got[: len(offline_wav)], offline_wav, atol=2e-2)
+
+
+def test_lc_train_step_runs_and_learns():
+    """A jitted grad step through the LC layers is finite and decreases
+    the loss (the windowed backward gather is differentiable)."""
+    config = tiny_config(model="a-blstm", audio_len=AL, net_dim=(8,),
+                         lc_chunk=8, lc_lookahead=8)
+    spec = blstm_lib.parse_model_name("a-blstm")
+    params = blstm_lib.init(jax.random.PRNGKey(0), config, spec)
+    stats = identity_stats()
+    batch = synth_batch(config, batch_size=2, seed=7, gap=(6, 13))
+
+    def loss_fn(p):
+        out = blstm_lib.forward(p, batch, config, stats, spec=spec, train=True)
+        return blstm_lib.losses(out, batch, config, spec=spec)["loss"]
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    l0, g = step(params)
+    assert np.isfinite(float(l0))
+    p2 = jax.tree_util.tree_map(lambda a, b: a - 0.05 * b, params, g)
+    l1, _ = step(p2)
+    assert float(l1) < float(l0)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
