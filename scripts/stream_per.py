@@ -51,7 +51,8 @@ def main(model_dir="/dev/shm/grid_drill/exp_si/netmodel",
     programs = {}
     done = 0
     for batch in dm.batches(files, 8):
-        logits = np.asarray(fwd(params, batch))
+        dev = {k: v for k, v in batch.items() if k != "sample_paths"}
+        logits = np.asarray(fwd(params, dev))
         dec = np.asarray(
             ctc_ops.greedy_decode(logits, batch["sequence_lengths"])
         )
