@@ -764,7 +764,8 @@ def stream_utterances_lockstep(
     chunk_frames: int = 8,
     lookahead_frames: int = 16,
     program_cache: dict | None = None,
-) -> np.ndarray:
+    transcript: bool = False,
+):
     """Serve B streams in lockstep: each window is ONE fused device
     dispatch covering every stream (the multi-tenant serving shape), and
     the whole front-end — STFT, log, normalization, ssnn delta fold —
@@ -777,7 +778,12 @@ def stream_utterances_lockstep(
 
     waves (B, S) int16-scale float; frame_masks (B, T) with
     T = ceil(S / 192); videos (B, T, 136) for visual models; embeddings
-    (B, emb_dim) for external-embedding models.  Returns (B, T * 192)."""
+    (B, emb_dim) for external-embedding models.  Returns (B, T * 192);
+    with transcript=True (CTC models) returns (wav, transcripts) where
+    transcripts is a list of B collapsed greedy CTC label-id lists —
+    identical to each stream's StreamingInpainter incremental decode
+    (multi-tenant live transcription at the same one-dispatch-per-window
+    cost)."""
     spec = blstm_lib.parse_model_name(config["model"])
     af = int(config["audio_feat_dim"])
     vf = int(config["video_feat_dim"])
@@ -785,6 +791,11 @@ def stream_utterances_lockstep(
     chunk, look = int(chunk_frames), int(lookahead_frames)
     if chunk < 1 or look < 0:
         raise ValueError("chunk_frames >= 1 and lookahead_frames >= 0 required")
+    if transcript and not spec.ctc:
+        raise ValueError(
+            f"model {config['model']} has no CTC head; transcripts need a "
+            "-ctc variant"
+        )
     window_n = chunk + look
     b_sz, n_samples = waves.shape
     t_frames = -(-n_samples // FRAME_STEP)
@@ -798,7 +809,7 @@ def stream_utterances_lockstep(
         raise ValueError("model consumes video features")
 
     stats_j = (jnp.asarray(stats[0], jnp.float32), jnp.asarray(stats[1], jnp.float32))
-    key = ("raw", chunk, look)
+    key = ("raw", chunk, look, transcript)
     if program_cache is not None and key in program_cache:
         step = program_cache[key]
     else:
@@ -809,6 +820,7 @@ def stream_utterances_lockstep(
                 else jnp.float32
             ),
             stats=stats_j,
+            transcript=transcript,
         )
         step = jax.jit(partial(_window_step_raw, prog))
         if program_cache is not None:
@@ -846,6 +858,7 @@ def stream_utterances_lockstep(
     raw_len = (ext_frames - 1) * FRAME_STEP + FRAME_LENGTH
 
     outs = []
+    id_chunks = []
     deltas_done = 0
     # Frames computable from real pushed samples, pre-flush: the class only
     # materializes the pad_end frame(s) at flush(), so any window needing
@@ -879,8 +892,26 @@ def stream_utterances_lockstep(
                 _EXT_CTX + (t_frames - 1 - t0) if final else ext_frames - 1
             )
             deltas_done = upto
-        wav, _, _, carries, prev, ssnn_sum, ssnn_cnt, _ = step(
+        wav, _, _, carries, prev, ssnn_sum, ssnn_cnt, ids = step(
             params, raw, carries, prev, ssnn_sum, ssnn_cnt
         )
         outs.append(np.asarray(wav))
-    return np.concatenate(outs, axis=1)[:, : t_frames * FRAME_STEP]
+        if transcript:
+            id_chunks.append(np.asarray(ids))
+    wav_out = np.concatenate(outs, axis=1)[:, : t_frames * FRAME_STEP]
+    if not transcript:
+        return wav_out
+    # per-stream greedy collapse over the first t_frames emitted ids —
+    # identical to StreamingInpainter's incremental decode
+    all_ids = np.concatenate(id_chunks, axis=1)[:, :t_frames]
+    blank = int(params["head_asr"]["b"].shape[0]) - 1
+    transcripts = []
+    for row in all_ids:
+        decoded, prev_id = [], blank
+        for label in row:
+            label = int(label)
+            if label != blank and label != prev_id:
+                decoded.append(label)
+            prev_id = label
+        transcripts.append(decoded)
+    return wav_out, transcripts

@@ -48,7 +48,6 @@ def main(model_dir="/dev/shm/grid_drill/exp_si/netmodel",
             "asr_logits"
         ]
     )
-    programs = {}
     done = 0
     for batch in dm.batches(files, 8):
         dev = {k: v for k, v in batch.items() if k != "sample_paths"}
@@ -61,24 +60,32 @@ def main(model_dir="/dev/shm/grid_drill/exp_si/netmodel",
             offline_dec.append([int(x) for x in dec[i] if x >= 0])
             ll = int(batch["labels_lengths"][i])
             refs.append([int(x) for x in batch["labels"][i][:ll]])
-            inp = streaming.StreamingInpainter(
-                config, stats, params, chunk_frames=chunk,
-                lookahead_frames=look, transcript=True, program_cache=programs,
-            )
-            streaming.stream_utterance(
-                inp,
-                np.asarray(batch["target_sources"][i], np.float32),
-                np.asarray(batch["masks"][i, :, 0], np.float32),
-                np.asarray(batch["video_features"][i], np.float32),
-            )
-            stream_dec.append(list(inp.transcript))
             done += 1
-            if done % 16 == 0:
-                print(f"{done}/{n_utts}", flush=True)
             if done >= n_utts:
                 break
         if done >= n_utts:
             break
+    # streaming transcripts for the same utterances in ONE lockstep fleet:
+    # per-window dispatch covers all streams at once (the single-stream
+    # path pays one relay round trip per window per utterance)
+    waves, fmasks, vids = [], [], []
+    got = 0
+    for batch in dm.batches(files, 8):
+        n = batch.get("num_real", len(batch["sequence_lengths"]))
+        for i in range(n):
+            waves.append(np.asarray(batch["target_sources"][i], np.float32))
+            fmasks.append(np.asarray(batch["masks"][i, :, 0], np.float32))
+            vids.append(np.asarray(batch["video_features"][i], np.float32))
+            got += 1
+            if got >= done:
+                break
+        if got >= done:
+            break
+    _, stream_dec = streaming.stream_utterances_lockstep(
+        config, stats, params, np.stack(waves), np.stack(fmasks),
+        np.stack(vids), chunk_frames=chunk, lookahead_frames=look,
+        transcript=True,
+    )
 
     out = {
         "model": config["model"],

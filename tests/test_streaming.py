@@ -223,6 +223,30 @@ def test_streaming_transcript_push_size_invariant():
     assert results[0] == results[1] == results[2]
 
 
+def test_lockstep_transcripts_match_single_stream():
+    """Fleet transcripts: lockstep's per-stream greedy collapse equals
+    each stream's StreamingInpainter incremental decode."""
+    config, spec, params, stats, _ = _setup("av-blstm-ssnn-ctc")
+    b = synth_batch(config, batch_size=3, seed=13, gap=(4, 11))
+    waves = np.asarray(b["target_sources"])
+    masks = np.array(b["masks"][:, :, 0])
+    videos = np.asarray(b["video_features"])
+    masks[1, 10:18] = 0.0
+
+    wav, transcripts = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos,
+        chunk_frames=5, lookahead_frames=7, transcript=True,
+    )
+    assert wav.shape == (3, T * 192) and len(transcripts) == 3
+    for i in range(3):
+        inp = streaming.StreamingInpainter(
+            config, stats, params, chunk_frames=5, lookahead_frames=7,
+            transcript=True,
+        )
+        streaming.stream_utterance(inp, waves[i], masks[i], videos[i])
+        assert transcripts[i] == inp.transcript
+
+
 def test_transcript_requires_ctc_head():
     config, spec, params, stats, _ = _setup("av-blstm-ssnn")
     with pytest.raises(ValueError):
