@@ -101,7 +101,11 @@ def _lc_bilstm_layer(params, x, carry_h, carry_c, emit, compute_dtype):
     c0 = jnp.stack([carry_c, jnp.zeros_like(carry_c)], axis=0)
 
     def cell(carry, xw_step):
-        (new_h, new_c), _ = core._lstm_cell(carry, xw_step, wh, hidden)
+        # gate dtype follows compute dtype (core.bilstm_layer convention),
+        # so a bf16-trained/served model streams the same function
+        (new_h, new_c), _ = core._lstm_cell(
+            carry, xw_step, wh, hidden, gate_dtype=compute_dtype
+        )
         return (new_h, new_c), (new_h, new_c)
 
     _, (hs, cs) = jax.lax.scan(jax.checkpoint(cell), (h0, c0), xw_t)
