@@ -176,6 +176,7 @@ def check_trainconfiguration(config: dict) -> dict:
 
     # TPU-native extensions (absent from the reference)
     config.setdefault("num_data_shards", 0)  # 0 = use all local devices
+    config.setdefault("num_model_shards", 1)  # >1: tensor-parallel axis
     config.setdefault("compute_dtype", "float32")  # or "bfloat16"
     config.setdefault("seed", 0)
 

@@ -7,10 +7,15 @@ it, parameters replicated, and gradients reduced by the XLA-inserted
 all-reduce when the jitted train step runs under the mesh.
 
 Utterances are independent and the largest model is a few M params, so
-pure data parallelism is the right decomposition; TP/PP/SP would be
-overhead at this scale (documented decision, SURVEY.md §2.4).  The mesh
-axis is named "data" so a second axis (e.g. "model") can be added without
-breaking the sharding helpers.
+pure data parallelism is the right decomposition at reference scale;
+TP/PP/SP would be overhead there (documented decision, SURVEY.md §2.4).
+For scaled-up nets the mesh generalizes to 2-D `(data, model)`:
+`get_mesh(model_shards=k)` adds a tensor-parallel axis and
+`shard_state` places parameters/optimizer state Megatron-style —
+gate/output dims column-sharded over `model`, contraction dims
+row-sharded where the output dim does not divide — with XLA GSPMD
+inserting the all-gathers/reduce-scatters.  Sharded == replicated
+numerics are asserted in tests/test_parallel.py.
 """
 
 from __future__ import annotations
@@ -33,10 +38,23 @@ DEVICE_BATCH_KEYS = (
 )
 
 
-def get_mesh(num_shards: int = 0, devices=None) -> Mesh:
+def get_mesh(num_shards: int = 0, devices=None, model_shards: int = 1) -> Mesh:
+    """1-D `data` mesh, or 2-D `(data, model)` when model_shards > 1.
+
+    `num_shards` is the DATA-axis size (0 = as many as fit); the total
+    device count used is data * model."""
     devices = list(devices if devices is not None else jax.devices())
-    n = num_shards if num_shards > 0 else len(devices)
-    return Mesh(np.array(devices[:n]), ("data",))
+    m = max(1, int(model_shards))
+    if m == 1:
+        n = num_shards if num_shards > 0 else len(devices)
+        return Mesh(np.array(devices[:n]), ("data",))
+    n_data = num_shards if num_shards > 0 else max(1, len(devices) // m)
+    total = n_data * m
+    if total > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{m} needs {total} devices, have {len(devices)}"
+        )
+    return Mesh(np.array(devices[:total]).reshape(n_data, m), ("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -60,6 +78,42 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+def param_spec(shape, n_model: int) -> P:
+    """Tensor-parallel PartitionSpec for one parameter-shaped leaf.
+
+    Megatron-style uniform rule: column-shard the LAST axis over `model`
+    when it divides evenly (LSTM gate dims 4H, dense output dims);
+    otherwise row-shard the contraction axis of matrices whose output dim
+    does not divide (e.g. the 257-bin head (2H, 257)), which makes XLA
+    reduce partial products over `model`; small/indivisible leaves
+    (scalars, 257-dim biases, optimizer counts) replicate."""
+    if not shape:
+        return P()
+    if shape[-1] % n_model == 0 and shape[-1] >= 2 * n_model:
+        return P(*([None] * (len(shape) - 1)), "model")
+    if len(shape) >= 2 and shape[-2] % n_model == 0 and shape[-2] >= 2 * n_model:
+        return P(*([None] * (len(shape) - 2)), "model", None)
+    return P()
+
+
+def shard_state(tree, mesh: Mesh):
+    """Place params / optimizer state on the mesh.
+
+    Replicates everything on a 1-D data mesh; on a `(data, model)` mesh,
+    applies `param_spec` leaf-wise so the model axis holds a
+    tensor-parallel shard of every large parameter (and of its adam
+    moments, which share the tree structure)."""
+    if "model" not in mesh.axis_names:
+        return replicate(tree, mesh)
+    n_model = int(mesh.shape["model"])
+
+    def put(leaf):
+        spec = param_spec(getattr(leaf, "shape", ()), n_model)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def compact_batch(batch: dict) -> dict:

@@ -202,10 +202,14 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
 
     train_state = state_lib.TrainState(params, opt_state, jnp.int32(start_step))
 
-    mesh = mesh_lib.get_mesh(config.get("num_data_shards", 0))
+    mesh = mesh_lib.get_mesh(
+        config.get("num_data_shards", 0),
+        model_shards=int(config.get("num_model_shards", 1)),
+    )
     n_dev = mesh.devices.size
+    n_data = int(mesh.shape["data"])
     batch_size = int(config["batch_size"])
-    use_mesh = batch_size % n_dev == 0 and n_dev > 1
+    use_mesh = batch_size % n_data == 0 and n_dev > 1
 
     train_step = jax.jit(make_train_step(model, tx, config, stats, is_asr), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, config, stats, is_asr))
@@ -218,7 +222,7 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
         return compacted
 
     if use_mesh:
-        train_state = mesh_lib.replicate(train_state, mesh)
+        train_state = mesh_lib.shard_state(train_state, mesh)
 
     tb = SummaryWriter(os.path.join(exp_folder, "tb"))
     header = " | ".join(f"{k}={config[k]}" for k in (

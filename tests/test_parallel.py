@@ -67,6 +67,57 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_param_spec_rule():
+    """Uniform Megatron rule: col-shard divisible last dims, row-shard
+    divisible contraction dims, replicate the rest."""
+    assert mesh_lib.param_spec((2, 20, 32), 2) == P(None, None, "model")  # wx
+    assert mesh_lib.param_spec((2, 8, 32), 2) == P(None, None, "model")  # wh
+    assert mesh_lib.param_spec((2, 32), 2) == P(None, "model")  # lstm bias
+    assert mesh_lib.param_spec((16, 257), 2) == P("model", None)  # head w
+    assert mesh_lib.param_spec((257,), 2) == P()  # head bias
+    assert mesh_lib.param_spec((), 2) == P()  # adam count / step
+
+
+def test_model_sharded_step_matches_single_device():
+    """(data=4, model=2) tensor-parallel train step == single-device step:
+    gate all-gathers + head partial-product reductions inserted by GSPMD
+    must not change the numerics."""
+    cfg = tiny_config(model="av-blstm-ssnn-ctc", net_dim=(8, 8), audio_len=4800)
+    batch = synth_batch(cfg, batch_size=8)
+    model = registry.get_model(cfg["model"])
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    stats = identity_stats()
+    tx = state_lib.make_optimizer(cfg)
+    step_fn = loop_lib.make_train_step(model, tx, cfg, stats)
+    rng = jax.random.PRNGKey(1)
+
+    st1 = state_lib.TrainState(params, tx.init(params), jnp.int32(0))
+    st1_new, l1 = jax.jit(step_fn)(st1, batch, rng)
+
+    mesh = mesh_lib.get_mesh(4, model_shards=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    st8 = mesh_lib.shard_state(
+        state_lib.TrainState(params, tx.init(params), jnp.int32(0)), mesh
+    )
+    # the big leaves really are split over the model axis
+    wh = st8.params["blstm"][0]["wh"]
+    assert wh.sharding.spec == P(None, None, "model")
+    sb = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+          for k, v in mesh_lib.device_batch(batch).items()}
+    st8_new, l8 = jax.jit(step_fn)(
+        st8, sb, jax.device_put(rng, NamedSharding(mesh, P()))
+    )
+
+    np.testing.assert_allclose(float(l1["loss"]), float(l8["loss"]), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st1_new.params),
+        jax.tree_util.tree_leaves(st8_new.params),
+    ):
+        # partial-product reduction order differs across the model axis;
+        # adam's 1/sqrt(nu) amplifies it near init — 1e-4 on params is tight
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_sharded_inference_batch():
     """Batched inference sharded over the mesh produces per-device shards
     that concatenate to the single-device result."""
