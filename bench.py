@@ -31,7 +31,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "baseline_tf_cpu.json")
 
-BATCH = 256
+BATCH = 128  # measured sweet spot: 2 dirs x 128 = 256 sublane tiles; ~4% over B=256, ~40% over B=512 (bf16, inner_iters=50)
 NET_DIM = [250, 250, 250]
 AUDIO_LEN = 48000
 T_FRAMES = 250
@@ -106,7 +106,7 @@ def _flagship_config(batch_size, compute_dtype="float32"):
     }
 
 
-def measure_tpu(batch_size=BATCH, inner_iters=10, compute_dtype="float32") -> dict:
+def measure_tpu(batch_size=BATCH, inner_iters=50, compute_dtype="float32") -> dict:
     import jax
     import jax.numpy as jnp
 
