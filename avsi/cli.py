@@ -100,6 +100,26 @@ def parse_args(argv=None):
     p.add_argument("--input_model", required=True, type=str)
     p.add_argument("--output_model", required=True, type=str)
 
+    p = sub.add_parser(
+        "import_tf",
+        description="Import a reference TF checkpoint as an avsi checkpoint (not in reference).",
+    )
+    p.add_argument("--config", required=True, type=str)
+    p.add_argument("--tf_ckp", required=True, type=str, help="TF checkpoint prefix")
+    p.add_argument("--out_dir", required=True, type=str)
+    p.add_argument("--name", type=str, default="model.ckp")
+    p.add_argument("--asr", action="store_const", const=True, default=False)
+
+    p = sub.add_parser(
+        "export_tf",
+        description="Export an avsi checkpoint in the reference's TF format (not in reference).",
+    )
+    p.add_argument("--config", required=True, type=str)
+    p.add_argument("--model_ckp", required=True, type=str, help="avsi checkpoint dir")
+    p.add_argument("--name", type=str, default="model.ckp")
+    p.add_argument("--out_prefix", required=True, type=str)
+    p.add_argument("--asr", action="store_const", const=True, default=False)
+
     p = sub.add_parser("inference", description="Inference with trained speech inpainting model.")
     p.add_argument("-d", "--data_dir", required=True)
     p.add_argument("-ad", "--audio_dir", required=True)
@@ -248,6 +268,49 @@ def main(argv=None):
         from avsi.infer.export import save_inference_model
 
         save_inference_model(args.config, args.input_model, args.output_model, args.model)
+    elif name == "import_tf":
+        from avsi.infer.import_tf import use_cpu_backend
+
+        use_cpu_backend()
+        from avsi import config as config_lib
+        from avsi.infer.import_tf import import_tf_checkpoint
+        from avsi.train import checkpoints
+
+        config = config_lib.check_trainconfiguration(
+            config_lib.load_configfile(args.config)
+        )
+        params = import_tf_checkpoint(args.tf_ckp, config, is_asr=args.asr)
+        prefix = checkpoints.save_checkpoint(args.out_dir, args.name, params)
+        checkpoints.write_meta(args.out_dir, config)
+        print(f"Imported {args.tf_ckp} -> {prefix}")
+    elif name == "export_tf":
+        from avsi.infer.import_tf import use_cpu_backend
+
+        use_cpu_backend()
+        import jax as _jax
+
+        from avsi import config as config_lib
+        from avsi.infer.import_tf import export_tf_checkpoint
+        from avsi.train import checkpoints
+
+        config = config_lib.check_trainconfiguration(
+            config_lib.load_configfile(args.config)
+        )
+        if args.asr:
+            from avsi.models import asr as asr_model
+
+            template = asr_model.init(_jax.random.PRNGKey(0), config)
+        else:
+            from avsi.models import registry
+
+            template = registry.get_model(config["model"]).init(
+                _jax.random.PRNGKey(0), config
+            )
+        params, _, _ = checkpoints.restore_checkpoint(
+            args.model_ckp, args.name, template
+        )
+        path = export_tf_checkpoint(params, config, args.out_prefix, is_asr=args.asr)
+        print(f"Exported {args.model_ckp}/{args.name} -> {path}")
     elif name == "inference":
         from avsi.infer.inpaint import infer
 
