@@ -10,12 +10,18 @@ jitted enhancement function warm at a fixed micro-batch shape, and exposes
       [n_samples x int16 wave][t_frames x uint8 frame_mask]
   -> 200, body: n_samples x int16 enhanced wave
   GET /healthz    -> 200 "ok"
+  GET /info       -> model/geometry/weights_version JSON
+  GET /metrics    -> Prometheus text (counters, live streams, uptime)
+  POST /reload    body: optional checkpoint-dir path (default: the serving
+      path) -> hot-swaps weights with no recompilation (programs are pure
+      in params); geometry must match; open streams keep their weights
 
 Requests are padded into the fixed micro-batch so every call hits the same
 compiled program (no recompiles in steady state).
 
 Live streams (LC-BLSTM low-latency path, `avsi/infer/streaming.py`;
-audio-input models over HTTP — visual models stream via the Python API):
+visual models append f16 video rows to each push payload, CTC models can
+request framed incremental transcripts with `transcript=1`):
 
   POST /stream/open?chunk=8&look=16  -> {"id": ..., "frame_step": 192, ...}
   POST /stream/<id>   body: [int32 n_samples][int32 n_frames]
@@ -60,7 +66,42 @@ class InpaintingService:
             make_infer_step(model, self.config, stats, False, phase_recon, gl_iters)
         )
         self._lock = threading.Lock()
+        self._model_path = model_path
+        self._norm = norm
+        self.weights_version = 0
+        self.started = time.monotonic()
+        # operational counters (served at /metrics); guarded by _lock where
+        # updated on the device path, by streams_lock on the stream path
+        self.n_utterances = 0
+        self.n_device_steps = 0
+        self.n_stream_pushes = 0
         self.warmup()
+
+    def reload(self, model_path: str | None = None) -> int:
+        """Hot-swap weights from `model_path` (default: the serving path).
+
+        The compiled programs are pure in params (shapes/dtypes fixed by
+        the config geometry), so a swap needs no recompilation.  The new
+        checkpoint must match the serving geometry — model name, audio_len
+        and feature dims — or the reload is refused.  Streams opened
+        before the swap keep the weights they started with (mid-utterance
+        weight changes would glitch the carried LSTM state); new streams
+        and /enhance requests use the new weights immediately.
+        """
+        from avsi.infer.inpaint import load_model_bundle
+
+        cfg, stats, _, params = load_model_bundle(model_path or self._model_path, self._norm)
+        for key in ("model", "audio_len", "audio_feat_dim", "video_feat_dim", "net_dim"):
+            if cfg.get(key) != self.config.get(key):
+                raise ValueError(
+                    f"reload geometry mismatch on {key}: "
+                    f"{cfg.get(key)!r} vs serving {self.config.get(key)!r}"
+                )
+        with self._lock:
+            self.params = params
+            self.stats = stats
+            self.weights_version += 1
+        return self.weights_version
 
     def _template_batch(self, n: int) -> dict:
         return {
@@ -92,6 +133,8 @@ class InpaintingService:
                 batch["mask_frames"][:k] = mask_frames[chunk].astype(np.int8)
                 wav, _, _ = self._step(self.params, batch)
                 out[chunk] = np.asarray(wav)[:k]
+                self.n_utterances += k
+                self.n_device_steps += 1
         return out
 
     def enhance(self, wave: np.ndarray, mask_frames: np.ndarray) -> np.ndarray:
@@ -148,8 +191,28 @@ def serve(
                         "audio_len": service.audio_len,
                         "t_frames": service.t_frames,
                         "micro_batch": service.micro_batch,
+                        "weights_version": service.weights_version,
                     }
                 ).encode()
+            elif self.path == "/metrics":
+                # Prometheus text exposition format
+                with streams_lock:
+                    live = sum(1 for v in streams.values() if v[0] is not None)
+                lines = [
+                    "# TYPE avsi_utterances_enhanced_total counter",
+                    f"avsi_utterances_enhanced_total {service.n_utterances}",
+                    "# TYPE avsi_device_steps_total counter",
+                    f"avsi_device_steps_total {service.n_device_steps}",
+                    "# TYPE avsi_stream_pushes_total counter",
+                    f"avsi_stream_pushes_total {service.n_stream_pushes}",
+                    "# TYPE avsi_live_streams gauge",
+                    f"avsi_live_streams {live}",
+                    "# TYPE avsi_weights_version gauge",
+                    f"avsi_weights_version {service.weights_version}",
+                    "# TYPE avsi_uptime_seconds gauge",
+                    f"avsi_uptime_seconds {time.monotonic() - service.started:.1f}",
+                ]
+                body = ("\n".join(lines) + "\n").encode()
             else:
                 self.send_response(404)
                 self.end_headers()
@@ -256,6 +319,7 @@ def serve(
                         wave.astype(np.float32), mask.astype(np.float32),
                         video,
                     )
+                    service.n_stream_pushes += 1
             body = np.clip(out, -32768, 32767).astype("<i2").tobytes()
             if inp.want_transcript:
                 # framed reply: <i4 n_wav_samples> wav_i2[] new_label_ids_i2[]
@@ -283,6 +347,18 @@ def serve(
                 except Exception:
                     if not self._replied:
                         self._reply(500, b"internal error")
+                return
+            if self.path == "/reload":
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    raw = self.rfile.read(n)
+                    path = raw.decode().strip() or None
+                    version = service.reload(path)
+                    self._reply(200, json.dumps({"weights_version": version}).encode())
+                except (ValueError, FileNotFoundError, KeyError) as e:
+                    self._reply(400, str(e).encode())
+                except Exception:
+                    self._reply(500, b"internal error")
                 return
             if self.path != "/enhance":
                 self.send_response(404)

@@ -1,6 +1,7 @@
 """Serving: warm-model service + HTTP endpoint round trip."""
 
 import os
+import json
 import struct
 import threading
 import urllib.error
@@ -94,6 +95,90 @@ def test_http_endpoint(model_dir):
             assert r.read() == b"ok"
     finally:
         server.shutdown()
+
+
+def test_metrics_and_reload(model_dir):
+    """/metrics counters advance with served work; /reload hot-swaps
+    weights (version bump visible in /info) without recompiles, and a
+    geometry-mismatched path is refused with 400."""
+    from avsi.serve import serve
+
+    server = serve(model_dir, port=0, micro_batch=2, phase_recon="none")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.read().decode()
+
+        def metric(name):
+            for line in get("/metrics").splitlines():
+                if line.startswith(name + " "):
+                    return float(line.split()[1])
+            raise AssertionError(f"{name} not exported")
+
+        before = metric("avsi_utterances_enhanced_total")
+        assert metric("avsi_weights_version") == 0
+        rng = np.random.RandomState(2)
+        wave = (3000 * rng.randn(9600)).astype(np.int16)
+        mask = np.ones(50, np.uint8)
+        body = struct.pack("<ii", 9600, 50) + wave.tobytes() + mask.tobytes()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/enhance", data=body, method="POST"
+        )
+        urllib.request.urlopen(req).read()
+        assert metric("avsi_utterances_enhanced_total") == before + 1
+        assert metric("avsi_device_steps_total") >= 1
+
+        # reload from the serving path (empty body): version bumps, serving continues
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload", data=b"", method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["weights_version"] == 1
+        assert "\"weights_version\": 1" in get("/info").replace("'", '"')
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/enhance", data=body, method="POST"
+        )
+        out = np.frombuffer(urllib.request.urlopen(req).read(), "<i2")
+        assert out.shape == (9600,)
+
+        # a nonexistent checkpoint path -> 400, service stays healthy
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload", data=b"/nonexistent/dir", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code in (400, 500)
+        assert get("/healthz") == "ok"
+        assert metric("avsi_weights_version") == 1
+    finally:
+        server.shutdown()
+
+
+def test_reload_geometry_mismatch(model_dir, tmp_path):
+    """reload() refuses a checkpoint whose geometry differs from serving."""
+    from avsi.serve import InpaintingService
+
+    svc = InpaintingService(model_dir, micro_batch=2, phase_recon="none")
+    other = tmp_path / "other"
+    other.mkdir()
+    for name in os.listdir(model_dir):
+        src = os.path.join(model_dir, name)
+        dst = str(other / name)
+        with open(src, "rb") as f:
+            data = f.read()
+        with open(dst, "wb") as f:
+            f.write(data)
+    cfg = config_lib.load_configfile(str(other / "config.txt"))
+    cfg["audio_len"] = 48000
+    config_lib.save_configfile(cfg, str(other / "config.txt"))
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        svc.reload(str(other))
+    # and the original weights still serve
+    wave = np.zeros(9600, np.float32)
+    assert svc.enhance(wave, np.ones(50, np.float32)).shape == (9600,)
 
 
 @pytest.fixture(scope="module")
