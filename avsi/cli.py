@@ -196,6 +196,8 @@ def parse_args(argv=None):
     p.add_argument("-bs", "--micro_batch", type=int, default=8)
     p.add_argument("--phase_recon", default="gl", choices=["gl", "none"])
     p.add_argument("--gl_iters", type=int, default=30)
+    p.add_argument("--max_streams", type=int, default=64)
+    p.add_argument("--stream_idle_s", type=float, default=600.0)
 
     p = sub.add_parser("fixture", description="Generate a synthetic GRID-like corpus (not in reference).")
     p.add_argument("-d", "--dest_dir", required=True)
@@ -356,6 +358,7 @@ def main(argv=None):
 
         server = serve(
             args.model_path, args.host, args.port,
+            max_streams=args.max_streams, stream_idle_s=args.stream_idle_s,
             micro_batch=args.micro_batch, phase_recon=args.phase_recon,
             gl_iters=args.gl_iters,
         )
