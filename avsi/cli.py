@@ -107,7 +107,8 @@ def parse_args(argv=None):
     p.add_argument("--config", required=True, type=str)
     p.add_argument("--tf_ckp", required=True, type=str, help="TF checkpoint prefix")
     p.add_argument("--out_dir", required=True, type=str)
-    p.add_argument("--name", type=str, default="model.ckp")
+    p.add_argument("--name", type=str, default=None,
+                   help="checkpoint name (default: sinet, or asrnet with --asr)")
     p.add_argument("--asr", action="store_const", const=True, default=False)
 
     p = sub.add_parser(
@@ -116,7 +117,8 @@ def parse_args(argv=None):
     )
     p.add_argument("--config", required=True, type=str)
     p.add_argument("--model_ckp", required=True, type=str, help="avsi checkpoint dir")
-    p.add_argument("--name", type=str, default="model.ckp")
+    p.add_argument("--name", type=str, default=None,
+                   help="checkpoint name (default: sinet, or asrnet with --asr)")
     p.add_argument("--out_prefix", required=True, type=str)
     p.add_argument("--asr", action="store_const", const=True, default=False)
 
@@ -282,37 +284,41 @@ def main(argv=None):
             config_lib.load_configfile(args.config)
         )
         params = import_tf_checkpoint(args.tf_ckp, config, is_asr=args.asr)
-        prefix = checkpoints.save_checkpoint(args.out_dir, args.name, params)
+        name = args.name or ("asrnet" if args.asr else "sinet")
+        prefix = checkpoints.save_checkpoint(args.out_dir, name, params)
         checkpoints.write_meta(args.out_dir, config)
+        # Mirror train/loop.py's bundle layout so `inference`/`evaluation`
+        # load the imported dir exactly like a trained one (config.txt +
+        # feature stats next to the weights).
+        import os
+        import shutil
+
+        import numpy as _np
+
+        from avsi.data import stats as stats_lib
+
+        shutil.copy(args.config, os.path.join(args.out_dir, "config.txt"))
+        stats = stats_lib.load_stats(config["audio_feat_mean"], config["audio_feat_std"])
+        _np.save(os.path.join(args.out_dir, "audio_features_mean.npy"), stats[0])
+        _np.save(os.path.join(args.out_dir, "audio_features_std.npy"), stats[1])
         print(f"Imported {args.tf_ckp} -> {prefix}")
     elif name == "export_tf":
         from avsi.infer.import_tf import use_cpu_backend
 
         use_cpu_backend()
-        import jax as _jax
-
         from avsi import config as config_lib
-        from avsi.infer.import_tf import export_tf_checkpoint
+        from avsi.infer.import_tf import export_tf_checkpoint, model_template
         from avsi.train import checkpoints
 
         config = config_lib.check_trainconfiguration(
             config_lib.load_configfile(args.config)
         )
-        if args.asr:
-            from avsi.models import asr as asr_model
-
-            template = asr_model.init(_jax.random.PRNGKey(0), config)
-        else:
-            from avsi.models import registry
-
-            template = registry.get_model(config["model"]).init(
-                _jax.random.PRNGKey(0), config
-            )
+        name = args.name or ("asrnet" if args.asr else "sinet")
         params, _, _ = checkpoints.restore_checkpoint(
-            args.model_ckp, args.name, template
+            args.model_ckp, name, model_template(config, is_asr=args.asr)
         )
         path = export_tf_checkpoint(params, config, args.out_prefix, is_asr=args.asr)
-        print(f"Exported {args.model_ckp}/{args.name} -> {path}")
+        print(f"Exported {args.model_ckp}/{name} -> {path}")
     elif name == "inference":
         from avsi.infer.inpaint import infer
 

@@ -63,15 +63,23 @@ def _avsi_to_tf_gates(arr: np.ndarray) -> np.ndarray:
     return np.concatenate([i, g, f, o], axis=-1)
 
 
-def _stack_key(prefix: str) -> tuple:
-    """Map a checkpoint scope prefix to the avsi subtree holding the stack."""
-    if "v-blstm/" in prefix:
-        return ("vnet", "blstm")
-    if "av-blstm-twosteps/" in prefix:
-        return ("avnet", "blstm")
-    if "blstm_1/" in prefix:
+def _stack_key(prefix: str, template: dict) -> tuple:
+    """Map a checkpoint scope prefix to the avsi subtree holding the stack.
+
+    Matching is on whole path segments (substring matching would confuse
+    'v-blstm' with 'av-blstm'), and the twosteps sub-scopes only apply
+    when the model actually IS twosteps (template has 'vnet') — a
+    standalone v-blstm checkpoint's top scope is also 'v-blstm'.
+    """
+    parts = prefix.split("/")
+    if "vnet" in template:
+        if "v-blstm" in parts:
+            return ("vnet", "blstm")
+        if "av-blstm-twosteps" in parts:
+            return ("avnet", "blstm")
+    if "blstm_1" in parts:
         return ("blstm1",)
-    if "blstm_2/" in prefix:
+    if "blstm_2" in parts:
         return ("blstm2",)
     return ("blstm",)
 
@@ -106,10 +114,13 @@ def _head_path(name: str, template: dict) -> tuple | None:
         return ("head_asr", leaf)
     # 'logits': the single head of the plain SI net, the ASR net, or a
     # two-steps sub-net, depending on enclosing scope / template keys
-    if "v-blstm/" in name:
-        return ("vnet", "head_ipt", leaf)
-    if "av-blstm-twosteps/" in name:
-        return ("avnet", "head_ipt", leaf)
+    # (segment matching, not substring: 'av-blstm' contains 'v-blstm')
+    parts = name.split("/")
+    if "vnet" in template:
+        if "v-blstm" in parts:
+            return ("vnet", "head_ipt", leaf)
+        if "av-blstm-twosteps" in parts:
+            return ("avnet", "head_ipt", leaf)
     if "head" in template:  # ASR net (avsi/models/asr.py)
         return ("head", leaf)
     return ("head_ipt", leaf)
@@ -184,7 +195,7 @@ def map_tf_to_params(tf_vars: dict[str, np.ndarray], template: dict) -> dict:
             "wh": _tf_to_avsi_gates(wh),
             "b": _tf_to_avsi_gates(b),
         }
-        path = _stack_key(prefix) + (layer,)
+        path = _stack_key(prefix, template) + (layer,)
         try:
             target = _get_path(template, path)
         except (KeyError, IndexError, TypeError):
@@ -232,19 +243,24 @@ def map_tf_to_params(tf_vars: dict[str, np.ndarray], template: dict) -> dict:
     return jax.tree_util.tree_unflatten(treedef, [finalize(l, t) for l, t in zip(leaves_f, leaves_t)])
 
 
-def import_tf_checkpoint(tf_ckpt_path: str, config: dict, is_asr: bool = False) -> dict:
-    """Load a reference TF checkpoint as an avsi parameter tree."""
+def model_template(config: dict, is_asr: bool = False) -> dict:
+    """The freshly-initialized parameter tree import/export map against."""
     import jax
 
     if is_asr:
         from avsi.models import asr as asr_model
 
-        template = asr_model.init(jax.random.PRNGKey(0), config)
-    else:
-        from avsi.models import registry
+        return asr_model.init(jax.random.PRNGKey(0), config)
+    from avsi.models import registry
 
-        template = registry.get_model(config["model"]).init(jax.random.PRNGKey(0), config)
-    return map_tf_to_params(read_tf_variables(tf_ckpt_path), template)
+    return registry.get_model(config["model"]).init(jax.random.PRNGKey(0), config)
+
+
+def import_tf_checkpoint(tf_ckpt_path: str, config: dict, is_asr: bool = False) -> dict:
+    """Load a reference TF checkpoint as an avsi parameter tree."""
+    return map_tf_to_params(
+        read_tf_variables(tf_ckpt_path), model_template(config, is_asr)
+    )
 
 
 # ---------------------------------------------------------------------------

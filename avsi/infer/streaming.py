@@ -147,6 +147,26 @@ def _ssnn_update(params, deltas, mask, n_valid, ssnn_sum, ssnn_cnt):
 _SSNN_STEP = jax.jit(_ssnn_update)
 
 
+def ctc_blank_id(params) -> int:
+    """Blank label = last output of the ASR head (the reference trains CTC
+    with blank as the extra final class; config.py adds the +1)."""
+    return int(params["head_asr"]["b"].shape[0]) - 1
+
+
+def greedy_collapse(ids, blank: int, prev: int, out: list) -> int:
+    """Incremental greedy CTC collapse: append each non-blank, non-repeat
+    label in `ids` to `out`; return the new collapse state (the last raw
+    label), so chains of calls across chunk boundaries decode identically
+    to one offline pass.  The single source of truth for every streaming
+    decode path (per-stream, flush, lockstep fleet)."""
+    for label in ids:
+        label = int(label)
+        if label != blank and label != prev:
+            out.append(label)
+        prev = label
+    return prev
+
+
 class _ProgSpec:
     """The static inputs of the jitted window program — a deliberately
     small object so the compiled step (which outlives any one stream via
@@ -395,9 +415,7 @@ class StreamingInpainter:
         self._hidden = [
             p["wh"].shape[1] for p, _ in _layer_list(params, self.spec, self.int_layer)
         ]
-        self._ctc_blank = (
-            int(params["head_asr"]["b"].shape[0]) - 1 if self.spec.ctc else -1
-        )
+        self._ctc_blank = ctc_blank_id(params) if self.spec.ctc else -1
         key = (self.chunk, self.look, self.want_transcript)
         if program_cache is not None and key in program_cache:
             self._step = program_cache[key]
@@ -654,11 +672,10 @@ class StreamingInpainter:
         self._ssnn_sum, self._ssnn_cnt = s_sum, s_cnt
         if self.want_transcript:
             # incremental greedy CTC collapse over the newly emitted frames
-            for label in np.asarray(ids)[0, :n_emit]:
-                label = int(label)
-                if label != self._ctc_blank and label != self._ctc_prev:
-                    self.transcript.append(label)
-                self._ctc_prev = label
+            self._ctc_prev = greedy_collapse(
+                np.asarray(ids)[0, :n_emit], self._ctc_blank,
+                self._ctc_prev, self.transcript,
+            )
         for k in fr:
             fr[k] = fr[k][n_emit:]
         if n_emit == self.chunk:
@@ -906,16 +923,12 @@ def stream_utterances_lockstep(
     if not transcript:
         return wav_out
     # per-stream greedy collapse over the first t_frames emitted ids —
-    # identical to StreamingInpainter's incremental decode
+    # the same greedy_collapse as StreamingInpainter's incremental decode
     all_ids = np.concatenate(id_chunks, axis=1)[:, :t_frames]
-    blank = int(params["head_asr"]["b"].shape[0]) - 1
+    blank = ctc_blank_id(params)
     transcripts = []
     for row in all_ids:
-        decoded, prev_id = [], blank
-        for label in row:
-            label = int(label)
-            if label != blank and label != prev_id:
-                decoded.append(label)
-            prev_id = label
+        decoded: list[int] = []
+        greedy_collapse(row, blank, blank, decoded)
         transcripts.append(decoded)
     return wav_out, transcripts

@@ -90,12 +90,30 @@ class InpaintingService:
         """
         from avsi.infer.inpaint import load_model_bundle
 
+        import jax
+
         cfg, stats, _, params = load_model_bundle(model_path or self._model_path, self._norm)
-        for key in ("model", "audio_len", "audio_feat_dim", "video_feat_dim", "net_dim"):
+        for key in ("model", "audio_len", "audio_feat_dim", "video_feat_dim",
+                    "net_dim", "integration_layer"):
             if cfg.get(key) != self.config.get(key):
                 raise ValueError(
                     f"reload geometry mismatch on {key}: "
                     f"{cfg.get(key)!r} vs serving {self.config.get(key)!r}"
+                )
+        # Structural guard: the compiled step's real contract is the params
+        # pytree (structure + leaf shapes), not any config-key subset — a
+        # mismatch here would poison every request until restart.
+        old_td = jax.tree_util.tree_structure(self.params)
+        new_td = jax.tree_util.tree_structure(params)
+        if new_td != old_td:
+            raise ValueError(
+                f"reload params-tree mismatch: {new_td} vs serving {old_td}"
+            )
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(self.params)):
+            if np.shape(a) != np.shape(b):
+                raise ValueError(
+                    f"reload params-shape mismatch: {np.shape(a)} vs {np.shape(b)}"
                 )
         with self._lock:
             self.params = params

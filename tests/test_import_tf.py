@@ -143,8 +143,13 @@ def test_import_skips_optimizer_slots_and_checks_coverage(tmp_path):
 
 
 def test_cli_roundtrip(tmp_path):
-    """avsi export_tf / import_tf subcommands round-trip a checkpoint."""
+    """avsi export_tf / import_tf subcommands round-trip a checkpoint with
+    the default names (sinet), and the imported dir is a self-contained
+    bundle `inference` can load (config.txt + stats + sinet weights)."""
+    import os
+
     from avsi import cli, config as config_lib
+    from avsi.infer.inpaint import load_model_bundle
     from avsi.train import checkpoints
 
     cfg = _flagship_cfg()
@@ -161,7 +166,7 @@ def test_cli_roundtrip(tmp_path):
     config_lib.save_configfile(disk_cfg, cfg_path)
     params = registry.get_model(cfg["model"]).init(jax.random.PRNGKey(7), cfg)
     ckp_dir = str(tmp_path / "ckp")
-    checkpoints.save_checkpoint(ckp_dir, "model.ckp", params)
+    checkpoints.save_checkpoint(ckp_dir, "sinet", params)
 
     tf_prefix = str(tmp_path / "tf" / "model.ckpt")
     cli.main(["export_tf", "--config", cfg_path, "--model_ckp", ckp_dir,
@@ -169,7 +174,47 @@ def test_cli_roundtrip(tmp_path):
     back_dir = str(tmp_path / "back")
     cli.main(["import_tf", "--config", cfg_path, "--tf_ckp", tf_prefix,
               "--out_dir", back_dir])
-    got, _, _ = checkpoints.restore_checkpoint(back_dir, "model.ckp", params)
+    # the MIGRATION.md contract: the imported dir loads like a trained one
+    for fname in ("config.txt", "audio_features_mean.npy", "audio_features_std.npy"):
+        assert os.path.exists(os.path.join(back_dir, fname)), fname
+    _, _, _, got = load_model_bundle(back_dir, norm=True)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+@pytest.mark.parametrize(
+    "model", ["v-blstm", "av-blstm", "av-blstm-ssnn", "av-blstm-twosteps"]
+)
+def test_roundtrip_all_scope_layouts(model):
+    """Scope mapping must be exact per path segment: 'av-blstm' contains
+    'v-blstm' as a substring, and a standalone v-blstm's top scope equals
+    the twosteps vnet sub-scope — both previously mis-mapped."""
+    cfg = tiny_config(model=model, net_dim=(6, 6), audio_len=4800)
+    params = registry.get_model(model).init(jax.random.PRNGKey(8), cfg)
+    got = import_tf.map_tf_to_params(
+        import_tf.params_to_tf_variables(params, cfg), params
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(got)[0],
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, err_msg=jax.tree_util.keystr(pa))
+
+
+@pytest.mark.parametrize("model", ["v-blstm", "av-blstm"])
+def test_roundtrip_asr_scope_layouts(model):
+    """ASR nets 'asr/v-blstm' and 'asr/av-blstm' (same substring trap)."""
+    from avsi.models import asr as asr_model
+
+    cfg = tiny_config(model=model, net_dim=(6, 6), audio_len=4800)
+    cfg["num_asr_labels"] = 34
+    params = asr_model.init(jax.random.PRNGKey(9), cfg)
+    got = import_tf.map_tf_to_params(
+        import_tf.params_to_tf_variables(params, cfg, is_asr=True), params
+    )
     for a, b in zip(
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got)
     ):

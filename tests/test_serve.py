@@ -176,6 +176,13 @@ def test_reload_geometry_mismatch(model_dir, tmp_path):
     config_lib.save_configfile(cfg, str(other / "config.txt"))
     with pytest.raises(ValueError, match="geometry mismatch"):
         svc.reload(str(other))
+    # integration_layer changes the params-tree structure for conditioned
+    # models — it must be part of the geometry contract too
+    cfg["audio_len"] = 9600
+    cfg["integration_layer"] = 1
+    config_lib.save_configfile(cfg, str(other / "config.txt"))
+    with pytest.raises(ValueError, match="integration_layer"):
+        svc.reload(str(other))
     # and the original weights still serve
     wave = np.zeros(9600, np.float32)
     assert svc.enhance(wave, np.ones(50, np.float32)).shape == (9600,)
