@@ -228,21 +228,38 @@ def forward(
     elif spec.conditioning == "emb":
         emb = batch["embeddings"]
 
-    if emb is not None and int_layer == 0:
+    if lc is not None:
+        # LC runs the whole flattened stack through the window-space
+        # recursion (core.lc_blstm_stack), injecting the embedding at the
+        # same layer the streaming server does (streaming._layer_list) —
+        # chaining per-sub-stack calls would diverge from serving at the
+        # lookahead frames for >=2 layers.
+        if "blstm" in params:
+            layer_seq = [
+                (p, emb is not None and int_layer == 0 and i == 0)
+                for i, p in enumerate(params["blstm"])
+            ]
+        else:
+            layer_seq = [(p, False) for p in params["blstm1"]]
+            layer_seq += [(p, i == 0) for i, p in enumerate(params["blstm2"])]
+        rnn_out = core.lc_blstm_stack(
+            layer_seq, net_in, emb, lc[0], lc[1], compute_dtype, gate_dtype
+        )
+    elif emb is not None and int_layer == 0:
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm"], jnp.concatenate([net_in, tiled], axis=2), compute_dtype,
-            gate_dtype, lc,
+            gate_dtype,
         )
     elif emb is not None:
-        mid = core.blstm_stack(params["blstm1"], net_in, compute_dtype, gate_dtype, lc)
+        mid = core.blstm_stack(params["blstm1"], net_in, compute_dtype, gate_dtype)
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm2"], jnp.concatenate([mid, tiled], axis=2), compute_dtype,
-            gate_dtype, lc,
+            gate_dtype,
         )
     else:
-        rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype, gate_dtype, lc)
+        rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype, gate_dtype)
 
     rnn_out = core.dropout(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train

@@ -116,52 +116,57 @@ def bilstm_layer(
     return jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)
 
 
-def lc_bilstm_layer(
+def _lc_layer_pair(
     params: dict,
-    x: jax.Array,
+    y: jax.Array,
+    yhat: jax.Array,
     chunk: int,
-    lookahead: int,
-    compute_dtype=jnp.float32,
-    gate_dtype=None,
-) -> jax.Array:
-    """Latency-controlled bidirectional layer: (B, T, D) -> (B, T, 2H).
+    look: int,
+    compute_dtype,
+    gate_dtype,
+    need_look: bool = True,
+):
+    """One LC-BLSTM layer in window space.
 
-    Train-time twin of the streaming inference path
-    (`avsi/infer/streaming.py:_lc_bilstm_layer`): the forward direction is
-    exact; the backward direction restarts from zero state at each chunk's
-    window end, so an emitted frame sees at most `chunk + lookahead - 1`
-    future frames.  Training with the serving chunk/lookahead makes the
-    train and live-inference functions IDENTICAL — the LC truncation
-    stops being an approximation and becomes the model (the
-    "causal/latency-trained variant" follow-on of ROADMAP.md #5).
+    The streaming server (`avsi/infer/streaming.py:_window_step`) runs the
+    WHOLE stack over each `chunk + look` window, so an upper layer's input
+    at the window's lookahead frames is the lower layer's *window-local*
+    recomputation, not its finalized value.  To train exactly that
+    function, every layer is represented as a pair:
 
-    TPU mapping: the backward pass gathers the (n_chunks, chunk+lookahead)
-    overlapping windows and folds them into the batch axis, so it is ONE
-    scan of length chunk+lookahead over a (n_chunks*B, ...) batch —
-    shorter but wider than the full-T scan; compute overhead vs the exact
-    backward is (chunk+lookahead)/chunk on the recurrent matmuls.
-    Sequence-end windows are padded with zero FEATURES before the input
-    projection (pads contribute bias-only gates), exactly like the
-    streaming class's zero-padded flush windows.
+      y    (B, n*chunk, D)    — canonical values at emitted frames (what
+                                the streaming windows finalize; the loss
+                                and the next layer's emitted inputs);
+      yhat (B, n, look, D)    — window-local values at each window k's
+                                lookahead frames [k*C+C, k*C+W), i.e. what
+                                window k's upper layers actually see there.
+
+    Per layer: the forward direction is one exact scan over `y` (the carry
+    chain only ever passes through emitted frames), plus an n-window-batched
+    continuation scan of length `look` over `yhat` seeded from the chunk-
+    boundary states; the backward direction is the n-window-batched
+    zero-initialized scan over concat(y-window, yhat) of length W.  All
+    window-parallel work is folded into the batch axis (one scan each).
+
+    need_look=False (the stack's last layer) skips the lookahead outputs —
+    nothing consumes them.
     """
-    b_sz, t_len, d_in = x.shape
+    b_sz, t_pad, _ = y.shape
     hidden = params["wh"].shape[1]
-    if gate_dtype is None:
-        gate_dtype = compute_dtype
-    chunk = int(chunk)
-    look = int(lookahead)
-    n_chunks = -(-t_len // chunk)
-    t_pad = n_chunks * chunk
+    n_chunks = t_pad // chunk
     w_len = chunk + look
 
-    xc = x.astype(compute_dtype)
+    yc = y.astype(compute_dtype)
+    yhc = yhat.astype(compute_dtype)
     wx = params["wx"].astype(compute_dtype)
     wh = params["wh"].astype(compute_dtype)
     bias = params["b"].astype(jnp.float32)
 
-    # ---- forward direction: exact full-length scan
+    # ---- forward, canonical: exact full-length scan over emitted frames.
+    # Also emits the cell state so chunk-boundary (h, c) can seed the
+    # window-local lookahead continuations.
     xw_f = (
-        jnp.einsum("bti,ig->btg", xc, wx[0], preferred_element_type=jnp.float32)
+        jnp.einsum("bti,ig->btg", yc, wx[0], preferred_element_type=jnp.float32)
         + bias[0]
     ).astype(compute_dtype)
     h0 = jnp.zeros((b_sz, hidden), jnp.float32)
@@ -172,18 +177,37 @@ def lc_bilstm_layer(
             (carry[0][None], carry[1][None]), xw_t[None], wh[:1], hidden,
             gate_dtype=gate_dtype,
         )
-        return (h[0], c[0]), h[0]
+        return (h[0], c[0]), (h[0], c[0])
 
-    _, hs_f = jax.lax.scan(
+    _, (hs_f, cs_f) = jax.lax.scan(
         jax.checkpoint(fwd_cell), (h0, c0), jnp.moveaxis(xw_f, 1, 0)
     )
-    fwd = jnp.moveaxis(hs_f, 0, 1)  # (B, T, H)
+    fwd = jnp.moveaxis(hs_f, 0, 1)  # (B, T', H)
 
-    # ---- backward direction: overlapping windows folded into the batch
-    x_pad = jnp.pad(xc, ((0, 0), (0, t_pad + look - t_len), (0, 0)))
-    starts = jnp.arange(n_chunks) * chunk
-    idx = starts[:, None] + jnp.arange(w_len)[None, :]  # (n_chunks, W)
-    x_win = x_pad[:, idx]  # (B, n_chunks, W, D)
+    fwd_look = None
+    if need_look and look > 0:
+        # ---- forward, window-local lookahead: continue from the state at
+        # each window's last emitted frame (k*C + C - 1), n windows batched.
+        hb = jnp.moveaxis(hs_f[chunk - 1 :: chunk], 0, 1)  # (B, n, H)
+        cb = jnp.moveaxis(cs_f[chunk - 1 :: chunk], 0, 1)
+        xw_l = (
+            jnp.einsum(
+                "bnwi,ig->bnwg", yhc, wx[0], preferred_element_type=jnp.float32
+            )
+            + bias[0]
+        ).astype(compute_dtype)
+        xw_l = jnp.moveaxis(xw_l.reshape(b_sz * n_chunks, look, -1), 1, 0)
+        _, (hs_l, _) = jax.lax.scan(
+            jax.checkpoint(fwd_cell),
+            (hb.reshape(b_sz * n_chunks, hidden), cb.reshape(b_sz * n_chunks, hidden)),
+            xw_l,
+        )
+        fwd_look = jnp.moveaxis(hs_l, 0, 1).reshape(b_sz, n_chunks, look, hidden)
+
+    # ---- backward: zero-init at each window's end, n windows batched
+    x_win = jnp.concatenate(
+        [yc.reshape(b_sz, n_chunks, chunk, -1), yhc], axis=2
+    )  # (B, n, W, D)
     xw_b = (
         jnp.einsum(
             "bnwi,ig->bnwg", x_win, wx[1], preferred_element_type=jnp.float32
@@ -205,11 +229,97 @@ def lc_bilstm_layer(
     _, hs_b = jax.lax.scan(
         jax.checkpoint(bwd_cell), (hb0, cb0), jnp.moveaxis(xw_b_rev, 1, 0)
     )
-    # un-reverse, keep each window's first `chunk` frames (the emitted ones)
-    hs_b = jnp.flip(jnp.moveaxis(hs_b, 0, 1), axis=1)[:, :chunk]
-    bwd = hs_b.reshape(b_sz, n_chunks * chunk, hidden)[:, :t_len]
+    hs_b = jnp.flip(jnp.moveaxis(hs_b, 0, 1), axis=1)  # (B*n, W, H)
+    hs_b = hs_b.reshape(b_sz, n_chunks, w_len, hidden)
+    bwd = hs_b[:, :, :chunk].reshape(b_sz, t_pad, hidden)
 
-    return jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)
+    y_out = jnp.concatenate([fwd, bwd], axis=-1).astype(y.dtype)
+    if not (need_look and look > 0):
+        empty = jnp.zeros((b_sz, n_chunks, look, 2 * hidden), y.dtype)
+        return y_out, empty
+    yhat_out = jnp.concatenate([fwd_look, hs_b[:, :, chunk:]], axis=-1).astype(
+        y.dtype
+    )
+    return y_out, yhat_out
+
+
+def lc_blstm_stack(
+    layer_seq: list,
+    x: jax.Array,
+    emb: jax.Array | None,
+    chunk: int,
+    lookahead: int,
+    compute_dtype=jnp.float32,
+    gate_dtype=None,
+) -> jax.Array:
+    """Latency-controlled BLSTM stack: (B, T, D) -> (B, T, 2*H_last).
+
+    Train-time twin of the streaming serving path
+    (`avsi/infer/streaming.py:_window_step`): the forward recurrent state
+    is continuous across chunks, the backward state restarts from zero at
+    each chunk's window end, sequence-end windows are zero-FEATURE-padded
+    at the stack input, and — the multi-layer subtlety — each window runs
+    through the WHOLE stack, so upper layers see the lower layers'
+    window-local lookahead recomputations (see `_lc_layer_pair`).  Training
+    with the serving chunk/lookahead therefore optimizes the literally
+    served function (ROADMAP.md #5 causal-variant follow-on); the
+    train==serve equivalence is asserted sample-for-sample in
+    tests/test_lc_training.py, including >=2-layer stacks and the
+    zero-padded tail.
+
+    layer_seq: list of (layer_params, inject_embedding_before) pairs — the
+    same flattened layout as streaming's `_layer_list`, so embedding
+    injection happens at the identical point in both functions.
+    """
+    b_sz, t_len, _ = x.shape
+    if gate_dtype is None:
+        gate_dtype = compute_dtype
+    chunk = int(chunk)
+    look = int(lookahead)
+    n_chunks = -(-t_len // chunk)
+    t_pad = n_chunks * chunk
+
+    x_pad = jnp.pad(x, ((0, 0), (0, t_pad + look - t_len), (0, 0)))
+    y = x_pad[:, :t_pad]
+    starts = jnp.arange(n_chunks) * chunk + chunk
+    idx = starts[:, None] + jnp.arange(look)[None, :]  # (n, look)
+    yhat = x_pad[:, idx] if look > 0 else jnp.zeros(
+        (b_sz, n_chunks, 0, x.shape[2]), x.dtype
+    )
+
+    for i, (layer_params, inject) in enumerate(layer_seq):
+        if inject and emb is not None:
+            tiled_y = jnp.broadcast_to(
+                emb[:, None, :], (b_sz, y.shape[1], emb.shape[-1])
+            ).astype(y.dtype)
+            y = jnp.concatenate([y, tiled_y], axis=2)
+            tiled_yh = jnp.broadcast_to(
+                emb[:, None, None, :], (b_sz, n_chunks, look, emb.shape[-1])
+            ).astype(yhat.dtype)
+            yhat = jnp.concatenate([yhat, tiled_yh], axis=3)
+        y, yhat = _lc_layer_pair(
+            layer_params, y, yhat, chunk, look, compute_dtype, gate_dtype,
+            need_look=i < len(layer_seq) - 1,
+        )
+    return y[:, :t_len]
+
+
+def lc_bilstm_layer(
+    params: dict,
+    x: jax.Array,
+    chunk: int,
+    lookahead: int,
+    compute_dtype=jnp.float32,
+    gate_dtype=None,
+) -> jax.Array:
+    """Single latency-controlled layer: (B, T, D) -> (B, T, 2H).
+
+    For ONE layer the window-local/canonical distinction vanishes (the
+    layer's inputs are the true features everywhere), so this is simply
+    the one-layer stack."""
+    return lc_blstm_stack(
+        [(params, False)], x, None, chunk, lookahead, compute_dtype, gate_dtype
+    )
 
 
 def blstm_stack_init(rng, in_dim: int, net_dim: list[int]) -> list[dict]:
@@ -231,14 +341,20 @@ def blstm_stack(
 ) -> jax.Array:
     """Stacked bidirectional LSTM: (B, T, D) -> (B, T, 2*H_last).
 
-    lc=(chunk, lookahead) trains/evaluates every layer with the
-    latency-controlled backward truncation (see lc_bilstm_layer)."""
+    lc=(chunk, lookahead) trains/evaluates the stack with the
+    latency-controlled window semantics (see lc_blstm_stack).  NOTE: with
+    embedding injection between stacks, use lc_blstm_stack directly with
+    the full flattened layer_seq — chaining two lc blstm_stack calls would
+    re-finalize the lookahead frames at the stack boundary, which is NOT
+    what the streaming server does."""
+    if lc is not None:
+        return lc_blstm_stack(
+            [(layer, False) for layer in layers], x, None, lc[0], lc[1],
+            compute_dtype, gate_dtype,
+        )
     out = x
     for layer in layers:
-        if lc is not None:
-            out = lc_bilstm_layer(layer, out, lc[0], lc[1], compute_dtype, gate_dtype)
-        else:
-            out = bilstm_layer(layer, out, compute_dtype, gate_dtype)
+        out = bilstm_layer(layer, out, compute_dtype, gate_dtype)
     return out
 
 

@@ -52,6 +52,90 @@ def test_lc_layer_matches_streaming_windows():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+def test_lc_stack_matches_streaming_windows_multilayer():
+    """Stack-level, >=2 layers: lc_blstm_stack == running the WHOLE stack
+    per window with per-layer forward-state carry, exactly like
+    streaming._window_step's layer loop.  Covers the multi-layer subtlety
+    (upper layers see window-local lookahead recomputations) and the
+    zero-padded tail (T not divisible by chunk)."""
+    rng = jax.random.PRNGKey(2)
+    d_in, chunk, look, t_len = 6, 5, 7, 23  # tail: 23 = 4*5 + 3
+    hiddens = [8, 9, 7]
+    layers = []
+    d = d_in
+    for i, h in enumerate(hiddens):
+        layers.append(core.lstm_layer_init(jax.random.fold_in(rng, i), d, h))
+        d = 2 * h
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, t_len, d_in))
+
+    got = core.lc_blstm_stack(
+        [(p, False) for p in layers], x, None, chunk, look
+    )
+    assert got.shape == (2, t_len, 2 * hiddens[-1])
+
+    w = chunk + look
+    carries = [
+        (jnp.zeros((2, h)), jnp.zeros((2, h))) for h in hiddens
+    ]
+    outs = []
+    for t0 in range(0, t_len, chunk):
+        win = np.zeros((2, w, d_in), np.float32)
+        real = min(w, t_len - t0)
+        win[:, :real] = np.asarray(x)[:, t0 : t0 + real]
+        xw = jnp.asarray(win)
+        new_carries = []
+        for p, (ch, cc) in zip(layers, carries):
+            xw, nh, nc = streaming._lc_bilstm_layer(
+                p, xw, ch, cc, chunk, jnp.float32
+            )
+            new_carries.append((nh, nc))
+        carries = new_carries
+        outs.append(np.asarray(xw)[:, :chunk])
+    want = np.concatenate(outs, axis=1)[:, :t_len]
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_lc_stack_embedding_injection_matches_streaming():
+    """The embedding is injected at the identical point in the LC train
+    stack and the streaming window loop (mid-stack, integration_layer=1)."""
+    rng = jax.random.PRNGKey(4)
+    d_in, chunk, look, t_len, e_dim = 5, 4, 6, 17, 3
+    hiddens = [6, 8]
+    layers = []
+    d = d_in
+    for i, h in enumerate(hiddens):
+        extra = e_dim if i == 1 else 0
+        layers.append(core.lstm_layer_init(jax.random.fold_in(rng, i), d + extra, h))
+        d = 2 * h
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, t_len, d_in))
+    emb = jax.random.normal(jax.random.PRNGKey(12), (2, e_dim))
+
+    layer_seq = [(layers[0], False), (layers[1], True)]
+    got = core.lc_blstm_stack(layer_seq, x, emb, chunk, look)
+
+    w = chunk + look
+    carries = [(jnp.zeros((2, h)), jnp.zeros((2, h))) for h in hiddens]
+    outs = []
+    for t0 in range(0, t_len, chunk):
+        win = np.zeros((2, w, d_in), np.float32)
+        real = min(w, t_len - t0)
+        win[:, :real] = np.asarray(x)[:, t0 : t0 + real]
+        xw = jnp.asarray(win)
+        new_carries = []
+        for (p, inject), (ch, cc) in zip(layer_seq, carries):
+            if inject:
+                tiled = jnp.broadcast_to(emb[:, None, :], (2, w, e_dim))
+                xw = jnp.concatenate([xw, tiled], axis=2)
+            xw, nh, nc = streaming._lc_bilstm_layer(
+                p, xw, ch, cc, chunk, jnp.float32
+            )
+            new_carries.append((nh, nc))
+        carries = new_carries
+        outs.append(np.asarray(xw)[:, :chunk])
+    want = np.concatenate(outs, axis=1)[:, :t_len]
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
 @pytest.mark.parametrize("model", ["a-blstm", "av-blstm-ssnn-ctc"])
 def test_lc_forward_equals_chunked_streaming(model):
     """Model-level: offline forward with lc_chunk/lc_lookahead equals the
