@@ -365,13 +365,19 @@ class StreamingInpainter:
         config: dict,
         stats: tuple,
         params: dict,
-        chunk_frames: int = 8,
-        lookahead_frames: int = 16,
+        chunk_frames: int | None = None,
+        lookahead_frames: int | None = None,
         embedding: np.ndarray | None = None,
         program_cache: dict | None = None,
         transcript: bool = False,
     ):
-        """program_cache: optional dict shared by streams of the SAME model
+        """chunk_frames/lookahead_frames default (None) to the model's
+        TRAINED window when the config carries lc_chunk/lc_lookahead —
+        serving an LC-trained model at its training latency is exactly the
+        train==serve contract — and to the 288 ms C=8/L=16 defaults
+        otherwise.
+
+        program_cache: optional dict shared by streams of the SAME model
         (same config/stats/params provenance): jitted window programs are
         reused across instances keyed by (chunk, lookahead, transcript), so
         a new live stream skips re-tracing (the step reads only static
@@ -389,6 +395,13 @@ class StreamingInpainter:
                 "a -ctc variant"
             )
         self.config = config
+        lc_c = int(config.get("lc_chunk", 0) or 0)
+        if chunk_frames is None:
+            chunk_frames = lc_c if lc_c > 0 else 8
+        if lookahead_frames is None:
+            lookahead_frames = (
+                int(config.get("lc_lookahead", 0) or 0) if lc_c > 0 else 16
+            )
         self.chunk = int(chunk_frames)
         self.look = int(lookahead_frames)
         if self.chunk < 1:

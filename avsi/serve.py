@@ -158,11 +158,14 @@ class InpaintingService:
     def enhance(self, wave: np.ndarray, mask_frames: np.ndarray) -> np.ndarray:
         return self.enhance_batch(wave[None], mask_frames[None])[0]
 
-    def open_stream(self, chunk_frames: int = 8, lookahead_frames: int = 16,
+    def open_stream(self, chunk_frames: int | None = None,
+                    lookahead_frames: int | None = None,
                     transcript: bool = False):
         """A live LC-BLSTM stream sharing this service's warm weights (and,
         across streams with the same chunk/lookahead/transcript, the
-        compiled window program). transcript=True (CTC models) maintains an
+        compiled window program). chunk/lookahead default to the model's
+        trained LC window when the config carries lc_chunk/lc_lookahead
+        (else C=8/L=16). transcript=True (CTC models) maintains an
         incremental greedy decode on the stream object."""
         from avsi.infer.streaming import StreamingInpainter
 
@@ -261,11 +264,15 @@ def serve(
 
                 spec = parse_model_name(service.config["model"])
                 q = urllib.parse.parse_qs(query)
-                chunk = int(q.get("chunk", ["8"])[0])
-                look = int(q.get("look", ["16"])[0])
+                # absent -> model default (the trained LC window if the
+                # config carries lc_chunk/lc_lookahead, else C=8/L=16)
+                chunk = int(q["chunk"][0]) if "chunk" in q else None
+                look = int(q["look"][0]) if "look" in q else None
                 transcript = bool(int(q.get("transcript", ["0"])[0]))
-                if not (1 <= chunk <= 256 and 0 <= look <= 256):
-                    raise ValueError("chunk must be in [1,256], look in [0,256]")
+                if chunk is not None and not 1 <= chunk <= 256:
+                    raise ValueError("chunk must be in [1,256]")
+                if look is not None and not 0 <= look <= 256:
+                    raise ValueError("look must be in [0,256]")
                 if transcript and not spec.ctc:
                     raise ValueError(
                         f"model {service.config['model']} has no CTC head; "
@@ -297,7 +304,7 @@ def serve(
                 with streams_lock:
                     streams[sid][0] = inp
                 self._reply(200, json.dumps({
-                    "id": sid, "chunk_frames": chunk, "lookahead_frames": look,
+                    "id": sid, "chunk_frames": inp.chunk, "lookahead_frames": inp.look,
                     "frame_step": 192, "frame_length": 384,
                     "video_feat_dim": vf, "transcript": transcript,
                 }).encode())

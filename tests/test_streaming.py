@@ -156,6 +156,24 @@ def test_emb_model_requires_embedding():
         streaming.StreamingInpainter(config, stats, params)
 
 
+def test_default_window_is_trained_lc_window():
+    """An LC-trained model streams at its TRAINED window by default (the
+    train==serve contract); non-LC configs keep the 288 ms C=8/L=16."""
+    config, spec, params, stats, batch = _setup(
+        "a-blstm", lc_chunk=4, lc_lookahead=6
+    )
+    inp = streaming.StreamingInpainter(config, stats, params)
+    assert (inp.chunk, inp.look) == (4, 6)
+    # explicit values still win
+    inp2 = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=8, lookahead_frames=0
+    )
+    assert (inp2.chunk, inp2.look) == (8, 0)
+    config_plain, _, params_plain, stats_plain, _ = _setup("a-blstm")
+    inp3 = streaming.StreamingInpainter(config_plain, stats_plain, params_plain)
+    assert (inp3.chunk, inp3.look) == (8, 16)
+
+
 def test_lockstep_matches_single_stream():
     """The batched lockstep API replicates the single-stream class sample
     for sample — every stream in the fleet gets the exact per-stream
