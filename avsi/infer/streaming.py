@@ -147,6 +147,27 @@ def _ssnn_update(params, deltas, mask, n_valid, ssnn_sum, ssnn_cnt):
 _SSNN_STEP = jax.jit(_ssnn_update)
 
 
+def resolve_window(config: dict, chunk_frames, lookahead_frames) -> tuple[int, int]:
+    """Resolve (chunk, lookahead): None defaults to the model's TRAINED
+    window when the config carries lc_chunk/lc_lookahead — serving an
+    LC-trained model at its training latency is the train==serve
+    contract — and to the 288 ms C=8/L=16 defaults otherwise.  Shared by
+    every streaming entry point (single stream, lockstep fleet, HTTP)."""
+    lc_c = int(config.get("lc_chunk", 0) or 0)
+    if chunk_frames is None:
+        chunk_frames = lc_c if lc_c > 0 else 8
+    if lookahead_frames is None:
+        lookahead_frames = (
+            int(config.get("lc_lookahead", 0) or 0) if lc_c > 0 else 16
+        )
+    chunk, look = int(chunk_frames), int(lookahead_frames)
+    if chunk < 1:
+        raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
+    if look < 0:
+        raise ValueError(f"lookahead_frames must be >= 0, got {lookahead_frames}")
+    return chunk, look
+
+
 def ctc_blank_id(params) -> int:
     """Blank label = last output of the ASR head (the reference trains CTC
     with blank as the extra final class; config.py adds the +1)."""
@@ -395,19 +416,7 @@ class StreamingInpainter:
                 "a -ctc variant"
             )
         self.config = config
-        lc_c = int(config.get("lc_chunk", 0) or 0)
-        if chunk_frames is None:
-            chunk_frames = lc_c if lc_c > 0 else 8
-        if lookahead_frames is None:
-            lookahead_frames = (
-                int(config.get("lc_lookahead", 0) or 0) if lc_c > 0 else 16
-            )
-        self.chunk = int(chunk_frames)
-        self.look = int(lookahead_frames)
-        if self.chunk < 1:
-            raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
-        if self.look < 0:
-            raise ValueError(f"lookahead_frames must be >= 0, got {lookahead_frames}")
+        self.chunk, self.look = resolve_window(config, chunk_frames, lookahead_frames)
         self.window = self.chunk + self.look
         self.af = int(config["audio_feat_dim"])
         self.vf = int(config["video_feat_dim"])
@@ -795,8 +804,8 @@ def stream_utterances_lockstep(
     frame_masks: np.ndarray,
     videos: np.ndarray | None = None,
     embeddings: np.ndarray | None = None,
-    chunk_frames: int = 8,
-    lookahead_frames: int = 16,
+    chunk_frames: int | None = None,
+    lookahead_frames: int | None = None,
     program_cache: dict | None = None,
     transcript: bool = False,
 ):
@@ -822,9 +831,8 @@ def stream_utterances_lockstep(
     af = int(config["audio_feat_dim"])
     vf = int(config["video_feat_dim"])
     int_layer = int(config.get("integration_layer", 0)) if spec.conditioning else 0
-    chunk, look = int(chunk_frames), int(lookahead_frames)
-    if chunk < 1 or look < 0:
-        raise ValueError("chunk_frames >= 1 and lookahead_frames >= 0 required")
+    # None defaults to the model's trained LC window, like StreamingInpainter
+    chunk, look = resolve_window(config, chunk_frames, lookahead_frames)
     if transcript and not spec.ctc:
         raise ValueError(
             f"model {config['model']} has no CTC head; transcripts need a "

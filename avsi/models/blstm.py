@@ -179,18 +179,72 @@ def _net_inputs(spec: BLSTMSpec, feats: dict, batch: dict, audio_features=None):
     return jnp.concatenate([audio, batch["video_features"]], axis=2)
 
 
-def _ssnn_embedding(params: dict, audio_features: jax.Array, masks: jax.Array):
-    """SSNN speaker embedding (models.py:800-842)."""
+def _ssnn_frame_outputs(params: dict, audio_features: jax.Array) -> jax.Array:
+    """Per-frame SSNN MLP outputs (models.py:804-825): delta features ->
+    MLP (2*af -> 200 -> 200 -> 200, LeakyReLU 0.3 on the first two)."""
     inp = mel_ops.add_delta_features(audio_features, n_delta=1, N=2)  # (B,T,2*af)
     h = core.dense(params[0], inp)
     h = jax.nn.leaky_relu(h, 0.3)
     h = core.dense(params[1], h)
     h = jax.nn.leaky_relu(h, 0.3)
-    h = core.dense(params[2], h)  # (B, T, 200), linear
+    return core.dense(params[2], h)  # (B, T, 200), linear
+
+
+def _ssnn_embedding(params: dict, audio_features: jax.Array, masks: jax.Array):
+    """SSNN speaker embedding (models.py:800-842)."""
+    h = _ssnn_frame_outputs(params, audio_features)
     emb_mask = masks[:, :, 0]  # (B, T)
     masked = h * emb_mask[:, :, None]
     # note the reference's +1 in the denominator (models.py:834-835)
     return masked.sum(axis=1) / (emb_mask.sum(axis=1) + 1.0)[:, None]
+
+
+def _ssnn_window_embeddings(
+    params: dict,
+    audio_features: jax.Array,
+    masks: jax.Array,
+    chunk: int,
+    look: int,
+    frames_no_pad: int,
+) -> jax.Array:
+    """Causal per-window SSNN embeddings: (B, T, af) -> (B, n_chunks, 200).
+
+    The streaming server estimates the speaker embedding as a RUNNING
+    masked average — before window k runs, only frames [0, u_k) have been
+    folded (avsi/infer/streaming.py:_advance_ssnn):
+
+      u_k = k*C + W - 2   while the window fills from pushed samples
+                          (k*C + W <= F, F = frames computable without
+                          pad_end; the -2 holds back frames whose
+                          regression deltas are not final yet);
+      u_k = min(k*C+W, T) for the flush-drained tail windows (the final
+                          fold advances to the window end, end-clamped).
+
+    Per-frame delta features of every folded frame equal the offline
+    symmetric-clamped deltas (non-final folds only touch frames whose
+    +-2 neighbors are already visible; final folds clamp at T-1 exactly
+    like the offline pad), so a prefix-sum over the offline per-frame MLP
+    outputs reproduces the live fold exactly.  LC training conditions
+    window k on emb[:, k] — the signal the live path actually provides —
+    instead of the whole-utterance average it never sees.
+    """
+    t = audio_features.shape[1]
+    h = _ssnn_frame_outputs(params, audio_features)
+    emb_mask = masks[:, :, 0]  # (B, T)
+    hm = h * emb_mask[:, :, None]
+    # prefix[:, u] = sum over frames t < u (leading zero row)
+    prefix = jnp.pad(jnp.cumsum(hm, axis=1), ((0, 0), (1, 0), (0, 0)))
+    cnt = jnp.pad(jnp.cumsum(emb_mask, axis=1), ((0, 0), (1, 0)))
+    n_chunks = -(-t // chunk)
+    w = chunk + look
+    k = jnp.arange(n_chunks)
+    end = k * chunk + w
+    u = jnp.where(
+        end <= frames_no_pad,
+        jnp.clip(end - 2, 0, t),
+        jnp.minimum(end, t),
+    )
+    return prefix[:, u] / (cnt[:, u] + 1.0)[:, :, None]
 
 
 def forward(
@@ -220,11 +274,17 @@ def forward(
 
     emb = None
     if spec.conditioning == "ssnn":
-        emb = _ssnn_embedding(
-            params["ssnn"],
-            feats["audio_features"] if audio_features is None else audio_features,
-            batch["masks"],
-        )
+        af_in = feats["audio_features"] if audio_features is None else audio_features
+        if lc is not None:
+            # train on the CAUSAL per-window running average the streaming
+            # server provides, not the whole-utterance average it never sees
+            n_samples = batch["target_sources"].shape[1]
+            frames_no_pad = max(0, (n_samples - FRAME_LENGTH) // FRAME_STEP + 1)
+            emb = _ssnn_window_embeddings(
+                params["ssnn"], af_in, batch["masks"], lc[0], lc[1], frames_no_pad
+            )
+        else:
+            emb = _ssnn_embedding(params["ssnn"], af_in, batch["masks"])
     elif spec.conditioning == "emb":
         emb = batch["embeddings"]
 

@@ -270,6 +270,12 @@ def lc_blstm_stack(
     layer_seq: list of (layer_params, inject_embedding_before) pairs — the
     same flattened layout as streaming's `_layer_list`, so embedding
     injection happens at the identical point in both functions.
+
+    emb: (B, E) for a constant per-utterance conditioner (external
+    embeddings), or (B, n_chunks, E) for a PER-WINDOW conditioner — window
+    k's emitted and lookahead frames all see emb[:, k], matching the
+    streaming server where the conditioning signal (the ssnn causal
+    running average) changes from window to window.
     """
     b_sz, t_len, _ = x.shape
     if gate_dtype is None:
@@ -289,13 +295,20 @@ def lc_blstm_stack(
 
     for i, (layer_params, inject) in enumerate(layer_seq):
         if inject and emb is not None:
-            tiled_y = jnp.broadcast_to(
-                emb[:, None, :], (b_sz, y.shape[1], emb.shape[-1])
-            ).astype(y.dtype)
+            e_dim = emb.shape[-1]
+            if emb.ndim == 3:  # per-window conditioner (B, n_chunks, E)
+                tiled_y = jnp.repeat(emb, chunk, axis=1).astype(y.dtype)
+                tiled_yh = jnp.broadcast_to(
+                    emb[:, :, None, :], (b_sz, n_chunks, look, e_dim)
+                ).astype(yhat.dtype)
+            else:
+                tiled_y = jnp.broadcast_to(
+                    emb[:, None, :], (b_sz, y.shape[1], e_dim)
+                ).astype(y.dtype)
+                tiled_yh = jnp.broadcast_to(
+                    emb[:, None, None, :], (b_sz, n_chunks, look, e_dim)
+                ).astype(yhat.dtype)
             y = jnp.concatenate([y, tiled_y], axis=2)
-            tiled_yh = jnp.broadcast_to(
-                emb[:, None, None, :], (b_sz, n_chunks, look, emb.shape[-1])
-            ).astype(yhat.dtype)
             yhat = jnp.concatenate([yhat, tiled_yh], axis=3)
         y, yhat = _lc_layer_pair(
             layer_params, y, yhat, chunk, look, compute_dtype, gate_dtype,

@@ -13,8 +13,9 @@ jitted enhancement function warm at a fixed micro-batch shape, and exposes
   GET /info       -> model/geometry/weights_version JSON
   GET /metrics    -> Prometheus text (counters, live streams, uptime)
   POST /reload    body: optional checkpoint-dir path (default: the serving
-      path) -> hot-swaps weights with no recompilation (programs are pure
-      in params); geometry must match; open streams keep their weights
+      path) -> hot-swaps weights (no recompilation when stats/config are
+      unchanged; re-jits against new stats/LC window otherwise); geometry
+      must match; open streams keep their weights
 
 Requests are padded into the fixed micro-batch so every call hits the same
 compiled program (no recompiles in steady state).
@@ -62,9 +63,12 @@ class InpaintingService:
         self.t_frames = -(-self.audio_len // model.frame_step)
         self.af = int(self.config["audio_feat_dim"])
         self.vf = int(self.config["video_feat_dim"])
+        self._phase_recon = phase_recon
+        self._gl_iters = gl_iters
         self._step = jax.jit(
             make_infer_step(model, self.config, stats, False, phase_recon, gl_iters)
         )
+        self._stream_programs: dict = {}
         self._lock = threading.Lock()
         self._model_path = model_path
         self._norm = norm
@@ -80,19 +84,25 @@ class InpaintingService:
     def reload(self, model_path: str | None = None) -> int:
         """Hot-swap weights from `model_path` (default: the serving path).
 
-        The compiled programs are pure in params (shapes/dtypes fixed by
-        the config geometry), so a swap needs no recompilation.  The new
-        checkpoint must match the serving geometry — model name, audio_len
-        and feature dims — or the reload is refused.  Streams opened
-        before the swap keep the weights they started with (mid-utterance
-        weight changes would glitch the carried LSTM state); new streams
-        and /enhance requests use the new weights immediately.
+        The new checkpoint must match the serving geometry — model name,
+        audio_len and feature dims — or the reload is refused.  When the
+        checkpoint's normalization stats and non-geometry config
+        (lc_chunk/lc_lookahead, compute_dtype, ...) are unchanged the
+        compiled programs are pure in params and the swap needs no
+        recompilation; otherwise the offline step is re-jitted (and warmed)
+        against the NEW stats/config before the swap, and the stream
+        program cache is dropped so new streams trace fresh — a stale
+        program would silently denormalize with the old mean/std or serve
+        the old trained window.  Streams opened before the swap keep the
+        weights (and stats) they started with (mid-utterance changes would
+        glitch the carried LSTM state); new streams and /enhance requests
+        use the new bundle immediately.
         """
-        from avsi.infer.inpaint import load_model_bundle
+        from avsi.infer.inpaint import load_model_bundle, make_infer_step
 
         import jax
 
-        cfg, stats, _, params = load_model_bundle(model_path or self._model_path, self._norm)
+        cfg, stats, model, params = load_model_bundle(model_path or self._model_path, self._norm)
         for key in ("model", "audio_len", "audio_feat_dim", "video_feat_dim",
                     "net_dim", "integration_layer"):
             if cfg.get(key) != self.config.get(key):
@@ -115,9 +125,28 @@ class InpaintingService:
                 raise ValueError(
                     f"reload params-shape mismatch: {np.shape(a)} vs {np.shape(b)}"
                 )
+        rebuild = cfg != self.config or not (
+            np.array_equal(stats[0], self.stats[0])
+            and np.array_equal(stats[1], self.stats[1])
+        )
+        new_step = self._step
+        if rebuild:
+            new_step = jax.jit(
+                make_infer_step(
+                    model, cfg, stats, False, self._phase_recon, self._gl_iters
+                )
+            )
+            # compile + warm OUTSIDE the serving lock so in-flight requests
+            # are not stalled behind the (possibly slow remote) compile
+            batch = self._template_batch(self.micro_batch)
+            np.asarray(new_step(params, batch)[0])
         with self._lock:
             self.params = params
             self.stats = stats
+            self.config = cfg
+            self._step = new_step
+            if rebuild:
+                self._stream_programs = {}
             self.weights_version += 1
         return self.weights_version
 
@@ -169,12 +198,16 @@ class InpaintingService:
         incremental greedy decode on the stream object."""
         from avsi.infer.streaming import StreamingInpainter
 
-        if not hasattr(self, "_stream_programs"):
-            self._stream_programs = {}
+        # snapshot a coherent (config, stats, params, cache) set under the
+        # lock — a concurrent /reload must not hand us new stats with old
+        # params — but construct (trace/compile) outside it
+        with self._lock:
+            config, stats, params = self.config, self.stats, self.params
+            cache = self._stream_programs
         return StreamingInpainter(
-            self.config, self.stats, self.params,
+            config, stats, params,
             chunk_frames=chunk_frames, lookahead_frames=lookahead_frames,
-            program_cache=self._stream_programs, transcript=transcript,
+            program_cache=cache, transcript=transcript,
         )
 
 
@@ -192,10 +225,15 @@ def serve(
 
     def _reap_streams():
         """Evict sessions idle past the TTL (abandoned clients would
-        otherwise leak per-stream device + host state forever)."""
+        otherwise leak per-stream device + host state forever).
+        Placeholders (open() still compiling — its first trace can exceed
+        the TTL) are exempt; their open thread removes them on failure."""
         now = time.monotonic()
         with streams_lock:
-            for sid in [s for s, v in streams.items() if now - v[1] > stream_idle_s]:
+            for sid in [
+                s for s, v in streams.items()
+                if v[0] is not None and now - v[1] > stream_idle_s
+            ]:
                 del streams[sid]
 
     class Handler(BaseHTTPRequestHandler):
@@ -302,7 +340,9 @@ def serve(
                     raise
                 inp._http_reported = 0  # transcript ids already sent
                 with streams_lock:
-                    streams[sid][0] = inp
+                    # unconditional (re-)insert: never KeyError even if the
+                    # placeholder was somehow dropped while compiling
+                    streams[sid] = [inp, time.monotonic()]
                 self._reply(200, json.dumps({
                     "id": sid, "chunk_frames": inp.chunk, "lookahead_frames": inp.look,
                     "frame_step": 192, "frame_length": 384,
@@ -345,16 +385,20 @@ def serve(
                         video,
                     )
                     service.n_stream_pushes += 1
-            body = np.clip(out, -32768, 32767).astype("<i2").tobytes()
-            if inp.want_transcript:
-                # framed reply: <i4 n_wav_samples> wav_i2[] new_label_ids_i2[]
-                new_ids = inp.transcript[inp._http_reported :]
-                inp._http_reported = len(inp.transcript)
-                body = (
-                    struct.pack("<i", len(out))
-                    + body
-                    + np.asarray(new_ids, "<i2").tobytes()
-                )
+                body = np.clip(out, -32768, 32767).astype("<i2").tobytes()
+                if inp.want_transcript:
+                    # framed reply:
+                    # <i4 n_wav_samples> wav_i2[] new_label_ids_i2[].
+                    # Stays under the push lock: concurrent pushes on one
+                    # stream must each see/advance _http_reported exactly
+                    # once or label ids get duplicated across replies.
+                    new_ids = inp.transcript[inp._http_reported :]
+                    inp._http_reported = len(inp.transcript)
+                    body = (
+                        struct.pack("<i", len(out))
+                        + body
+                        + np.asarray(new_ids, "<i2").tobytes()
+                    )
             self._reply(200, body)
 
         def do_POST(self):

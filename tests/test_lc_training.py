@@ -136,14 +136,27 @@ def test_lc_stack_embedding_injection_matches_streaming():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
-@pytest.mark.parametrize("model", ["a-blstm", "av-blstm-ssnn-ctc"])
-def test_lc_forward_equals_chunked_streaming(model):
+@pytest.mark.parametrize(
+    "model,cfg_kw",
+    [
+        ("a-blstm", {}),
+        ("av-blstm-ssnn-ctc", {}),
+        # ssnn with mid-stack injection: the causal per-window embedding
+        # must hit blstm2's first layer exactly like the streaming server
+        ("a-blstm-ssnn", {"integration_layer": 1}),
+    ],
+)
+def test_lc_forward_equals_chunked_streaming(model, cfg_kw):
     """Model-level: offline forward with lc_chunk/lc_lookahead equals the
     chunked streaming inference sample for sample (not just approximately
-    — the LC truncation is the model now)."""
+    — the LC truncation is the model now).  For ssnn models this includes
+    the CAUSAL conditioning: training reproduces the streaming fold
+    schedule (window k sees the running average over frames [0, u_k)),
+    not the whole-utterance average; measured divergence is at the float
+    accumulation floor (~1e-7 at random-init scale)."""
     chunk, look = 5, 7
     config = tiny_config(model=model, audio_len=AL, net_dim=(16, 16),
-                         lc_chunk=chunk, lc_lookahead=look)
+                         lc_chunk=chunk, lc_lookahead=look, **cfg_kw)
     spec = blstm_lib.parse_model_name(model)
     params = blstm_lib.init(jax.random.PRNGKey(3), config, spec)
     stats = identity_stats()
@@ -161,7 +174,7 @@ def test_lc_forward_equals_chunked_streaming(model):
     frame_mask = np.asarray(batch["masks"][0, :, 0])
     video = np.asarray(batch["video_features"][0])
     got = streaming.stream_utterance(inp, wave, frame_mask, video)
-    np.testing.assert_allclose(got[: len(offline_wav)], offline_wav, atol=2e-2)
+    np.testing.assert_allclose(got[: len(offline_wav)], offline_wav, atol=1e-5)
 
 
 def test_lc_train_step_runs_and_learns():

@@ -188,6 +188,44 @@ def test_reload_geometry_mismatch(model_dir, tmp_path):
     assert svc.enhance(wave, np.ones(50, np.float32)).shape == (9600,)
 
 
+def test_reload_new_stats_and_lc_window(model_dir, tmp_path):
+    """reload() with a checkpoint whose normalization stats or LC window
+    differ must rebuild the compiled programs against the NEW bundle — a
+    stale program would silently denormalize with the old mean/std and
+    new streams would default to the old trained window."""
+    from avsi.serve import InpaintingService
+
+    svc = InpaintingService(model_dir, micro_batch=2, phase_recon="none")
+    other = tmp_path / "other"
+    other.mkdir()
+    for name in os.listdir(model_dir):
+        with open(os.path.join(model_dir, name), "rb") as f:
+            data = f.read()
+        with open(str(other / name), "wb") as f:
+            f.write(data)
+    mean = np.load(str(other / "audio_features_mean.npy"))
+    np.save(str(other / "audio_features_mean.npy"), mean + 0.5)
+    cfg = config_lib.load_configfile(str(other / "config.txt"))
+    cfg["lc_chunk"] = 4
+    cfg["lc_lookahead"] = 6
+    config_lib.save_configfile(cfg, str(other / "config.txt"))
+
+    rng = np.random.RandomState(3)
+    wave = (3000 * rng.randn(9600)).astype(np.float32)
+    mask = np.ones(50, np.float32)
+    mask[12:22] = 0
+    before = svc.enhance(wave, mask)
+    assert svc.reload(str(other)) == 1
+    after = svc.enhance(wave, mask)
+    # identical to a service built fresh on the new bundle (same program)
+    fresh = InpaintingService(str(other), micro_batch=2, phase_recon="none")
+    np.testing.assert_array_equal(after, fresh.enhance(wave, mask))
+    assert np.any(after != before)  # the new stats/LC window took effect
+    # new streams default to the NEW trained window
+    inp = svc.open_stream()
+    assert (inp.chunk, inp.look) == (4, 6)
+
+
 @pytest.fixture(scope="module")
 def ctc_model_dir(tmp_path_factory):
     """A tiny trained av-blstm-ssnn-ctc (visual input + CTC head) for the

@@ -174,6 +174,23 @@ def test_default_window_is_trained_lc_window():
     assert (inp3.chunk, inp3.look) == (8, 16)
 
 
+def test_lockstep_default_window_is_trained_lc_window():
+    """The multi-tenant lockstep path honours the same trained-window
+    default as the single-stream class: an LC-trained model served through
+    the fleet with no explicit window runs at its trained C/L, matching
+    the single stream sample for sample."""
+    config, spec, params, stats, batch = _setup(
+        "a-blstm", lc_chunk=4, lc_lookahead=6
+    )
+    waves = np.asarray(batch["target_sources"])
+    masks = np.asarray(batch["masks"][:, :, 0])
+    got = streaming.stream_utterances_lockstep(config, stats, params, waves, masks)
+    inp = streaming.StreamingInpainter(config, stats, params)
+    assert (inp.chunk, inp.look) == (4, 6)
+    single = streaming.stream_utterance(inp, waves[0], masks[0])
+    np.testing.assert_allclose(got[0], single, atol=2e-4, rtol=0)
+
+
 def test_lockstep_matches_single_stream():
     """The batched lockstep API replicates the single-stream class sample
     for sample — every stream in the fleet gets the exact per-stream
