@@ -287,20 +287,9 @@ def main(argv=None):
         name = args.name or ("asrnet" if args.asr else "sinet")
         prefix = checkpoints.save_checkpoint(args.out_dir, name, params)
         checkpoints.write_meta(args.out_dir, config)
-        # Mirror train/loop.py's bundle layout so `inference`/`evaluation`
-        # load the imported dir exactly like a trained one (config.txt +
-        # feature stats next to the weights).
-        import os
-        import shutil
-
-        import numpy as _np
-
-        from avsi.data import stats as stats_lib
-
-        shutil.copy(args.config, os.path.join(args.out_dir, "config.txt"))
-        stats = stats_lib.load_stats(config["audio_feat_mean"], config["audio_feat_std"])
-        _np.save(os.path.join(args.out_dir, "audio_features_mean.npy"), stats[0])
-        _np.save(os.path.join(args.out_dir, "audio_features_std.npy"), stats[1])
+        # the trainer's self-contained bundle layout, so `inference`/
+        # `evaluation` load the imported dir exactly like a trained one
+        checkpoints.write_bundle(args.out_dir, args.config, config)
         print(f"Imported {args.tf_ckp} -> {prefix}")
     elif name == "export_tf":
         from avsi.infer.import_tf import use_cpu_backend

@@ -228,19 +228,16 @@ def map_tf_to_params(tf_vars: dict[str, np.ndarray], template: dict) -> dict:
     # --- completeness: every template leaf must now be filled.
     # Leaves stay host-side numpy: imports feed save_checkpoint (npz), and
     # device placement over the axon tunnel would cost minutes for nothing.
-    def finalize(leaf, orig):
-        if leaf is None:
-            raise ValueError("checkpoint does not cover the full model")
-        return np.asarray(leaf, dtype=np.float32)
-
-    leaves_f, treedef = jax.tree_util.tree_flatten(filled, is_leaf=lambda x: x is None or not isinstance(x, (dict, list)))
-    leaves_t = jax.tree_util.tree_flatten(template, is_leaf=lambda x: not isinstance(x, (dict, list)))[0]
+    is_leaf = lambda x: x is None or not isinstance(x, (dict, list))  # noqa: E731
+    leaves_f, treedef = jax.tree_util.tree_flatten(filled, is_leaf=is_leaf)
     if any(l is None for l in leaves_f):
         # report which paths are unfilled
-        paths = jax.tree_util.tree_flatten_with_path(filled, is_leaf=lambda x: x is None or not isinstance(x, (dict, list)))[0]
+        paths = jax.tree_util.tree_flatten_with_path(filled, is_leaf=is_leaf)[0]
         missing = [jax.tree_util.keystr(p) for p, v in paths if v is None]
         raise ValueError(f"checkpoint leaves model params unfilled: {missing}")
-    return jax.tree_util.tree_unflatten(treedef, [finalize(l, t) for l, t in zip(leaves_f, leaves_t)])
+    return jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(l, dtype=np.float32) for l in leaves_f]
+    )
 
 
 def model_template(config: dict, is_asr: bool = False) -> dict:

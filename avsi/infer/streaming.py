@@ -331,7 +331,13 @@ def _window_step_raw(prog, params, raw, carries, prev, ssnn_sum, ssnn_cnt):
         window["embedding"] = raw["embedding"]
     if prog.spec.conditioning == "ssnn":
         masked_ext = sn_ext * raw["mask_ext"][:, :, None]
-        pos = raw["fold_lo"] + jnp.arange(w_len)  # traced rel indices
+        # w_len + _DELTA_N fold rows, not w_len: at the non-final->final
+        # transition the host marks chunk + _DELTA_N NEW frames done in one
+        # window (the class drains the same burst via _advance_ssnn's loop),
+        # and with lookahead < _DELTA_N that exceeds the window length —
+        # rows past fold_n are masked out by _ssnn_update, so the extra
+        # capacity is free in the steady state.
+        pos = raw["fold_lo"] + jnp.arange(w_len + _DELTA_N)  # traced rel idx
         lo_c, hi_c = raw["clamp_lo"], raw["clamp_hi"]
 
         def g(arr, idx):

@@ -145,6 +145,11 @@ class InpaintingService:
             self.stats = stats
             self.config = cfg
             self._step = new_step
+            if model_path:
+                # a bare /reload means "refresh the CURRENTLY SERVED
+                # checkpoint" — which after a path-reload is the new path,
+                # not the startup one
+                self._model_path = model_path
             if rebuild:
                 self._stream_programs = {}
             self.weights_version += 1
@@ -220,7 +225,8 @@ def serve(
     **kw,
 ):
     service = InpaintingService(model_path, **kw)
-    streams: dict = {}  # sid -> [StreamingInpainter, last_used_monotonic]
+    streams: dict = {}  # sid -> [StreamingInpainter, last_used_monotonic,
+    #                            transcript ids already sent over HTTP]
     streams_lock = threading.Lock()
 
     def _reap_streams():
@@ -328,7 +334,7 @@ def serve(
                 with streams_lock:
                     full = len(streams) >= max_streams
                     if not full:
-                        streams[sid] = [None, time.monotonic()]  # placeholder
+                        streams[sid] = [None, time.monotonic(), 0]  # placeholder
                 if full:
                     self._reply(429, b"too many live streams")
                     return
@@ -338,11 +344,10 @@ def serve(
                     with streams_lock:
                         streams.pop(sid, None)
                     raise
-                inp._http_reported = 0  # transcript ids already sent
                 with streams_lock:
                     # unconditional (re-)insert: never KeyError even if the
                     # placeholder was somehow dropped while compiling
-                    streams[sid] = [inp, time.monotonic()]
+                    streams[sid] = [inp, time.monotonic(), 0]
                 self._reply(200, json.dumps({
                     "id": sid, "chunk_frames": inp.chunk, "lookahead_frames": inp.look,
                     "frame_step": 192, "frame_length": 384,
@@ -389,11 +394,13 @@ def serve(
                 if inp.want_transcript:
                     # framed reply:
                     # <i4 n_wav_samples> wav_i2[] new_label_ids_i2[].
+                    # The cursor is HTTP-session state, so it lives in
+                    # the streams entry, not on the inference object.
                     # Stays under the push lock: concurrent pushes on one
-                    # stream must each see/advance _http_reported exactly
-                    # once or label ids get duplicated across replies.
-                    new_ids = inp.transcript[inp._http_reported :]
-                    inp._http_reported = len(inp.transcript)
+                    # stream must each see/advance the cursor exactly once
+                    # or label ids get duplicated across replies.
+                    new_ids = inp.transcript[entry[2] :]
+                    entry[2] = len(inp.transcript)
                     body = (
                         struct.pack("<i", len(out))
                         + body

@@ -91,3 +91,19 @@ def write_meta(ckpt_dir: str, config: dict) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
     with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
         json.dump({k: v for k, v in config.items()}, f, indent=1, default=str)
+
+
+def write_bundle(ckpt_dir: str, config_file: str, config: dict) -> None:
+    """Make `ckpt_dir` a self-contained inference bundle: config.txt plus
+    the mu/sigma stats copied next to the weights (training.py:121-127) —
+    the exact layout `load_model_bundle` reads.  Single source of truth
+    for the layout (used by the trainer and by `import_tf`)."""
+    import shutil
+
+    from avsi.data import stats as stats_lib
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    shutil.copy(config_file, os.path.join(ckpt_dir, "config.txt"))
+    stats = stats_lib.load_stats(config["audio_feat_mean"], config["audio_feat_std"])
+    np.save(os.path.join(ckpt_dir, "audio_features_mean.npy"), stats[0])
+    np.save(os.path.join(ckpt_dir, "audio_features_std.npy"), stats[1])

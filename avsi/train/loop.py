@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import time
 
 import numpy as np
@@ -146,10 +145,8 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     logfile = os.path.join(exp_folder, "training_log.txt")
 
     # self-contained checkpoint dir: config + stats (training.py:121-127)
-    shutil.copy(config_file, os.path.join(ckpt_dir, "config.txt"))
+    checkpoints.write_bundle(ckpt_dir, config_file, config)
     stats = stats_lib.load_stats(config["audio_feat_mean"], config["audio_feat_std"])
-    np.save(os.path.join(ckpt_dir, "audio_features_mean.npy"), stats[0])
-    np.save(os.path.join(ckpt_dir, "audio_features_std.npy"), stats[1])
     checkpoints.write_meta(ckpt_dir, config)
 
     model = (

@@ -224,6 +224,14 @@ def test_reload_new_stats_and_lc_window(model_dir, tmp_path):
     # new streams default to the NEW trained window
     inp = svc.open_stream()
     assert (inp.chunk, inp.look) == (4, 6)
+    # a path-reload updates the serving path: a later BARE reload must
+    # refresh the checkpoint served NOW, not silently revert to the
+    # startup one (regression: _model_path was never updated)
+    assert svc._model_path == str(other)
+    assert svc.reload() == 2
+    np.testing.assert_array_equal(
+        svc.enhance(wave, mask), fresh.enhance(wave, mask)
+    )
 
 
 @pytest.fixture(scope="module")

@@ -314,6 +314,34 @@ def test_lockstep_final_full_window_with_pad_frame():
         np.testing.assert_allclose(got[i], single, atol=2e-4, rtol=0)
 
 
+@pytest.mark.parametrize("look", [0, 1])
+def test_lockstep_ssnn_low_lookahead_burst(look):
+    """Regression: at the non-final->final transition the host marks
+    chunk + _DELTA_N new ssnn fold frames done in ONE window; with
+    lookahead < _DELTA_N that burst exceeded the in-graph fold's w_len
+    rows, so the last frames were never summed into ssnn_sum/ssnn_cnt and
+    lockstep audio diverged from the single-stream class for every window
+    from the transition on (the class drains the burst via
+    _advance_ssnn's while loop). The hole overlaps the late frames so a
+    wrong embedding is audible in the compared samples."""
+    config, spec, params, stats, _ = _setup("a-blstm-ssnn")
+    b = synth_batch(config, batch_size=2, seed=17, gap=(16, 24))
+    waves = np.asarray(b["target_sources"])
+    masks = np.array(b["masks"][:, :, 0])
+    masks[1, 18:25] = 0.0  # second stream: hole runs to the stream end
+
+    got = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks,
+        chunk_frames=5, lookahead_frames=look,
+    )
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=5, lookahead_frames=look
+    )
+    for i in range(2):
+        single = streaming.stream_utterance(inp, waves[i], masks[i])
+        np.testing.assert_allclose(got[i], single, atol=2e-4, rtol=0)
+
+
 def test_lockstep_emb_and_validation():
     config, spec, params, stats, batch = _setup("av-blstm-emb")
     waves = np.asarray(batch["target_sources"])
