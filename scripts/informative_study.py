@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(dest="/dev/shm/informative", epochs=60, speakers=33,
-         utts=(300, 20, 20)):
+         utts=(300, 20, 20),
+         models=("a-blstm-ssnn-ctc", "av-blstm-ssnn-ctc")):
     from avsi import config as config_lib
     from avsi.data import stats as stats_lib
     from avsi.data.fixture import make_fixture
@@ -101,7 +102,7 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
         asr_ckpt, test_tfr, test_audio, "masked", dict_file,
         apply_mask=True, norm=True, batch_size=128)["per"]
 
-    for model in ("a-blstm-ssnn-ctc", "av-blstm-ssnn-ctc"):
+    for model in models:
         exp = f"exp_{model}"
         print(f"=== {model}: {epochs} epochs ===", flush=True)
         t0 = time.time()
@@ -140,4 +141,6 @@ if __name__ == "__main__":
         int(a[1]) if len(a) > 1 else 60,
         int(a[2]) if len(a) > 2 else 33,
         tuple(int(x) for x in a[3:6]) if len(a) > 5 else (300, 20, 20),
+        tuple(a[6:]) if len(a) > 6 else
+        ("a-blstm-ssnn-ctc", "av-blstm-ssnn-ctc"),
     )
