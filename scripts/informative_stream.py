@@ -18,7 +18,8 @@ Chain (reuses the study's exp_av-blstm-ssnn-ctc checkpoint + corpus):
      -> streaming row at the trained window
 
 Usage: python scripts/informative_stream.py [epochs_ctc] [epochs_lc] [n_utts]
-Writes /dev/shm/informative/informative_stream.json.
+                                              [corpus_dir]
+Writes <corpus_dir>/informative_stream.json.
 """
 
 import glob
@@ -35,7 +36,10 @@ from stream_per_levers import _stream_eval  # noqa: E402
 D = "/dev/shm/informative"
 
 
-def main(epochs_ctc=60, epochs_lc=10, n_utts=64, chunk=8, look=16):
+def main(epochs_ctc=60, epochs_lc=10, n_utts=64, chunk=8, look=16,
+         dest=D):
+    global D
+    D = dest
     from avsi import config as config_lib
     from avsi.infer.inpaint import load_model_bundle
     from avsi.ops import ctc as ctc_ops
@@ -112,4 +116,5 @@ if __name__ == "__main__":
     a = sys.argv[1:]
     main(int(a[0]) if len(a) > 0 else 60,
          int(a[1]) if len(a) > 1 else 10,
-         int(a[2]) if len(a) > 2 else 64)
+         int(a[2]) if len(a) > 2 else 64,
+         dest=a[3] if len(a) > 3 else D)
