@@ -76,7 +76,8 @@ def _cut_frames(buf: np.ndarray, n: int) -> np.ndarray:
     )
 
 
-def _lc_bilstm_layer(params, x, carry_h, carry_c, emit, compute_dtype):
+def _lc_bilstm_layer(params, x, carry_h, carry_c, emit, compute_dtype,
+                     gate_dtype=None):
     """One LC-BLSTM layer over a (B, W, D) window.
 
     Forward direction starts from the carried state; backward direction is
@@ -85,26 +86,28 @@ def _lc_bilstm_layer(params, x, carry_h, carry_c, emit, compute_dtype):
     carry for the next window (whose frame 0 is this window's frame
     `emit`).  Layout matches `core.bilstm_layer` (direction axis folded
     into the batched recurrent matmul)."""
-    hidden = params["wh"].shape[1]
+    if gate_dtype is None:  # follows compute dtype (core.blstm_stack rule)
+        gate_dtype = compute_dtype
     xc = x.astype(compute_dtype)
     x2 = jnp.stack([xc, jnp.flip(xc, axis=1)], axis=0)  # (2, B, W, D)
     wx = params["wx"].astype(compute_dtype)
     wh = params["wh"].astype(compute_dtype)
     bias = params["b"].astype(jnp.float32)
+    # stored at compute dtype like core.bilstm_layer / core._lc_layer_pair:
+    # under bf16 the trained function's gates see bf16-rounded xw, so the
+    # served function must quantize identically (train == serve exactness)
     xw = (
         jnp.einsum("dbti,dig->dbtg", x2, wx, preferred_element_type=jnp.float32)
         + bias[:, None, None, :]
-    )
+    ).astype(compute_dtype)
     xw_t = jnp.moveaxis(xw, 2, 0)  # (W, 2, B, 4H)
 
     h0 = jnp.stack([carry_h, jnp.zeros_like(carry_h)], axis=0)
     c0 = jnp.stack([carry_c, jnp.zeros_like(carry_c)], axis=0)
 
     def cell(carry, xw_step):
-        # gate dtype follows compute dtype (core.bilstm_layer convention),
-        # so a bf16-trained/served model streams the same function
         (new_h, new_c), _ = core._lstm_cell(
-            carry, xw_step, wh, hidden, gate_dtype=compute_dtype
+            carry, xw_step, wh, gate_dtype=gate_dtype
         )
         return (new_h, new_c), (new_h, new_c)
 
@@ -194,13 +197,18 @@ class _ProgSpec:
     the program cache) pins only these fields, never a whole
     StreamingInpainter with its live buffers."""
 
-    __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "stats", "transcript")
+    __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "gate_dtype",
+                 "stats", "transcript")
 
-    def __init__(self, spec, int_layer, chunk, compute_dtype, stats, transcript=False):
+    def __init__(self, spec, int_layer, chunk, compute_dtype, stats,
+                 transcript=False, gate_dtype=None):
         self.spec = spec
         self.int_layer = int_layer
         self.chunk = chunk
         self.compute_dtype = compute_dtype
+        # None follows compute_dtype (core.blstm_stack convention) — a
+        # config gate_dtype override must reach the served function too
+        self.gate_dtype = compute_dtype if gate_dtype is None else gate_dtype
         self.stats = stats
         self.transcript = transcript  # also emit CTC argmax ids per chunk
 
@@ -245,7 +253,8 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
             )
             x = jnp.concatenate([x, tiled], axis=2)
         x, nh, nc = _lc_bilstm_layer(
-            layer_params, x, ch, cc, prog.chunk, prog.compute_dtype
+            layer_params, x, ch, cc, prog.chunk, prog.compute_dtype,
+            prog.gate_dtype,
         )
         new_carries.append((nh, nc))
 
@@ -260,18 +269,22 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
     else:
         ids = jnp.zeros((x.shape[0], 0), jnp.int32)
 
-    inference = core.dense(params["head_ipt"], x).astype(jnp.float32)
+    # only the emitted chunk is consumed downstream — with C=8/L=16 running
+    # the head/blend/exp over the full window wasted 2/3 of that work
+    x_emit = x[:, : prog.chunk]
+    sn_emit = spec_norm[:, : prog.chunk]
+    m_emit = mask_bins[:, : prog.chunk]
+    inference = core.dense(params["head_ipt"], x_emit).astype(jnp.float32)
     if spec.restore_unmasked:
-        prediction = spec_norm * mask_bins + inference * (1 - mask_bins)
+        prediction = sn_emit * m_emit + inference * (1 - m_emit)
     else:
         prediction = inference
 
     mean, std = prog.stats
-    mag = jnp.exp(prediction * std + mean)[:, : prog.chunk]  # (B, C, af)
+    mag = jnp.exp(prediction * std + mean)  # (B, C, af)
     re = window["re"][:, : prog.chunk]
     im = window["im"][:, : prog.chunk]
-    m = mask_bins[:, : prog.chunk]
-    phase = jnp.arctan2(im * m, re * m)  # masked phase: 0 in the hole
+    phase = jnp.arctan2(im * m_emit, re * m_emit)  # masked phase: 0 in the hole
 
     # fused OLA: resynthesize [prev_frame, chunk frames] on device and
     # return only the samples the chunk finalizes.  Batch-generic: the
@@ -448,15 +461,13 @@ class StreamingInpainter:
         if program_cache is not None and key in program_cache:
             self._step = program_cache[key]
         else:
+            cdt, gdt = blstm_lib._dtypes(config)
             prog = _ProgSpec(
                 spec=self.spec,
                 int_layer=self.int_layer,
                 chunk=self.chunk,
-                compute_dtype=(
-                    jnp.bfloat16
-                    if config.get("compute_dtype") == "bfloat16"
-                    else jnp.float32
-                ),
+                compute_dtype=cdt,
+                gate_dtype=gdt,
                 stats=self._stats,
                 transcript=self.want_transcript,
             )
@@ -789,19 +800,6 @@ def stream_utterance(
     return np.concatenate(out)
 
 
-def _clamped_deltas_batched(masked, lo, hi, t_end):
-    """Batched `_clamped_deltas`: masked (B, T, af), frame axis 1."""
-    denom = 2.0 * sum(i * i for i in range(1, _DELTA_N + 1))
-    top = (t_end if t_end is not None else masked.shape[1]) - 1
-    idx = np.arange(lo, hi)
-    out = np.zeros((masked.shape[0], hi - lo, masked.shape[2]), np.float32)
-    for i in range(1, _DELTA_N + 1):
-        fwd = np.clip(idx + i, 0, top)
-        bwd = np.clip(idx - i, 0, top)
-        out += i * (masked[:, fwd] - masked[:, bwd])
-    return out / denom
-
-
 def stream_utterances_lockstep(
     config: dict,
     stats: tuple,
@@ -847,6 +845,12 @@ def stream_utterances_lockstep(
     window_n = chunk + look
     b_sz, n_samples = waves.shape
     t_frames = -(-n_samples // FRAME_STEP)
+    if t_frames == 0:
+        # degenerate empty stream: the class's flush() yields zero samples;
+        # without this guard the window loop never runs and
+        # np.concatenate([]) raises
+        empty = np.zeros((b_sz, 0), np.float32)
+        return (empty, [[] for _ in range(b_sz)]) if transcript else empty
     if frame_masks.shape != (b_sz, t_frames):
         raise ValueError(
             f"frame_masks must be {(b_sz, t_frames)}, got {frame_masks.shape}"
@@ -861,12 +865,10 @@ def stream_utterances_lockstep(
     if program_cache is not None and key in program_cache:
         step = program_cache[key]
     else:
+        cdt, gdt = blstm_lib._dtypes(config)
         prog = _ProgSpec(
             spec=spec, int_layer=int_layer, chunk=chunk,
-            compute_dtype=(
-                jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
-                else jnp.float32
-            ),
+            compute_dtype=cdt, gate_dtype=gdt,
             stats=stats_j,
             transcript=transcript,
         )

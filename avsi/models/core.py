@@ -52,7 +52,7 @@ def lstm_layer_init(rng, in_dim: int, hidden: int) -> dict:
     return {"wx": wx, "wh": wh, "b": b}
 
 
-def _lstm_cell(carry, xw_t, wh, hidden, gate_dtype=jnp.float32):
+def _lstm_cell(carry, xw_t, wh, gate_dtype=jnp.float32):
     """One step for both directions: carry (2, B, H) f32 each.
 
     `gate_dtype` is the dtype the gate nonlinearities are evaluated in;
@@ -108,7 +108,7 @@ def bilstm_layer(
     # remat the cell: the scan backward re-derives gates instead of storing
     # per-step residuals in HBM (~8% faster fwd+bwd measured at B=256;
     # free for forward-only use). See ROADMAP.md #3 for the layer roofline.
-    cell = jax.checkpoint(partial(_lstm_cell, wh=wh, hidden=hidden, gate_dtype=gate_dtype))
+    cell = jax.checkpoint(partial(_lstm_cell, wh=wh, gate_dtype=gate_dtype))
     (_, _), hs = jax.lax.scan(cell, (h0, c0), xw_t)
     # hs: (T, 2, B, H) -> fwd (B,T,H) and time-unreversed bwd
     fwd = jnp.moveaxis(hs[:, 0], 0, 1)
@@ -174,7 +174,7 @@ def _lc_layer_pair(
 
     def fwd_cell(carry, xw_t):
         (h, c), _ = _lstm_cell(
-            (carry[0][None], carry[1][None]), xw_t[None], wh[:1], hidden,
+            (carry[0][None], carry[1][None]), xw_t[None], wh[:1],
             gate_dtype=gate_dtype,
         )
         return (h[0], c[0]), (h[0], c[0])
@@ -221,7 +221,7 @@ def _lc_layer_pair(
 
     def bwd_cell(carry, xw_t):
         (h, c), _ = _lstm_cell(
-            (carry[0][None], carry[1][None]), xw_t[None], wh[1:], hidden,
+            (carry[0][None], carry[1][None]), xw_t[None], wh[1:],
             gate_dtype=gate_dtype,
         )
         return (h[0], c[0]), h[0]

@@ -55,6 +55,11 @@ def _streaming_inputs(batch):
         ("av-blstm-ssnn-ctc", {}),
         ("av-blstm-ssnn", {"integration_layer": 1}),
         ("av-blstm-emb", {}),
+        # a config gate_dtype override must reach the SERVED function too
+        # (regression: streaming read only compute_dtype, so bf16-compute
+        # fp32-gate models streamed a different function than they trained)
+        ("a-blstm", {"compute_dtype": "bfloat16", "gate_dtype": "float32"}),
+        ("a-blstm-ssnn", {"compute_dtype": "bfloat16"}),
     ],
 )
 def test_full_window_matches_offline(model, cfg_kw):
@@ -340,6 +345,27 @@ def test_lockstep_ssnn_low_lookahead_burst(look):
     for i in range(2):
         single = streaming.stream_utterance(inp, waves[i], masks[i])
         np.testing.assert_allclose(got[i], single, atol=2e-4, rtol=0)
+
+
+def test_lockstep_empty_stream():
+    """Zero-frame input: the class flushes to zero samples; lockstep must
+    return the same (B, 0) shape (and empty transcripts) instead of
+    crashing in np.concatenate over zero windows."""
+    config, spec, params, stats, _ = _setup("av-blstm-ssnn-ctc")
+    out = streaming.stream_utterances_lockstep(
+        config, stats, params,
+        np.zeros((2, 0), np.float32), np.zeros((2, 0), np.float32),
+        np.zeros((2, 0, 136), np.float32),
+        chunk_frames=5, lookahead_frames=7,
+    )
+    assert out.shape == (2, 0)
+    wav, tr = streaming.stream_utterances_lockstep(
+        config, stats, params,
+        np.zeros((2, 0), np.float32), np.zeros((2, 0), np.float32),
+        np.zeros((2, 0, 136), np.float32),
+        chunk_frames=5, lookahead_frames=7, transcript=True,
+    )
+    assert wav.shape == (2, 0) and tr == [[], []]
 
 
 def test_lockstep_emb_and_validation():
