@@ -369,6 +369,20 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
         val_metric, val_report = _validate(
             pairs, eval_step, train_state.params, is_asr, select_hole
         )
+        if device_cache and epoch == 0 and not prefilled and cached_train:
+            # operational visibility: the cache must fit HBM next to params
+            # + optimizer state; report what epoch 0 actually pinned
+            gb = sum(
+                v.nbytes for b in cached_train for v in jax.tree_util.tree_leaves(b)
+            ) + sum(
+                v.nbytes for _, b in cached_val
+                for v in jax.tree_util.tree_leaves(b)
+            )
+            _log(
+                logfile,
+                f"# corpus cache: {len(cached_train)} train + "
+                f"{len(cached_val)} val batches, {gb / 2**30:.2f} GB in HBM",
+            )
         if not val_files:
             # no validation split: every epoch "improves", so the best
             # checkpoint tracks the latest params instead of never saving
