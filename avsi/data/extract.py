@@ -90,13 +90,19 @@ def show_face_landmarks(
         return []
     cap = cv2.VideoCapture(video_filename)
     frames = []
-    while len(frames) < len(lm):
+    while True:
         ret, frame = cap.read()
         if not ret:
             break
         frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
     cap.release()
-    bg = np.stack(frames) if frames else None
+    # landmarks run contiguously from the FIRST detection to the last
+    # frame (extract appends for every frame once `rect` is set), so
+    # landmark i belongs to frame n_frames - len(lm) + i — pairing with
+    # the first len(lm) frames would misalign overlays whenever early
+    # frames had no face
+    start = max(0, len(frames) - len(lm))
+    bg = np.stack(frames[start:]) if frames else None
     if bg is not None and not frame_draw:
         # reference blanks the frame but keeps video dims + raw pixel
         # coords (face_landmarks.py:119-120)

@@ -13,6 +13,7 @@ walks with a 'mouth' band correlated with the audio envelope.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -171,7 +172,10 @@ def make_fixture(
                 if not os.path.isdir(sd):
                     continue
                 spk = os.path.basename(sd).split("_")[0]
-                spk_rng = np.random.default_rng(abs(hash(spk)) % (2**31))
+                # zlib.crc32, NOT hash(): str hash is randomized per
+                # process (PYTHONHASHSEED), which would break the fixture's
+                # seed-determinism across rebuilds
+                spk_rng = np.random.default_rng(zlib.crc32(spk.encode()))
                 emb = spk_rng.normal(size=512) + 0.05 * rng.normal(size=512)
                 emb_dir = os.path.join(sd, "vgg_embeddings")
                 os.makedirs(emb_dir, exist_ok=True)

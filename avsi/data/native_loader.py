@@ -23,6 +23,15 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
+_ERROR_CODES = {
+    -1: "cannot open/read file",
+    -2: "malformed protobuf",
+    -3: "truncated/corrupt TFRecord framing",
+    -4: "crc32c mismatch",
+    -5: "feature missing or element count differs from expected dims",
+    -6: "file holds more than one record (single-sample layout expected)",
+}
+
 
 def _build() -> bool:
     srcs = [p for p in (_SRC_PATH, _SRC_CTC) if os.path.isfile(p)]
@@ -91,6 +100,10 @@ def ctc_beam_search(logits: np.ndarray, seq_len: int, beam_width: int = 20,
         return None
     logits = np.ascontiguousarray(logits, np.float32)
     t_len, c = logits.shape
+    # a collapsed CTC hypothesis never exceeds the frame count, so sizing
+    # the buffer to t_len makes silent truncation impossible (the python
+    # fallback returns the full sequence; parity requires we do too)
+    max_out = max(int(max_out), t_len + 1)
     out = np.empty((max_out,), np.int32)
     rc = lib.avsi_ctc_beam_search(
         logits.ctypes.data_as(ctypes.c_void_p), t_len, c, seq_len,
@@ -112,6 +125,7 @@ def ctc_beam_search_batch(logits: np.ndarray, seq_lens, beam_width: int = 20,
         return None
     logits = np.ascontiguousarray(logits, np.float32)
     b, t_len, c = logits.shape
+    max_out = max(int(max_out), t_len + 1)  # see ctc_beam_search
     seq_lens = np.ascontiguousarray(seq_lens, np.int64)
     out = np.empty((b, max_out), np.int32)
     out_lens = np.empty((b,), np.int32)
@@ -171,7 +185,11 @@ def load_batch(
         ctypes.cast(path_buf, ctypes.c_void_p),
     )
     if rc != 0:
-        raise ValueError(f"native loader failed with code {rc} on batch {paths[:2]}...")
+        raise ValueError(
+            f"native loader failed with code {rc} ({_ERROR_CODES.get(rc, 'unknown')}) "
+            f"on batch {paths[:2]}... — pass use_native=False to read this "
+            "corpus through the pure-Python codec"
+        )
     sample_paths = [
         path_buf.raw[i * 256 : (i + 1) * 256].split(b"\x00", 1)[0].decode(errors="replace")
         for i in range(n)
@@ -229,7 +247,10 @@ def load_file_records(
         ptr(seq_lens), ptr(lab_lens), ctypes.cast(path_buf, ctypes.c_void_p),
     )
     if rc < 0:
-        raise ValueError(f"native loader failed with code {rc} on {path}")
+        raise ValueError(
+            f"native loader failed with code {rc} "
+            f"({_ERROR_CODES.get(rc, 'unknown')}) on {path}"
+        )
     if rc > max_samples:
         raise ValueError(f"{path} holds more than {max_samples} records")
     n = rc

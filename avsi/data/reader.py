@@ -111,28 +111,34 @@ class DataManager:
         self._native_probes: dict[str, tuple] = {}
         self._native_probe: tuple | None = None  # last probe (tests inspect)
 
-    def _probe_native(self, path: str) -> bool:
-        """Probe a file list's first file for layout (t_frames), embedding
-        dim and records-per-file (1 = zero-copy path, >1 = grouped path)."""
-        if path in self._native_probes:
-            self._native_probe = self._native_probes[path]
-            return bool(self._native_probe)
-        try:
-            records = list(tfr.read_records(path))
-            sample = tfr.parse_sample_fixed(records[0], self.with_embedding)
-            emb_dim = len(sample.get("embedding", ())) if self.with_embedding else 0
-            ok = (
-                len(sample["target_audio_wav"]) == self.num_audio_samples
-                and sample["mask"].shape[1] == self.audio_feat_size
-                and sample["video_features"].shape[1] == self.video_feat_size
-                and (not self.with_embedding or emb_dim > 0)
-            )
-            probe = (sample["mask"].shape[0], emb_dim, len(records)) if ok else ()
-        except Exception:
-            probe = ()
-        self._native_probes[path] = probe
-        self._native_probe = probe
-        return bool(probe)
+    def _probe_native(self, path: str) -> tuple:
+        """Probe a file list's first file for layout: (t_frames, emb_dim,
+        records_per_file, num_labels), or () when the native layout does
+        not apply. Returned (not read back from shared state): concurrent
+        batches() generators over different corpora must each use their own
+        probe, so the tuple is threaded through explicitly."""
+        if path not in self._native_probes:
+            try:
+                records = list(tfr.read_records(path))
+                sample = tfr.parse_sample_fixed(records[0], self.with_embedding)
+                emb_dim = len(sample.get("embedding", ())) if self.with_embedding else 0
+                ok = (
+                    len(sample["target_audio_wav"]) == self.num_audio_samples
+                    and sample["mask"].shape[1] == self.audio_feat_size
+                    and sample["video_features"].shape[1] == self.video_feat_size
+                    and (not self.with_embedding or emb_dim > 0)
+                )
+                probe = (
+                    (sample["mask"].shape[0], emb_dim, len(records),
+                     len(sample["labels"]))
+                    if ok else ()
+                )
+            except Exception:
+                probe = ()
+            self._native_probes[path] = probe
+        probe = self._native_probes[path]
+        self._native_probe = probe  # last probe (tests inspect)
+        return probe
 
     def _iter_samples(self, file_list: list[str]):
         parse = (
@@ -216,17 +222,23 @@ class DataManager:
         files = list(file_list)
         # probe BEFORE shuffling on a stable representative (one probe per
         # corpus, not one per epoch)
-        probe_ok = bool(files) and self.use_native and self._probe_native(
-            min(files)
+        probe = (
+            self._probe_native(min(files))
+            if files and self.use_native else ()
         )
         if shuffle:
             self.rng.shuffle(files)
-        if probe_ok:
-            if self._native_probe[2] == 1:
-                yield from self._native_batches(files, batch_size, drop_remainder, pad_final)
+        if probe:
+            if probe[2] == 1:
+                # the native parser errors (-6) on any multi-record file it
+                # meets here, so a mixed corpus fails loudly, never silently
+                # dropping records past the first
+                yield from self._native_batches(
+                    files, batch_size, drop_remainder, pad_final, probe
+                )
             else:
                 yield from self._native_batches_grouped(
-                    files, batch_size, drop_remainder, pad_final
+                    files, batch_size, drop_remainder, pad_final, probe
                 )
             return
         buf: list[dict] = []
@@ -246,7 +258,8 @@ class DataManager:
             batch["num_real"] = n_real
             yield batch
 
-    def _native_batches_grouped(self, files, batch_size, drop_remainder, pad_final):
+    def _native_batches_grouped(self, files, batch_size, drop_remainder,
+                                 pad_final, probe):
         """Grouped corpora (group_tfrecords output): parse each file's
         records natively, re-batch on the host.
 
@@ -254,7 +267,7 @@ class DataManager:
         (`native_readahead` workers): the ctypes call releases the GIL, so
         on a multi-core host parsing scales with cores while batch order
         stays deterministic (futures are consumed in submission order)."""
-        t_frames, emb_dim, per_file = self._native_probe
+        t_frames, emb_dim, per_file, num_labels = probe
         cap = max(64, per_file * 4)
         keys = [k for k in BATCH_KEYS] + (["embeddings"] if self.with_embedding else [])
         pending: list[dict] = []
@@ -266,14 +279,22 @@ class DataManager:
             return batch
 
         def parse(path):
-            return native_loader.load_file_records(
-                path, cap,
-                num_audio_samples=self.num_audio_samples,
-                t_frames=t_frames,
-                audio_dim=self.audio_feat_size,
-                video_dim=self.video_feat_size,
-                emb_dim=emb_dim,
-            )
+            c = cap
+            while True:  # a file larger than the probe suggested grows the
+                try:     # buffers instead of erroring (counts may vary)
+                    return native_loader.load_file_records(
+                        path, c,
+                        num_audio_samples=self.num_audio_samples,
+                        t_frames=t_frames,
+                        audio_dim=self.audio_feat_size,
+                        video_dim=self.video_feat_size,
+                        num_labels=num_labels,
+                        emb_dim=emb_dim,
+                    )
+                except ValueError as e:
+                    if "more than" not in str(e) or c > 1 << 20:
+                        raise
+                    c *= 4
 
         for recs in _ordered_pool_map(parse, files, self.native_readahead):
             n = len(recs["sequence_lengths"])
@@ -290,8 +311,9 @@ class DataManager:
                 pending = pending + [pending[-1]] * (batch_size - n_real)
             yield make_batch(pending, n_real)
 
-    def _native_batches(self, files, batch_size, drop_remainder, pad_final):
-        t_frames, emb_dim, _ = self._native_probe
+    def _native_batches(self, files, batch_size, drop_remainder, pad_final,
+                        probe):
+        t_frames, emb_dim, _, num_labels = probe
         for i in range(0, len(files), batch_size):
             group = files[i : i + batch_size]
             n_real = len(group)
@@ -306,6 +328,7 @@ class DataManager:
                 t_frames=t_frames,
                 audio_dim=self.audio_feat_size,
                 video_dim=self.video_feat_size,
+                num_labels=num_labels,
                 emb_dim=emb_dim,
             )
             if not self.with_embedding:
@@ -314,29 +337,48 @@ class DataManager:
             yield batch
 
     def prefetch_batches(self, *args, prefetch: int = 2, **kwargs):
-        """batches() with a background parsing thread."""
+        """batches() with a background parsing thread.
+
+        The worker checks a stop flag around its bounded q.put so an
+        abandoned generator (consumer breaks out / is GC'd) releases the
+        thread and its buffered batches instead of blocking on the full
+        queue forever."""
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         sentinel = object()
         err: list[BaseException] = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self.batches(*args, **kwargs):
-                    q.put(b)
+                    if not put(b):
+                        return
             except BaseException as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
     def count_samples(self, file_list: list[str]) -> int:
         return sum(1 for _ in self._iter_samples(file_list))

@@ -14,6 +14,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <mutex>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -27,17 +28,19 @@ namespace {
 // ---------------------------------------------------------------------------
 
 uint32_t g_crc_table[256];
-bool g_crc_init = false;
+std::once_flag g_crc_once;  // callers run concurrently from Python threads
+                            // (ctypes releases the GIL) — plain bool+write
+                            // would be a data race
 
 void init_crc_table() {
-  if (g_crc_init) return;
-  const uint32_t poly = 0x82f63b78u;
-  for (uint32_t i = 0; i < 256; ++i) {
-    uint32_t crc = i;
-    for (int j = 0; j < 8; ++j) crc = (crc >> 1) ^ ((crc & 1) ? poly : 0);
-    g_crc_table[i] = crc;
-  }
-  g_crc_init = true;
+  std::call_once(g_crc_once, [] {
+    const uint32_t poly = 0x82f63b78u;
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t crc = i;
+      for (int j = 0; j < 8; ++j) crc = (crc >> 1) ^ ((crc & 1) ? poly : 0);
+      g_crc_table[i] = crc;
+    }
+  });
 }
 
 uint32_t crc32c(const uint8_t* data, size_t n) {
@@ -116,9 +119,10 @@ struct Cursor {
 
 // Feature { bytes_list=1 { value=1 } float_list=2 { value=1 }
 //           int64_list=3 { value=1 } }
-// Copies up to `cap` floats into out; returns count. Handles packed and
-// unpacked encodings; int64 values are converted to float when
-// `as_float`, else written to i64_out.
+// Copies up to `cap` floats into out; returns the TRUE element count (which
+// may exceed `cap` — the caller's `!= expected` check must see over-long
+// features, not a silently capped count). Handles packed and unpacked
+// encodings.
 int64_t parse_feature_floats(Cursor f, float* out, int64_t cap) {
   int64_t n = 0;
   uint32_t field, wire;
@@ -130,8 +134,10 @@ int64_t parse_feature_floats(Cursor f, float* out, int64_t cap) {
         if (f2 == 1 && w2 == 2) {  // packed
           Cursor vals = fl.sub();
           int64_t cnt = (vals.end - vals.p) / 4;
-          for (int64_t i = 0; i < cnt && n < cap; ++i, ++n)
-            memcpy(out + n, vals.p + 4 * i, 4);
+          int64_t writable = cap > n ? (cnt < cap - n ? cnt : cap - n) : 0;
+          for (int64_t i = 0; i < writable; ++i)
+            memcpy(out + n + i, vals.p + 4 * i, 4);
+          n += cnt;  // true count, not the capped write count
         } else if (f2 == 1 && w2 == 5) {  // unpacked
           if (fl.end - fl.p < 4) { fl.ok = false; break; }
           if (n < cap) memcpy(out + n, fl.p, 4);
@@ -329,6 +335,10 @@ int parse_file(const char* path, int verify_crc, const SampleDims& d,
   uint64_t len;
   memcpy(&len, buf.data(), 8);
   if (len > uint64_t(fsize) || 16 + len > uint64_t(fsize)) return -3;
+  // single-record contract: a file with MORE records (or trailing bytes)
+  // must error, not silently drop everything after record 0 — the reader
+  // routes whole corpora here from a one-file probe
+  if (16 + len != uint64_t(fsize)) return -6;
   if (verify_crc) {
     uint32_t c1, c2;
     memcpy(&c1, buf.data() + 8, 4);
@@ -442,6 +452,11 @@ int avsi_parse_file_multi(const char* path, int verify_crc,
     ++n;
     pos += 16 + long(len);
   }
+  // trailing bytes that are not a full record header = truncated/corrupt
+  // file (the Python codec raises on this; the native path must not
+  // silently succeed on a partial file). Bytes left because max_samples
+  // filled up are the caller's documented overflow signal instead.
+  if (n < max_samples && pos != fsize) return -3;
   return int(n);
 }
 

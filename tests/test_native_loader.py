@@ -168,3 +168,97 @@ def test_native_faster_than_python(corpus):
     t_nat = time.time() - t0
     # the C++ loader must be significantly faster (typically 10x+)
     assert t_nat < t_py / 2, (t_nat, t_py)
+
+
+def test_multi_record_file_in_single_path_errors(corpus, tmp_path):
+    """A corpus whose probe file has 1 record but another file holds several
+    must FAIL LOUDLY on the single-record native path — before the -6 check
+    the extra records silently vanished from the epoch."""
+    multi = str(tmp_path / "multi.tfrecord")
+    with tfr.TFRecordWriter(multi) as w:
+        for p in corpus[:3]:
+            w.write(next(iter(tfr.read_records(p))))
+    with pytest.raises(ValueError, match="more than one record"):
+        native_loader.load_batch(
+            [corpus[0], multi], num_audio_samples=9600, t_frames=50,
+            emb_dim=512,
+        )
+
+
+def test_overlong_feature_rejected(corpus):
+    """A record whose wav holds MORE floats than expected must error (-5),
+    not silently truncate to the expected count and pass validation."""
+    with pytest.raises(ValueError, match="-5"):
+        native_loader.load_batch(
+            corpus[:2], num_audio_samples=4800, t_frames=50, emb_dim=512,
+        )
+
+
+def test_grouped_trailing_garbage_rejected(corpus, tmp_path):
+    """Trailing bytes after the last full record = truncated file: the
+    python codec raises, so the native grouped parser must too."""
+    bad = str(tmp_path / "trail.tfrecord")
+    with tfr.TFRecordWriter(bad) as w:
+        w.write(next(iter(tfr.read_records(corpus[0]))))
+    with open(bad, "ab") as f:
+        f.write(b"\x01\x02\x03")  # a partial next-record header
+    with pytest.raises(ValueError, match="-3"):
+        native_loader.load_file_records(
+            bad, 4, num_audio_samples=9600, t_frames=50, emb_dim=512,
+        )
+
+
+def test_ctc_decode_never_truncates():
+    """The collapsed hypothesis of a 300-frame alternating-argmax sequence
+    is 300 labels; the old fixed max_out=256 silently returned a prefix."""
+    t_len, c = 300, 3
+    logits = np.full((t_len, c), -10.0, np.float32)
+    for t in range(t_len):
+        logits[t, t % 2] = 10.0  # alternate classes 0/1, never blank (2)
+    dec = native_loader.ctc_beam_search(logits, t_len, beam_width=4)
+    if dec is None:
+        pytest.skip("native ctc unavailable")
+    assert len(dec) == t_len
+
+
+def test_prefetch_abandoned_consumer_releases_worker(corpus):
+    """Breaking out of prefetch_batches must not leave the worker thread
+    blocked forever on the bounded queue."""
+    import threading
+
+    dm = reader.DataManager(num_audio_samples=9600, with_embedding=True)
+    before = {t.ident for t in threading.enumerate()}
+    gen = dm.prefetch_batches(list(corpus), 2)
+    next(gen)
+    gen.close()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        alive = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.is_alive()
+        ]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, f"prefetch worker leaked: {alive}"
+
+
+def test_mixed_group_sizes_all_records_seen(corpus, tmp_path):
+    """Grouped native path with files of DIFFERENT record counts (1, 2, 4):
+    every record must appear exactly once per epoch."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    sizes = [4, 1, 2]
+    idx = 0
+    for j, size in enumerate(sizes):
+        with tfr.TFRecordWriter(str(d / f"g{j}.tfrecord")) as w:
+            for _ in range(size):
+                w.write(next(iter(tfr.read_records(corpus[idx % len(corpus)]))))
+                idx += 1
+    files = sorted(str(p) for p in d.iterdir())
+    dm = reader.DataManager(num_audio_samples=9600, with_embedding=True)
+    got = [
+        p for b in dm.batches(files, 3)
+        for p in b["sample_paths"][: b["num_real"]]
+    ]
+    assert len(got) == sum(sizes)
