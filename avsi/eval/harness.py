@@ -10,7 +10,13 @@ process per file — SURVEY.md §3.5), PESQ uses the native P.862
 implementation in `avsi/eval/pesq.py` when no external binary is given,
 and optional SDR/SI-SDR columns (behind `with_sdr`) wire up the
 `sdr_eval`/`sisdr_eval` functions that the reference defines but never
-calls (`eval_metrics.py:44-74`).
+calls (`eval_metrics.py:44-74`).  Two more deliberate deviations: a
+missing masked.wav yields a partial row instead of crashing the run
+(reference evaluation.py:44 would raise), and STOI values <= 1e-4 are
+treated as unscorable (NaN) in the summaries — the reference
+(evaluation.py:105-106) averages the 1e-5 silence sentinel into
+stoi_masked, biasing "Masked STOI" and "STOI improvement" downward on
+corpora with fully-silent masked samples.
 """
 
 from __future__ import annotations
@@ -134,6 +140,83 @@ def _write_csv(path, header, rows):
     print(f"Results written to {path}")
 
 
+def _summarize_and_write(rows, test_audio_dir, out_file, masked_eval,
+                         with_sdr, with_per, stoi_imp_key):
+    """Shared summary/print/CSV body of the two eval protocols; they differ
+    only in the PER columns (`with_per`) and the improvement-header name
+    (the reference's evaluation_asr.py literally calls it `STOI_I`)."""
+    def col(key):
+        return np.asarray([r.get(key, np.nan) for r in rows], np.float64)
+
+    summary = {}
+    stoi_enh = np.where(col("STOI_ENH") <= 1e-4, np.nan, col("STOI_ENH"))
+    summary["l1_enhanced"] = _nstats(col("L1_ENH"))
+    summary["pesq_enhanced"] = _nstats(col("PESQ_ENH"))
+    summary["stoi_enhanced"] = _nstats(stoi_enh)
+    if with_per:
+        summary["per_enhanced"] = _nstats(col("PER_ENH"))
+    print("Enhanced L1 (spectrogram): {:.5f} ({:.5f})".format(*summary["l1_enhanced"]))
+    print("Enhanced PESQ: {:.5f} ({:.5f})".format(*summary["pesq_enhanced"]))
+    print("Enhanced STOI: {:.5f} ({:.5f})".format(*summary["stoi_enhanced"]))
+    if with_per:
+        print("Enhanced PER: {:.5f} ({:.5f})".format(*summary["per_enhanced"]))
+    if with_sdr:
+        summary["sdr_enhanced"] = _nstats(col("SDR_ENH"))
+        summary["sisdr_enhanced"] = _nstats(col("SISDR_ENH"))
+        print("Enhanced SDR: {:.5f} ({:.5f})".format(*summary["sdr_enhanced"]))
+        print("Enhanced SI-SDR: {:.5f} ({:.5f})".format(*summary["sisdr_enhanced"]))
+
+    has_masked = masked_eval and any("L1_MASK" in r for r in rows)
+    if has_masked:
+        stoi_mask = np.where(col("STOI_MASK") <= 1e-4, np.nan, col("STOI_MASK"))
+        l1_r = col("L1_MASK") - col("L1_ENH")
+        pesq_i = col("PESQ_ENH") - col("PESQ_MASK")
+        stoi_i = stoi_enh - stoi_mask
+        per_r = col("PER_MASK") - col("PER_ENH") if with_per else None
+        for i, r in enumerate(rows):
+            r["L1r"], r["PESQi"], r[stoi_imp_key] = l1_r[i], pesq_i[i], stoi_i[i]
+            if with_per:
+                r["PERr"] = per_r[i]
+        summary["l1_masked"] = _nstats(col("L1_MASK"))
+        summary["pesq_masked"] = _nstats(col("PESQ_MASK"))
+        summary["stoi_masked"] = _nstats(stoi_mask)
+        summary["l1_reduction"] = _nstats(l1_r)
+        summary["pesq_improvement"] = _nstats(pesq_i)
+        summary["stoi_improvement"] = _nstats(stoi_i)
+        if with_per:
+            # _nstats, not bare mean: a sample with no masked transcription
+            # must not turn the whole PER column into nan
+            summary["per_masked"] = _nstats(col("PER_MASK"))
+            summary["per_reduction"] = _nstats(per_r)
+        print("Masked L1 (spectrogram): {:.5f} ({:.5f})".format(*summary["l1_masked"]))
+        print("Masked PESQ: {:.5f} ({:.5f})".format(*summary["pesq_masked"]))
+        print("Masked STOI: {:.5f} ({:.5f})".format(*summary["stoi_masked"]))
+        if with_per:
+            print("Masked PER: {:.5f} ({:.5f})".format(*summary["per_masked"]))
+        print("L1 (spectrogram) reduction: {:.5f} ({:.5f})".format(*summary["l1_reduction"]))
+        print("PESQ improvement: {:.5f} ({:.5f})".format(*summary["pesq_improvement"]))
+        print("STOI improvement: {:.5f} ({:.5f})".format(*summary["stoi_improvement"]))
+        if with_per:
+            print("PER reduction: {:.5f} ({:.5f})".format(*summary["per_reduction"]))
+
+    # CSV (evaluation.py:119-131 / evaluation_asr.py:92 schemas; SDR
+    # columns are an avsi extension)
+    sdr_cols = ["SDR_MASK", "SDR_ENH", "SISDR_MASK", "SISDR_ENH"] if with_sdr else []
+    per_cols = ["PER_MASK", "PER_ENH"] if with_per else []
+    per_tail = (["PERr", "LAB", "DEC_ENH", "DEC_MASK"] if with_per else [])
+    if has_masked:
+        header = (["SAMPLE", "L1_MASK", "L1_ENH", "PESQ_MASK", "PESQ_ENH",
+                   "STOI_MASK", "STOI_ENH"] + per_cols + sdr_cols +
+                  ["L1r", "PESQi", stoi_imp_key] + per_tail)
+    else:
+        header = (["SAMPLE", "L1_ENH", "PESQ_ENH", "STOI_ENH"]
+                  + (["PER_ENH"] if with_per else [])
+                  + [c for c in sdr_cols if c.endswith("_ENH")]
+                  + (["LAB", "DEC_ENH"] if with_per else []))
+    _write_csv(os.path.join(test_audio_dir, out_file + ".csv"), header, rows)
+    return summary
+
+
 def speech_inpainting_eval(
     test_audio_dir: str,
     enhanced_file: str,
@@ -153,63 +236,8 @@ def speech_inpainting_eval(
     if not rows:
         print("No evaluable samples found.")
         return {}
-
-    def col(key):
-        return np.asarray([r.get(key, np.nan) for r in rows], np.float64)
-
-    summary = {}
-    stoi_enh = np.where(col("STOI_ENH") <= 1e-4, np.nan, col("STOI_ENH"))
-    summary["l1_enhanced"] = _nstats(col("L1_ENH"))
-    summary["pesq_enhanced"] = _nstats(col("PESQ_ENH"))
-    summary["stoi_enhanced"] = _nstats(stoi_enh)
-    summary["per_enhanced"] = (np.mean(col("PER_ENH")), np.std(col("PER_ENH")))
-    print("Enhanced L1 (spectrogram): {:.5f} ({:.5f})".format(*summary["l1_enhanced"]))
-    print("Enhanced PESQ: {:.5f} ({:.5f})".format(*summary["pesq_enhanced"]))
-    print("Enhanced STOI: {:.5f} ({:.5f})".format(*summary["stoi_enhanced"]))
-    print("Enhanced PER: {:.5f} ({:.5f})".format(*summary["per_enhanced"]))
-    if with_sdr:
-        summary["sdr_enhanced"] = _nstats(col("SDR_ENH"))
-        summary["sisdr_enhanced"] = _nstats(col("SISDR_ENH"))
-        print("Enhanced SDR: {:.5f} ({:.5f})".format(*summary["sdr_enhanced"]))
-        print("Enhanced SI-SDR: {:.5f} ({:.5f})".format(*summary["sisdr_enhanced"]))
-
-    has_masked = masked_eval and any("L1_MASK" in r for r in rows)
-    if has_masked:
-        stoi_mask = np.where(col("STOI_MASK") <= 1e-4, np.nan, col("STOI_MASK"))
-        l1_r = col("L1_MASK") - col("L1_ENH")
-        pesq_i = col("PESQ_ENH") - col("PESQ_MASK")
-        stoi_i = stoi_enh - stoi_mask
-        per_r = col("PER_MASK") - col("PER_ENH")
-        for r, a, b, c, d in zip(rows, l1_r, pesq_i, stoi_i, per_r):
-            r["L1r"], r["PESQi"], r["STOIi"], r["PERr"] = a, b, c, d
-        summary["l1_masked"] = _nstats(col("L1_MASK"))
-        summary["pesq_masked"] = _nstats(col("PESQ_MASK"))
-        summary["stoi_masked"] = _nstats(stoi_mask)
-        summary["per_masked"] = (np.mean(col("PER_MASK")), np.std(col("PER_MASK")))
-        summary["l1_reduction"] = _nstats(l1_r)
-        summary["pesq_improvement"] = _nstats(pesq_i)
-        summary["stoi_improvement"] = _nstats(stoi_i)
-        summary["per_reduction"] = (np.mean(per_r), np.std(per_r))
-        print("Masked L1 (spectrogram): {:.5f} ({:.5f})".format(*summary["l1_masked"]))
-        print("Masked PESQ: {:.5f} ({:.5f})".format(*summary["pesq_masked"]))
-        print("Masked STOI: {:.5f} ({:.5f})".format(*summary["stoi_masked"]))
-        print("Masked PER: {:.5f} ({:.5f})".format(*summary["per_masked"]))
-        print("L1 (spectrogram) reduction: {:.5f} ({:.5f})".format(*summary["l1_reduction"]))
-        print("PESQ improvement: {:.5f} ({:.5f})".format(*summary["pesq_improvement"]))
-        print("STOI improvement: {:.5f} ({:.5f})".format(*summary["stoi_improvement"]))
-        print("PER reduction: {:.5f} ({:.5f})".format(*summary["per_reduction"]))
-
-    # CSV (evaluation.py:119-131 schema; SDR columns are an avsi extension)
-    sdr_cols = ["SDR_MASK", "SDR_ENH", "SISDR_MASK", "SISDR_ENH"] if with_sdr else []
-    if has_masked:
-        header = (["SAMPLE", "L1_MASK", "L1_ENH", "PESQ_MASK", "PESQ_ENH", "STOI_MASK",
-                   "STOI_ENH", "PER_MASK", "PER_ENH"] + sdr_cols +
-                  ["L1r", "PESQi", "STOIi", "PERr", "LAB", "DEC_ENH", "DEC_MASK"])
-    else:
-        header = (["SAMPLE", "L1_ENH", "PESQ_ENH", "STOI_ENH", "PER_ENH"]
-                  + [c for c in sdr_cols if c.endswith("_ENH")] + ["LAB", "DEC_ENH"])
-    _write_csv(os.path.join(test_audio_dir, out_file + ".csv"), header, rows)
-    return summary
+    return _summarize_and_write(rows, test_audio_dir, out_file, masked_eval,
+                                with_sdr, with_per=True, stoi_imp_key="STOIi")
 
 
 def speech_enhancement_eval(
@@ -237,51 +265,5 @@ def speech_enhancement_eval(
     if not rows:
         print("No evaluable samples found.")
         return {}
-
-    def col(key):
-        return np.asarray([r.get(key, np.nan) for r in rows], np.float64)
-
-    summary = {}
-    stoi_enh = np.where(col("STOI_ENH") <= 1e-4, np.nan, col("STOI_ENH"))
-    summary["l1_enhanced"] = _nstats(col("L1_ENH"))
-    summary["pesq_enhanced"] = _nstats(col("PESQ_ENH"))
-    summary["stoi_enhanced"] = _nstats(stoi_enh)
-    print("Enhanced L1 (spectrogram): {:.5f} ({:.5f})".format(*summary["l1_enhanced"]))
-    print("Enhanced PESQ: {:.5f} ({:.5f})".format(*summary["pesq_enhanced"]))
-    print("Enhanced STOI: {:.5f} ({:.5f})".format(*summary["stoi_enhanced"]))
-    if with_sdr:
-        summary["sdr_enhanced"] = _nstats(col("SDR_ENH"))
-        summary["sisdr_enhanced"] = _nstats(col("SISDR_ENH"))
-        print("Enhanced SDR: {:.5f} ({:.5f})".format(*summary["sdr_enhanced"]))
-        print("Enhanced SI-SDR: {:.5f} ({:.5f})".format(*summary["sisdr_enhanced"]))
-
-    has_masked = masked_eval and any("L1_MASK" in r for r in rows)
-    if has_masked:
-        stoi_mask = np.where(col("STOI_MASK") <= 1e-4, np.nan, col("STOI_MASK"))
-        l1_r = col("L1_MASK") - col("L1_ENH")
-        pesq_i = col("PESQ_ENH") - col("PESQ_MASK")
-        stoi_i = stoi_enh - stoi_mask
-        for r, a, b, c in zip(rows, l1_r, pesq_i, stoi_i):
-            r["L1r"], r["PESQi"], r["STOI_I"] = a, b, c
-        summary["l1_masked"] = _nstats(col("L1_MASK"))
-        summary["pesq_masked"] = _nstats(col("PESQ_MASK"))
-        summary["stoi_masked"] = _nstats(stoi_mask)
-        summary["l1_reduction"] = _nstats(l1_r)
-        summary["pesq_improvement"] = _nstats(pesq_i)
-        summary["stoi_improvement"] = _nstats(stoi_i)
-        print("Masked L1 (spectrogram): {:.5f} ({:.5f})".format(*summary["l1_masked"]))
-        print("Masked PESQ: {:.5f} ({:.5f})".format(*summary["pesq_masked"]))
-        print("Masked STOI: {:.5f} ({:.5f})".format(*summary["stoi_masked"]))
-        print("L1 (spectrogram) reduction: {:.5f} ({:.5f})".format(*summary["l1_reduction"]))
-        print("PESQ improvement: {:.5f} ({:.5f})".format(*summary["pesq_improvement"]))
-        print("STOI improvement: {:.5f} ({:.5f})".format(*summary["stoi_improvement"]))
-
-    sdr_cols = ["SDR_MASK", "SDR_ENH", "SISDR_MASK", "SISDR_ENH"] if with_sdr else []
-    if has_masked:
-        header = (["SAMPLE", "L1_MASK", "L1_ENH", "PESQ_MASK", "PESQ_ENH",
-                   "STOI_MASK", "STOI_ENH"] + sdr_cols + ["L1r", "PESQi", "STOI_I"])
-    else:
-        header = (["SAMPLE", "L1_ENH", "PESQ_ENH", "STOI_ENH"]
-                  + [c for c in sdr_cols if c.endswith("_ENH")])
-    _write_csv(os.path.join(test_audio_dir, out_file + ".csv"), header, rows)
-    return summary
+    return _summarize_and_write(rows, test_audio_dir, out_file, masked_eval,
+                                with_sdr, with_per=False, stoi_imp_key="STOI_I")

@@ -48,15 +48,24 @@ def l2_eval(target, estimated, sample_rate=16e3, n_fft=512, window_size=25, step
 # SI-SDR (eval_metrics.py:57-74)
 # ---------------------------------------------------------------------------
 
-def sisdr_eval(ref_sig, out_sig, eps=1e-8):
-    assert len(ref_sig) == len(out_sig)
-    ref_sig = ref_sig - np.mean(ref_sig)
-    out_sig = out_sig - np.mean(out_sig)
-    ref_energy = np.sum(ref_sig**2) + eps
-    proj = np.sum(ref_sig * out_sig) * ref_sig / ref_energy
-    noise = out_sig - proj
-    ratio = np.sum(proj**2) / (np.sum(noise**2) + eps)
-    return float(10 * np.log10(ratio + eps))
+def sisdr_eval(reference, estimate, eps=1e-8):
+    """Scale-invariant SDR (Le Roux et al. 2019): project the zero-mean
+    estimate onto the zero-mean reference; the ratio of projected to
+    residual energy in dB. Signals of different length are scored over
+    their common prefix (the harness truncates pairs the same way for
+    every other metric)."""
+    n = min(len(reference), len(estimate))
+    r = np.asarray(reference[:n], np.float64)
+    e = np.asarray(estimate[:n], np.float64)
+    r = r - r.mean()
+    e = e - e.mean()
+    # closed-form optimal scaling of r toward e: alpha = <r,e>/<r,r>
+    alpha = float(r @ e) / (float(r @ r) + eps)
+    s_target = alpha * r
+    residual = e - s_target
+    num = float(s_target @ s_target)
+    den = float(residual @ residual) + eps
+    return float(10.0 * np.log10(num / den + eps))
 
 
 # ---------------------------------------------------------------------------
@@ -80,8 +89,13 @@ def sdr_eval(target, estimated, filt_len: int = 512):
     xcorr = np.correlate(
         np.concatenate([estimated, np.zeros(filt_len - 1)]), target, mode="valid"
     )
+    # diagonal loading: bump ONLY the zero-lag term (adding to every lag
+    # would be a rank-1 all-ones perturbation that leaves near-singular
+    # directions untouched, e.g. for strongly periodic targets)
+    acf = acf.copy()
+    acf[0] += 1e-10 * max(acf[0], 1e-30)
     try:
-        h = solve_toeplitz(acf + 1e-10 * acf[0], xcorr)
+        h = solve_toeplitz(acf, xcorr)
     except np.linalg.LinAlgError:  # pragma: no cover
         return float("nan")
     s_target = np.convolve(target, h)[:n]

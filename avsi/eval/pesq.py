@@ -276,9 +276,10 @@ def pesq_measure(ref, deg, fs=16000, mode="nb"):
     # smoothed short-term gain compensation of the degraded
     gain = (_total_audible(mod_ref) + 5e3) / (_total_audible(pp_deg) + 5e3)
     scale = np.empty_like(gain)
-    s = gain[0]
-    for i, g in enumerate(gain):  # first-order smoother (P.862: 0.2 old + 0.8 new)
-        s = g if i == 0 else 0.2 * s + 0.8 * g
+    s = gain[0]  # seed = first frame's gain (P.862: 0.2 old + 0.8 new)
+    for i, g in enumerate(gain):
+        if i:
+            s = 0.2 * s + 0.8 * g
         scale[i] = np.clip(s, 3e-4, 5.0)
     mod_deg = pp_deg * scale[:, None]
 

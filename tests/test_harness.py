@@ -110,3 +110,33 @@ class TestEnhancementEval:
         os.remove(lbl)
         summary = speech_enhancement_eval(str(bare), "pref", "r", masked_eval=True)
         assert np.isfinite(summary["l1_enhanced"][0])
+
+
+def test_partial_masked_corpus_keeps_per_summaries_finite(tmp_path):
+    """A sample missing masked.wav yields a partial row; the PER summary
+    columns must stay finite (regression: bare np.mean over a column with
+    one NaN made 'Masked PER' and 'PER reduction' nan)."""
+    root = _make_corpus(tmp_path / "c", n=3)
+    os.remove(str(root / "sample_1" / "masked.wav"))
+    summary = speech_inpainting_eval(str(root), "pref", "out", masked_eval=True)
+    assert np.isfinite(summary["per_masked"][0])
+    assert np.isfinite(summary["per_reduction"][0])
+
+
+def test_sisdr_tolerates_length_mismatch(tmp_path):
+    """sisdr_eval scores the common prefix instead of asserting equal
+    lengths — a shorter masked.wav must not abort the whole eval run."""
+    from avsi.eval import metrics
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=4000)
+    v = metrics.sisdr_eval(x, x[:3500] + rng.normal(0, 0.1, 3500))
+    assert np.isfinite(v)
+    # and with_sdr over a corpus whose masked.wav is shorter end-to-end
+    root = _make_corpus(tmp_path / "c2", n=2)
+    _, masked = wavio.read_wav_int16(str(root / "sample_0" / "masked.wav"))
+    wavio.write_wav_int16(str(root / "sample_0" / "masked.wav"), masked[:-321], FS)
+    summary = speech_inpainting_eval(
+        str(root), "pref", "out", masked_eval=True, with_sdr=True
+    )
+    assert np.isfinite(summary["sisdr_enhanced"][0])
