@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("-cm", "--mask_coverage_mean", type=float, default=0.3)
     p.add_argument("-cs", "--mask_coverage_std", type=float, default=0.1)
     p.add_argument("-e", "--ext", default="wav")
+    p.add_argument("-hm", "--mask_hop_ms", type=int, default=12,
+                   help="mask STFT hop in ms (12 for blstm; 8 for unet)")
+    p.add_argument("-fd", "--mask_frame_dim", type=int, default=257,
+                   help="mask frequency bins (257 for blstm; 128 for unet)")
 
     p = sub.add_parser("audio_preprocessing", description="Compute feature mean/std.")
     p.add_argument("-a", "--audio_dir", required=True)
@@ -209,6 +213,10 @@ def parse_args(argv=None):
     p.add_argument("-al", "--audio_len_ms", type=int, default=3000)
     p.add_argument("-gm", "--gap_ms", type=float, default=800.0)
     p.add_argument("-gs", "--gap_std_ms", type=float, default=100.0)
+    p.add_argument("-hm", "--mask_hop_ms", type=int, default=12,
+                   help="mask STFT hop in ms (12 for blstm; 8 for unet)")
+    p.add_argument("-fd", "--mask_frame_dim", type=int, default=257,
+                   help="mask frequency bins (257 for blstm; 128 for unet)")
 
     return parser.parse_args(argv)
 
@@ -224,6 +232,7 @@ def main(argv=None):
             args.clean_audio_dir, args.dest_dir, args.speaker_ids, args.num_samples,
             args.audio_length, args.num_max_intr, args.mask_coverage_mean,
             args.mask_coverage_std, args.ext,
+            mask_hop_ms=args.mask_hop_ms, mask_frame_dim=args.mask_frame_dim,
         )
     elif name == "audio_preprocessing":
         from avsi.data.stats import compute_mean_std_features
@@ -365,6 +374,7 @@ def main(argv=None):
         make_fixture(
             args.dest_dir, args.n_speakers, n_samples, args.audio_len_ms,
             gap_ms=args.gap_ms, gap_std_ms=args.gap_std_ms,
+            mask_hop_ms=args.mask_hop_ms, mask_frame_dim=args.mask_frame_dim,
         )
     else:
         print("Bad subcommand name. Closing...")

@@ -41,6 +41,8 @@ def make_fixture(
     n_max_intr: int = 1,
     with_embeddings: bool = False,
     video_informative: bool = False,
+    mask_hop_ms: int = 12,
+    mask_frame_dim: int = 257,
 ) -> dict:
     """Build raw corpus + masked sample dirs + tfrecords. Returns paths.
 
@@ -161,6 +163,8 @@ def make_fixture(
             cov_std=gap_std_ms,
             seed=30 + k,
             utterance_names=split_names[split],
+            mask_hop_ms=mask_hop_ms,
+            mask_frame_dim=mask_frame_dim,
         )
         out[split] = split_dir
         if with_embeddings:

@@ -36,11 +36,19 @@ def create_syn_data_speaker(
     file_ext: str = "wav",
     rng: np.random.Generator | None = None,
     utterance_names: list[str] | None = None,
+    mask_hop_ms: int = 12,
+    mask_frame_dim: int = 257,
 ) -> list[float]:
     """Per-speaker corrupted-sample dirs (dataset_generator.py:51-109).
 
     utterance_names restricts to specific clean-utterance basenames —
-    used to build DISJOINT train/val/test splits from one raw corpus."""
+    used to build DISJOINT train/val/test splits from one raw corpus.
+
+    mask_hop_ms/mask_frame_dim set the mask's STFT geometry. The reference
+    hardcodes the BLSTM families' 24/12 ms 257-bin layout
+    (dataset_generator.py:36-37); the unet family needs 16/8 ms at 128
+    bins (`--mask_hop_ms 8 --mask_frame_dim 128`), without which its
+    documented training workflow cannot produce a compatible corpus."""
     rng = rng or np.random.default_rng(30)
     clean_audio_dir = os.path.join(dataset_dir, f"s{n_speaker}", f"s{n_speaker}_16kHz")
     clean_list = sorted(glob(os.path.join(clean_audio_dir, f"*.{file_ext}")))
@@ -59,8 +67,8 @@ def create_syn_data_speaker(
         rng.shuffle(clean_list)
         clean_list = clean_list[:n_samples]
 
-    spec_len = audio_len // 12  # 12 ms hop at 16 kHz
-    frame_dim = 257
+    spec_len = audio_len // mask_hop_ms  # hop in ms at 16 kHz
+    frame_dim = mask_frame_dim
     cov_mean_ratio = cov_mean / audio_len
     cov_std_ratio = cov_std / audio_len
     mask_cov_list = []
@@ -100,6 +108,8 @@ def create_syn_dataset(
     file_ext: str = "wav",
     seed: int = 30,
     utterance_names: list[str] | None = None,
+    mask_hop_ms: int = 12,
+    mask_frame_dim: int = 257,
 ) -> None:
     os.makedirs(dest_dir, exist_ok=True)
     mask_cov_list: list[float] = []
@@ -109,6 +119,7 @@ def create_syn_dataset(
         mask_cov_list += create_syn_data_speaker(
             dataset_dir, dest_dir, s, n_samples, audio_len, n_max_intr, cov_mean,
             cov_std, file_ext, rng, utterance_names,
+            mask_hop_ms=mask_hop_ms, mask_frame_dim=mask_frame_dim,
         )
     print(
         "Dataset generation completed. {:d} samples, coverage mean {:.2f} ms "

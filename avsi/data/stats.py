@@ -136,8 +136,22 @@ def compute_mean_std_features(
     return mean, std
 
 
-def load_stats(mean_path: str, std_path: str) -> tuple[np.ndarray, np.ndarray]:
-    return (
-        np.load(mean_path).astype(np.float32),
-        np.load(std_path).astype(np.float32),
-    )
+def load_stats(
+    mean_path: str, std_path: str, feat_dim: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load mean/std feature stats, optionally cut to `feat_dim` bins.
+
+    The unet family runs a 129-bin STFT (n_fft=256) but models the first
+    128 bins (`feat_dim = 128`, the documented unet.config workflow) — the
+    models slice spectrograms to the first `feat_dim` bins, so the stats
+    must be sliced identically or every (spec - mean) broadcast fails."""
+    mean = np.load(mean_path).astype(np.float32)
+    std = np.load(std_path).astype(np.float32)
+    if feat_dim is not None and mean.shape[-1] != feat_dim:
+        if mean.shape[-1] < feat_dim:
+            raise ValueError(
+                f"feature stats at {mean_path} have {mean.shape[-1]} bins "
+                f"but the model needs {feat_dim}"
+            )
+        mean, std = mean[..., :feat_dim], std[..., :feat_dim]
+    return mean, std

@@ -40,6 +40,10 @@ def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False):
         stats = stats_lib.load_stats(
             os.path.join(model_path, "audio_features_mean.npy"),
             os.path.join(model_path, "audio_features_std.npy"),
+            # inpainting stats must match the model's bins (pre-slicing
+            # bundles may carry 129-bin stats for feat_dim=128 unet runs);
+            # ASR stats are 80-bin log-mel, never sliced
+            feat_dim=None if is_asr else int(config["audio_feat_dim"]),
         )
     else:
         dim = 80 if is_asr else config["audio_feat_dim"]

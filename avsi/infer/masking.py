@@ -89,7 +89,9 @@ def mask_app(
     arguments, identity-normalized when absent)."""
     batch_size = batch_size or 1
     if feat_mean_file and feat_std_file:
-        stats = stats_lib.load_stats(feat_mean_file, feat_std_file)
+        stats = stats_lib.load_stats(
+            feat_mean_file, feat_std_file, feat_dim=audio_feat_dim
+        )
     else:
         stats = (np.zeros(audio_feat_dim, np.float32), np.ones(audio_feat_dim, np.float32))
     dm = reader_lib.DataManager(

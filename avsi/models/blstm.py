@@ -348,8 +348,10 @@ def losses(outputs: dict, batch: dict, config: dict, spec: BLSTMSpec | None = No
     spec = spec or parse_model_name(config["model"])
     masks = batch["masks"]
     diff = jnp.abs(outputs["target_spec_norm"] - outputs["prediction"])
-    loss_hole = jnp.sum(diff * (1 - masks)) / jnp.sum(1 - masks)
-    loss_valid = jnp.sum(diff * masks) / jnp.sum(masks)
+    # max(denom, 1): a hole-free (or fully-masked) batch must yield 0,
+    # not 0/0 = NaN that would trip the trainer's NaN abort
+    loss_hole = jnp.sum(diff * (1 - masks)) / jnp.maximum(jnp.sum(1 - masks), 1.0)
+    loss_valid = jnp.sum(diff * masks) / jnp.maximum(jnp.sum(masks), 1.0)
     if spec.loss_on_hole_only:
         loss_func = loss_hole
     else:

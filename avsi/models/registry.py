@@ -31,6 +31,11 @@ class ModelDef:
     needs_embeddings: bool = False
     needs_labels: bool = False
     trainable_mask: Callable | None = None
+    # Optional hook `(params, outputs) -> params`: merge auxiliary
+    # forward-pass state (e.g. batch-norm running statistics) back into
+    # the params tree after the optimizer update. Keeps model-specific
+    # state handling out of the generic train loop.
+    apply_aux_update: Callable | None = None
     # STFT geometry of the model's front-end: (frame_length, frame_step,
     # fft_length). Everything downstream (Griffin-Lim, seq_len*hop wav
     # trimming, serving shapes) must use THIS, not hardcoded constants.
@@ -50,6 +55,7 @@ def get_model(name: str) -> ModelDef:
             mod.forward,
             mod.losses,
             mod.enhanced_sources,
+            apply_aux_update=lambda p, out: mod.apply_bn_update(p, out["bn_stats"]),
             frame_length=unet.FRAME_LENGTH,
             frame_step=unet.FRAME_STEP,
             fft_length=unet.FFT_LENGTH,

@@ -70,7 +70,10 @@ def _bn_init(ch):
     }
 
 
-def init(rng, config: dict) -> dict:
+def init_impl(rng, dec_bn) -> dict:
+    """Shared parameter tree for both U-Net twins; `dec_bn` flags which
+    decoders carry batch norm (all of them for fconv; the pconv twin's
+    last decoder has none, models.py:406)."""
     params: dict = {"enc": [], "dec": []}
     for kernel, cin, cout, bn in ENC:
         rng, sub = jax.random.split(rng)
@@ -78,12 +81,19 @@ def init(rng, config: dict) -> dict:
         if bn:
             layer["bn"] = _bn_init(cout)
         params["enc"].append(layer)
-    for kernel, cin, cout in DEC:
+    for (kernel, cin, cout), bn in zip(DEC, dec_bn):
         rng, sub = jax.random.split(rng)
-        params["dec"].append({"conv": _conv_init(sub, kernel, cin, cout), "bn": _bn_init(cout)})
+        layer = {"conv": _conv_init(sub, kernel, cin, cout)}
+        if bn:
+            layer["bn"] = _bn_init(cout)
+        params["dec"].append(layer)
     rng, sub = jax.random.split(rng)
     params["head"] = {"conv": _conv_init(sub, 1, 1, 1)}
     return params
+
+
+def init(rng, config: dict) -> dict:
+    return init_impl(rng, dec_bn=[True] * len(DEC))
 
 
 def _conv(p, x, stride=1):
@@ -118,8 +128,20 @@ def _upsample2(x):
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
-def forward(params: dict, batch: dict, config: dict, stats: tuple, train: bool = False, rng=None) -> dict:
-    """Forward pass. Returns feats + prediction + updated BN stats."""
+def forward_impl(
+    params: dict,
+    batch: dict,
+    config: dict,
+    stats: tuple,
+    train: bool,
+    enc_step,
+    dec_bn,
+) -> dict:
+    """Shared forward for both U-Net twins.
+
+    `enc_step(conv_params, x, m, kernel) -> (x, m)` is the only piece the
+    twins differ on (plain stride-2 conv vs partial conv with mask
+    propagation); `dec_bn` flags which decoders batch-normalize."""
     mean, std = stats
     logmag, re, im = stft_ops.log_magnitude_spectrogram(
         batch["target_sources"], FRAME_LENGTH, FRAME_STEP, FFT_LENGTH
@@ -129,12 +151,13 @@ def forward(params: dict, batch: dict, config: dict, stats: tuple, train: bool =
     logmag, re, im = logmag[:, :t, :af], re[:, :t, :af], im[:, :t, :af]
     spec_norm = (logmag - mean) / std
     net_in = (spec_norm * batch["masks"])[..., None]  # NHWC, C=1
+    m = batch["masks"][..., None]
 
     new_stats: dict = {"enc": [], "dec": []}
     x = net_in
     skips = [net_in]
     for (kernel, cin, cout, bn), layer in zip(ENC, params["enc"]):
-        x = _conv(layer["conv"], x, stride=2)
+        x, m = enc_step(layer["conv"], x, m, kernel)
         upd = {}
         if bn:
             x, upd = _batch_norm(layer["bn"], x, train)
@@ -142,14 +165,16 @@ def forward(params: dict, batch: dict, config: dict, stats: tuple, train: bool =
         new_stats["enc"].append(upd)
         skips.append(x)
     # skips: [input, e1..e6]; decoders consume e5..input
-    for i, layer in enumerate(params["dec"]):
+    for i, (bn, layer) in enumerate(zip(dec_bn, params["dec"])):
         skip = skips[len(ENC) - 1 - i]
         x = _upsample2(x)
         # guard odd shapes: crop upsample to the skip's spatial dims
         x = x[:, : skip.shape[1], : skip.shape[2], :]
         x = jnp.concatenate([skip, x], axis=3)
         x = _conv(layer["conv"], x, stride=1)
-        x, upd = _batch_norm(layer["bn"], x, train)
+        upd = {}
+        if bn:
+            x, upd = _batch_norm(layer["bn"], x, train)
         x = jax.nn.leaky_relu(x, 0.2)
         new_stats["dec"].append(upd)
     x = _conv(params["head"]["conv"], x, stride=1)
@@ -167,12 +192,24 @@ def forward(params: dict, batch: dict, config: dict, stats: tuple, train: bool =
     }
 
 
+def _fconv_step(p, x, m, kernel):
+    return _conv(p, x, stride=2), m
+
+
+def forward(params: dict, batch: dict, config: dict, stats: tuple, train: bool = False, rng=None) -> dict:
+    """Forward pass. Returns feats + prediction + updated BN stats."""
+    return forward_impl(
+        params, batch, config, stats, train, _fconv_step, [True] * len(DEC)
+    )
+
+
 def losses(outputs: dict, batch: dict, config: dict) -> dict:
     masks = batch["masks"]
     diff = jnp.abs(outputs["target_spec_norm"] - outputs["prediction"])
     return {
-        "loss_hole": jnp.sum(diff * (1 - masks)) / jnp.sum(1 - masks),
-        "loss_valid": jnp.sum(diff * masks) / jnp.sum(masks),
+        "loss_hole": jnp.sum(diff * (1 - masks))
+        / jnp.maximum(jnp.sum(1 - masks), 1.0),
+        "loss_valid": jnp.sum(diff * masks) / jnp.maximum(jnp.sum(masks), 1.0),
         "loss": jnp.mean(diff),
     }
 

@@ -48,44 +48,22 @@ import jax
 import jax.numpy as jnp
 
 from avsi.models.unet import (  # shared geometry + fconv-twin pieces
-    DEC,
-    ENC,
-    FFT_LENGTH,
-    FRAME_LENGTH,
-    FRAME_STEP,
-    _batch_norm,
-    _bn_init,
-    _conv,
-    _conv_init,
-    _upsample2,
+    FFT_LENGTH,  # noqa: F401  (front-end geometry, re-exported)
+    FRAME_LENGTH,  # noqa: F401
+    FRAME_STEP,  # noqa: F401
     apply_bn_update,  # noqa: F401  (re-exported for the train loop)
     enhanced_sources,  # noqa: F401  (identical reconstruction, models.py:466-482)
+    forward_impl,
+    init_impl,
     losses,  # noqa: F401  (identical loss surface, models.py:429-444)
 )
-from avsi.ops import stft as stft_ops
-from avsi.ops.masks import sequence_mask
 
 # Last pconv decoder has no batch norm (models.py:406), unlike the fconv twin.
 _DEC_BN = [True, True, True, True, True, False]
 
 
 def init(rng, config: dict) -> dict:
-    params: dict = {"enc": [], "dec": []}
-    for kernel, cin, cout, bn in ENC:
-        rng, sub = jax.random.split(rng)
-        layer = {"conv": _conv_init(sub, kernel, cin, cout)}
-        if bn:
-            layer["bn"] = _bn_init(cout)
-        params["enc"].append(layer)
-    for (kernel, cin, cout), bn in zip(DEC, _DEC_BN):
-        rng, sub = jax.random.split(rng)
-        layer = {"conv": _conv_init(sub, kernel, cin, cout)}
-        if bn:
-            layer["bn"] = _bn_init(cout)
-        params["dec"].append(layer)
-    rng, sub = jax.random.split(rng)
-    params["head"] = {"conv": _conv_init(sub, 1, 1, 1)}
-    return params
+    return init_impl(rng, dec_bn=_DEC_BN)
 
 
 def _pconv(p, x, m, kernel: int, stride: int):
@@ -116,52 +94,14 @@ def _pconv(p, x, m, kernel: int, stride: int):
     return y, covered.astype(x.dtype)
 
 
+def _pconv_step(p, x, m, kernel):
+    return _pconv(p, x, m, kernel, stride=2)
+
+
 def forward(params: dict, batch: dict, config: dict, stats: tuple, train: bool = False, rng=None) -> dict:
-    """Forward pass. Returns feats + prediction + updated BN stats."""
-    mean, std = stats
-    logmag, re, im = stft_ops.log_magnitude_spectrogram(
-        batch["target_sources"], FRAME_LENGTH, FRAME_STEP, FFT_LENGTH
-    )
-    af = config["audio_feat_dim"]
-    t = batch["masks"].shape[1]
-    logmag, re, im = logmag[:, :t, :af], re[:, :t, :af], im[:, :t, :af]
-    spec_norm = (logmag - mean) / std
-    net_in = (spec_norm * batch["masks"])[..., None]  # NHWC, C=1
-    m = batch["masks"][..., None]
+    """Forward pass. Returns feats + prediction + updated BN stats.
 
-    new_stats: dict = {"enc": [], "dec": []}
-    x = net_in
-    skips = [net_in]
-    for (kernel, cin, cout, bn), layer in zip(ENC, params["enc"]):
-        x, m = _pconv(layer["conv"], x, m, kernel, stride=2)
-        upd = {}
-        if bn:
-            x, upd = _batch_norm(layer["bn"], x, train)
-        x = jax.nn.relu(x)
-        new_stats["enc"].append(upd)
-        skips.append(x)
-    # skips: [input, e1..e6]; decoders consume e5..input (models.py:401-406)
-    for i, ((kernel, cin, cout), bn, layer) in enumerate(zip(DEC, _DEC_BN, params["dec"])):
-        skip = skips[len(ENC) - 1 - i]
-        x = _upsample2(x)
-        x = x[:, : skip.shape[1], : skip.shape[2], :]
-        x = jnp.concatenate([skip, x], axis=3)
-        x = _conv(layer["conv"], x, stride=1)
-        upd = {}
-        if bn:
-            x, upd = _batch_norm(layer["bn"], x, train)
-        x = jax.nn.leaky_relu(x, 0.2)
-        new_stats["dec"].append(upd)
-    x = _conv(params["head"]["conv"], x, stride=1)  # linear 1x1, models.py:408
-    inference = x[..., 0]
-
-    seq_mask = sequence_mask(batch["sequence_lengths"], t)[:, :, None]
-    prediction = inference * seq_mask
-    return {
-        "target_spec_norm": spec_norm,
-        "stft_re": re,
-        "stft_im": im,
-        "inference": inference,
-        "prediction": prediction,
-        "bn_stats": new_stats,
-    }
+    Shares the front-end / decoder loop / head with the fconv twin
+    (`unet.forward_impl`); only the encoder step (partial conv) and the
+    last decoder's missing batch norm differ (models.py:393-408)."""
+    return forward_impl(params, batch, config, stats, train, _pconv_step, _DEC_BN)

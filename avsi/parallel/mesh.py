@@ -47,6 +47,10 @@ def get_mesh(num_shards: int = 0, devices=None, model_shards: int = 1) -> Mesh:
     m = max(1, int(model_shards))
     if m == 1:
         n = num_shards if num_shards > 0 else len(devices)
+        if n > len(devices):
+            raise ValueError(
+                f"mesh needs {n} data shards, have {len(devices)} devices"
+            )
         return Mesh(np.array(devices[:n]), ("data",))
     n_data = num_shards if num_shards > 0 else max(1, len(devices) // m)
     total = n_data * m
@@ -133,8 +137,13 @@ def compact_batch(batch: dict) -> dict:
     if m is not None and m.ndim == 3:
         m = np.asarray(m)
         mf = m[:, :, 0]
-        if np.array_equal(m, np.broadcast_to(mf[:, :, None], m.shape)):
-            out["mask_frames"] = mf.astype(np.int8)
+        mi = mf.astype(np.int8)
+        # bin-uniform AND int8-round-trippable: a soft mask in (0,1) is
+        # bin-uniform but would be truncated to zeros by the cast
+        if np.array_equal(mi.astype(m.dtype), mf) and np.array_equal(
+            m, np.broadcast_to(mf[:, :, None], m.shape)
+        ):
+            out["mask_frames"] = mi
             del out["masks"]
     w = out.get("target_sources")
     if w is not None:

@@ -93,7 +93,9 @@ def write_meta(ckpt_dir: str, config: dict) -> None:
         json.dump({k: v for k, v in config.items()}, f, indent=1, default=str)
 
 
-def write_bundle(ckpt_dir: str, config_file: str, config: dict) -> None:
+def write_bundle(
+    ckpt_dir: str, config_file: str, config: dict, feat_dim: int | None = None
+) -> None:
     """Make `ckpt_dir` a self-contained inference bundle: config.txt plus
     the mu/sigma stats copied next to the weights (training.py:121-127) —
     the exact layout `load_model_bundle` reads.  Single source of truth
@@ -103,7 +105,13 @@ def write_bundle(ckpt_dir: str, config_file: str, config: dict) -> None:
     from avsi.data import stats as stats_lib
 
     os.makedirs(ckpt_dir, exist_ok=True)
-    shutil.copy(config_file, os.path.join(ckpt_dir, "config.txt"))
-    stats = stats_lib.load_stats(config["audio_feat_mean"], config["audio_feat_std"])
+    dest = os.path.join(ckpt_dir, "config.txt")
+    # resuming from the bundle's own config.txt must not self-copy
+    # (reference guard: training.py:122-124)
+    if os.path.abspath(config_file) != os.path.abspath(dest):
+        shutil.copy(config_file, dest)
+    stats = stats_lib.load_stats(
+        config["audio_feat_mean"], config["audio_feat_std"], feat_dim=feat_dim
+    )
     np.save(os.path.join(ckpt_dir, "audio_features_mean.npy"), stats[0])
     np.save(os.path.join(ckpt_dir, "audio_features_std.npy"), stats[1])

@@ -62,16 +62,13 @@ def _per_sample_l1(outputs, batch):
     return total, hole
 
 
-def make_train_step(model, tx, config, stats, is_asr=False):
+def make_train_step(model, tx, config, stats):
     stats = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
 
     def loss_fn(params, batch, rng):
-        if is_asr:
-            out = model.forward(params, batch, config, stats, train=True, rng=rng)
-            l = asr_model.losses(out, batch, config)
-        else:
-            out = model.forward(params, batch, config, stats, train=True, rng=rng)
-            l = model.losses(out, batch, config)
+        # registry dispatch: for ASR models `model.losses` IS asr.losses
+        out = model.forward(params, batch, config, stats, train=True, rng=rng)
+        l = model.losses(out, batch, config)
         return l["loss"], (l, out)
 
     def train_step(train_state, batch, rng):
@@ -81,10 +78,8 @@ def make_train_step(model, tx, config, stats, is_asr=False):
         )
         updates, new_opt = tx.update(grads, train_state.opt_state, train_state.params)
         new_params = optax.apply_updates(train_state.params, updates)
-        if "bn_stats" in out:  # unet running statistics
-            from avsi.models import unet as unet_model
-
-            new_params = unet_model.apply_bn_update(new_params, out["bn_stats"])
+        if getattr(model, "apply_aux_update", None) is not None:
+            new_params = model.apply_aux_update(new_params, out)
         new_state = state_lib.TrainState(new_params, new_opt, train_state.step + 1)
         return new_state, ldict
 
@@ -98,7 +93,7 @@ def make_eval_step(model, config, stats, is_asr=False):
         batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         out = model.forward(params, batch, config, stats, train=False)
         if is_asr:
-            l = asr_model.losses(out, batch, config)
+            l = model.losses(out, batch, config)
             decoded = asr_model.decode_greedy(out, batch)
             return {"loss": l["loss"], "decoded": decoded}
         l = model.losses(out, batch, config)
@@ -144,9 +139,15 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     os.makedirs(ckpt_dir, exist_ok=True)
     logfile = os.path.join(exp_folder, "training_log.txt")
 
+    # inpainting stats must match the model's spectrogram bins (the unet
+    # family models the first 128 of 129 STFT bins); ASR stats are 80-bin
+    # log-mel, independent of audio_feat_dim — never sliced
+    feat_dim = None if is_asr else int(config["audio_feat_dim"])
     # self-contained checkpoint dir: config + stats (training.py:121-127)
-    checkpoints.write_bundle(ckpt_dir, config_file, config)
-    stats = stats_lib.load_stats(config["audio_feat_mean"], config["audio_feat_std"])
+    checkpoints.write_bundle(ckpt_dir, config_file, config, feat_dim=feat_dim)
+    stats = stats_lib.load_stats(
+        config["audio_feat_mean"], config["audio_feat_std"], feat_dim=feat_dim
+    )
     checkpoints.write_meta(ckpt_dir, config)
 
     model = (
@@ -208,7 +209,7 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     batch_size = int(config["batch_size"])
     use_mesh = batch_size % n_data == 0 and n_dev > 1
 
-    train_step = jax.jit(make_train_step(model, tx, config, stats, is_asr), donate_argnums=0)
+    train_step = jax.jit(make_train_step(model, tx, config, stats), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, config, stats, is_asr))
 
     def place(batch):
@@ -242,6 +243,7 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     # 3..3+N of epoch 0 into <exp_folder>/profile (TensorBoard-readable)
     profile_steps = int(config.get("profile_steps", 0))
     profile_dir = os.path.join(exp_folder, "profile")
+    trace_active = False
     # device-resident corpus cache (TPU-native; no reference counterpart):
     # when `device_cache_corpus = 1` and the compacted corpus fits in HBM
     # (GRID is ~5 GB compacted), epoch 0 streams batches once and keeps the
@@ -297,6 +299,7 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             rng, step_rng = jax.random.split(rng)
             if profile_steps and step - start_step == 3:
                 jax.profiler.start_trace(profile_dir)
+                trace_active = True
             placed = batch if from_cache else place(batch)
             if device_cache and epoch == 0 and not prefilled:
                 if not use_mesh:  # mesh place() already device_put with sharding
@@ -304,9 +307,13 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                 cached_train.append(placed)
             train_state, ldict = train_step(train_state, placed, step_rng)
             step += 1
-            if profile_steps and step - start_step == 3 + profile_steps:
-                jax.block_until_ready(ldict["loss"])
+            if trace_active and step - start_step == 3 + profile_steps:
+                # scalar fetch, not block_until_ready: the latter returns
+                # immediately under the axon relay (CLAUDE.md gotcha) and
+                # the trace would stop before the steps actually ran
+                float(ldict["loss"])
                 jax.profiler.stop_trace()
+                trace_active = False
                 profile_steps = 0
                 _log(logfile, f"# profiler trace written to {profile_dir}")
             loss_accum = (
@@ -421,7 +428,15 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                 _log(logfile, f"# early stop at epoch {epoch} (best epoch {best_epoch})")
                 break
 
-        summary = {"best_val": best_val, "best_epoch": best_epoch, "steps": step}
+    if trace_active:
+        # training ended (epoch limit / early stop) before the requested
+        # profile window completed — close the trace instead of losing it
+        jax.profiler.stop_trace()
+        _log(
+            logfile,
+            f"# WARNING: run ended before profile_steps steps; "
+            f"partial trace written to {profile_dir}",
+        )
     summary = {"best_val": best_val, "best_epoch": best_epoch, "steps": step}
     _log(logfile, f"# done: best_val={best_val:.5f} at epoch {best_epoch}")
     tb.close()

@@ -155,3 +155,28 @@ def test_forward_is_jittable():
     l1 = float(step(params, batch))
     l2 = float(step(params, batch))
     assert np.isfinite(l1) and l1 == l2
+
+
+def test_hole_free_batch_loss_is_finite():
+    """A batch whose masks are all ones (no hole) must yield loss 0 for
+    hole-only variants, not 0/0 = NaN (which would trip the NaN abort)."""
+    cfg = tiny_config(model="av-blstm-ssnn", net_dim=(8, 8))
+    model = registry.get_model(cfg["model"])
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    batch = dict(synth_batch(cfg))
+    batch["masks"] = jnp.ones_like(batch["masks"])
+    out = model.forward(params, batch, cfg, identity_stats())
+    l = model.losses(out, batch, cfg)
+    assert np.isfinite(float(l["loss"]))
+    assert float(l["loss_hole"]) == 0.0
+
+    from avsi.models import unet
+
+    ucfg = tiny_config(model="unet", audio_feat_dim=128, audio_len=4864)
+    umodel = registry.get_model("unet")
+    uparams = umodel.init(jax.random.PRNGKey(0), ucfg)
+    ubatch = dict(synth_batch(ucfg))
+    ubatch["masks"] = jnp.ones_like(ubatch["masks"])
+    uout = umodel.forward(uparams, ubatch, ucfg, identity_stats(128))
+    ul = umodel.losses(uout, ubatch, ucfg)
+    assert np.isfinite(float(ul["loss_hole"]))

@@ -138,3 +138,26 @@ def test_sharded_inference_batch():
     pr = mesh_lib.replicate(params, mesh)
     got = np.asarray(jax.jit(fwd)(pr, sb))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_get_mesh_overask_raises():
+    """Asking for more data shards than devices must raise, not silently
+    clamp (the 2-D path already raised; the 1-D path now matches)."""
+    with pytest.raises(ValueError):
+        mesh_lib.get_mesh(16)
+    with pytest.raises(ValueError):
+        mesh_lib.get_mesh(8, model_shards=2)
+
+
+def test_compact_batch_soft_mask_not_compacted():
+    """A non-binary (soft) mask is bin-uniform but must NOT be shipped as
+    int8 — the cast would truncate it to zeros."""
+    cfg = tiny_config()
+    batch = {k: np.asarray(v) for k, v in synth_batch(cfg).items()}
+    batch["masks"] = np.full_like(batch["masks"], 0.5)
+    out = mesh_lib.compact_batch(batch)
+    assert "mask_frames" not in out
+    np.testing.assert_array_equal(out["masks"], batch["masks"])
+    # binary masks still compact
+    out2 = mesh_lib.compact_batch({**batch, "masks": np.ones_like(batch["masks"])})
+    assert "mask_frames" in out2

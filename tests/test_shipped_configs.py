@@ -65,3 +65,45 @@ def test_blstm_config_trains_on_fixture(tmp_path):
     summary = loop.train(p)
     assert np.isfinite(summary["best_val"])
     assert os.path.isfile(str(tmp_path / "exp" / "netmodel" / "sinet.npz"))
+
+
+def test_unet_config_documented_workflow(tmp_path):
+    """The unet.config header's documented corpus chain must work verbatim:
+    fixture at the unet mask geometry (8 ms hop, 128 bins) + 256-point STFT
+    stats (129 bins, cut to feat_dim automatically). Guards two real
+    breaks: the generator's hardcoded 12 ms/257 mask layout and the
+    129-vs-128 stats mismatch."""
+    from avsi.data import fixture, stats as stats_lib
+    from avsi.train import loop
+
+    cfg = config_lib.load_configfile(
+        os.path.join(REPO, "scripts", "config", "unet.config")
+    )
+    d = str(tmp_path / "fix")
+    paths = fixture.make_fixture(
+        d, n_speakers=1, n_samples=4, audio_len_ms=1024, gap_ms=200.0,
+        gap_std_ms=30.0, mask_hop_ms=8, mask_frame_dim=128,
+    )
+    stats_prefix = os.path.join(d, "spec_norm")
+    stats_lib.compute_mean_std_features(
+        paths["training-set"], "target", stats_prefix, "spec",
+        window_size=16, step_size=8, n_fft=256,
+    )
+    assert np.load(stats_prefix + "_mean.npy").shape == (129,)
+    cfg.update(
+        model="unet-pconv",
+        root_folder=paths["tfrecords"],
+        exp_folder=str(tmp_path / "exp"),
+        audio_feat_mean=stats_prefix + "_mean.npy",
+        audio_feat_std=stats_prefix + "_std.npy",
+        max_n_epochs=1,
+        batch_size=2,
+        tb_media=0,
+    )
+    p = str(tmp_path / "train.config")
+    config_lib.save_configfile(cfg, p)
+    summary = loop.train(p)
+    assert np.isfinite(summary["best_val"])
+    # the bundle ships feat_dim-cut stats
+    mean = np.load(str(tmp_path / "exp" / "netmodel" / "audio_features_mean.npy"))
+    assert mean.shape == (128,)

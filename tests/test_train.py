@@ -196,3 +196,33 @@ def test_shared_corpus_cache_across_models(corpus, tmp_path):
     assert np.isfinite(s2["best_val"])
     assert len(cache["train"]) == n_batches  # reused, not re-uploaded
     assert os.path.isfile(str(tmp_path / "exp_asr" / "netmodel" / "asrnet.npz"))
+
+
+def test_write_bundle_self_copy(tmp_path):
+    """Resuming from a bundle's own config.txt must not SameFileError
+    (reference guard training.py:122-124)."""
+    mean = tmp_path / "m.npy"
+    std = tmp_path / "s.npy"
+    np.save(mean, np.zeros(257, np.float32))
+    np.save(std, np.ones(257, np.float32))
+    cfg = {"audio_feat_mean": str(mean), "audio_feat_std": str(std)}
+    ckpt_dir = tmp_path / "netmodel"
+    ckpt_dir.mkdir()
+    config_file = ckpt_dir / "config.txt"
+    config_file.write_text("model av-blstm\n")
+    checkpoints.write_bundle(str(ckpt_dir), str(config_file), cfg)
+    assert config_file.read_text() == "model av-blstm\n"
+    assert os.path.isfile(ckpt_dir / "audio_features_mean.npy")
+
+
+def test_profile_trace_closed_on_short_run(corpus, tmp_path):
+    """profile_steps beyond the run length: the trace must still be closed
+    and a partial-trace warning logged (not a dangling start_trace)."""
+    cfg_path = _write_config(
+        tmp_path, corpus, model="a-blstm", max_n_epochs=2, profile_steps=999
+    )
+    summary = loop.train(cfg_path)
+    assert np.isfinite(summary["best_val"])
+    log = open(str(tmp_path / "exp" / "training_log.txt")).read()
+    assert "partial trace" in log
+    assert os.path.isdir(str(tmp_path / "exp" / "profile"))
