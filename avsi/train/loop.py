@@ -23,8 +23,10 @@ host->device input traffic — the input pipeline cost is paid once.
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
+import signal
 import time
 
 import numpy as np
@@ -43,6 +45,33 @@ from avsi.ops import ctc as ctc_ops
 from avsi.parallel import mesh as mesh_lib
 from avsi.train import checkpoints, state as state_lib
 from avsi.train.tb import SummaryWriter
+
+
+@contextlib.contextmanager
+def _preemption_flag():
+    """Catch SIGTERM — what a cluster scheduler or a preempted TPU VM
+    sends — and expose it as a flag the step loop polls, so training can
+    finish the in-flight step, write a full resume checkpoint (params +
+    optimizer state + step) and exit cleanly instead of dying mid-epoch.
+    TPU-native addition; the reference (SURVEY.md §5) has no failure
+    handling beyond the NaN abort.  No-op outside the main thread
+    (signal.signal would raise there); the previous handler is restored
+    on exit so in-process callers (tests, fleet scripts) keep their
+    process-level SIGTERM semantics."""
+    flag = {"hit": False}
+
+    def _on_term(signum, frame):
+        flag["hit"] = True
+
+    try:
+        prev = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # not the main thread
+        prev = None
+    try:
+        yield flag
+    finally:
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
 
 
 def _log(logfile, msg):
@@ -283,150 +312,155 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             f"model {model_name} needs them — use a separate cache"
         )
     cache_rng = np.random.default_rng(int(config.get("seed", 0)) + 101)
-    for epoch in range(int(config["max_n_epochs"])):
-        t_epoch = time.time()
-        loss_accum = None
-        n_acc = 0
-        last_ldict = None
-        from_cache = device_cache and (epoch > 0 or prefilled)
-        if from_cache:
-            train_iter = (cached_train[i] for i in cache_rng.permutation(len(cached_train)))
-        else:
-            train_iter = dm.prefetch_batches(
-                train_files, batch_size, shuffle=True, drop_remainder=True
-            )
-        for batch in train_iter:
-            rng, step_rng = jax.random.split(rng)
-            if profile_steps and step - start_step == 3:
-                jax.profiler.start_trace(profile_dir)
-                trace_active = True
-            placed = batch if from_cache else place(batch)
-            if device_cache and epoch == 0 and not prefilled:
-                if not use_mesh:  # mesh place() already device_put with sharding
-                    placed = jax.device_put(placed)
-                cached_train.append(placed)
-            train_state, ldict = train_step(train_state, placed, step_rng)
-            step += 1
-            if trace_active and step - start_step == 3 + profile_steps:
-                # scalar fetch, not block_until_ready: the latter returns
-                # immediately under the axon relay (CLAUDE.md gotcha) and
-                # the trace would stop before the steps actually ran
-                float(ldict["loss"])
-                jax.profiler.stop_trace()
-                trace_active = False
-                profile_steps = 0
-                _log(logfile, f"# profiler trace written to {profile_dir}")
-            loss_accum = (
-                ldict
-                if loss_accum is None
-                else jax.tree_util.tree_map(jnp.add, loss_accum, ldict)
-            )
-            n_acc += 1
-            last_ldict = ldict
-            if step % nan_check_every == 0 or step % 200 == 0:
-                loss = float(ldict["loss"])
-                if not np.isfinite(loss):
+    with _preemption_flag() as preempt:
+        for epoch in range(int(config["max_n_epochs"])):
+            t_epoch = time.time()
+            loss_accum = None
+            n_acc = 0
+            last_ldict = None
+            from_cache = device_cache and (epoch > 0 or prefilled)
+            if from_cache:
+                train_iter = (cached_train[i] for i in cache_rng.permutation(len(cached_train)))
+            else:
+                train_iter = dm.prefetch_batches(
+                    train_files, batch_size, shuffle=True, drop_remainder=True
+                )
+            for batch in train_iter:
+                rng, step_rng = jax.random.split(rng)
+                if profile_steps and step - start_step == 3:
+                    jax.profiler.start_trace(profile_dir)
+                    trace_active = True
+                placed = batch if from_cache else place(batch)
+                if device_cache and epoch == 0 and not prefilled:
+                    if not use_mesh:  # mesh place() already device_put with sharding
+                        placed = jax.device_put(placed)
+                    cached_train.append(placed)
+                train_state, ldict = train_step(train_state, placed, step_rng)
+                step += 1
+                if trace_active and step - start_step == 3 + profile_steps:
+                    # scalar fetch, not block_until_ready: the latter returns
+                    # immediately under the axon relay (CLAUDE.md gotcha) and
+                    # the trace would stop before the steps actually ran
+                    float(ldict["loss"])
+                    jax.profiler.stop_trace()
+                    trace_active = False
+                    profile_steps = 0
+                    _log(logfile, f"# profiler trace written to {profile_dir}")
+                loss_accum = (
+                    ldict
+                    if loss_accum is None
+                    else jax.tree_util.tree_map(jnp.add, loss_accum, ldict)
+                )
+                n_acc += 1
+                last_ldict = ldict
+                if step % nan_check_every == 0 or step % 200 == 0:
+                    loss = float(ldict["loss"])
+                    if not np.isfinite(loss):
+                        raise FloatingPointError(
+                            f"NaN/Inf loss at step {step} — aborting (reference "
+                            "training.py:244-249 semantics)"
+                        )
+                    if step % 200 == 0:
+                        print(
+                            f"epoch {epoch} step {step} "
+                            + " ".join(f"{k}={float(v):.5f}" for k, v in ldict.items()),
+                            flush=True,
+                        )
+                if step % 1000 == 0:
+                    checkpoints.save_checkpoint(
+                        ckpt_dir, "ckpt", jax.device_get(train_state.params),
+                        opt_state=jax.device_get(train_state.opt_state), step=step,
+                    )
+                if preempt["hit"]:
+                    break
+            if preempt["hit"]:
+                break  # skip validation; checkpoint + log after the loop
+            if n_acc == 0 and epoch == 0:
+                _log(
+                    logfile,
+                    f"# WARNING: 0 training steps in epoch 0 — batch_size "
+                    f"({batch_size}) likely exceeds the training corpus "
+                    "(drop_remainder drops the lone short batch)",
+                )
+            train_losses = []
+            if loss_accum is not None:
+                fetched = jax.device_get(loss_accum)
+                final = float(np.asarray(fetched["loss"])) / n_acc
+                if not np.isfinite(final):
                     raise FloatingPointError(
-                        f"NaN/Inf loss at step {step} — aborting (reference "
-                        "training.py:244-249 semantics)"
+                        f"NaN/Inf loss in epoch {epoch} — aborting"
                     )
-                if step % 200 == 0:
-                    print(
-                        f"epoch {epoch} step {step} "
-                        + " ".join(f"{k}={float(v):.5f}" for k, v in ldict.items()),
-                        flush=True,
-                    )
-            if step % 1000 == 0:
+                train_losses = [{k: float(v) / n_acc for k, v in fetched.items()}]
+
+            # validation pass; selection metric follows the model's own loss:
+            # mean-all for base blstm/unet (training.py), hole-only for the
+            # ssnn/emb/ctc variants (training_ctc.py:383-389)
+            spec = model.extra.get("spec") if model.extra else None
+            select_hole = bool(spec and spec.loss_on_hole_only)
+            if device_cache and (epoch > 0 or prefilled):
+                pairs = cached_val
+            elif device_cache:
+                cached_val[:] = [
+                    (meta, placed if use_mesh else jax.device_put(placed))
+                    for meta, placed in _val_pairs(dm, val_files, batch_size, place)
+                ]
+                pairs = cached_val
+            else:
+                pairs = _val_pairs(dm, val_files, batch_size, place)
+            val_metric, val_report = _validate(
+                pairs, eval_step, train_state.params, is_asr, select_hole
+            )
+            if device_cache and epoch == 0 and not prefilled and cached_train:
+                # operational visibility: the cache must fit HBM next to params
+                # + optimizer state; report what epoch 0 actually pinned
+                gb = sum(
+                    v.nbytes for b in cached_train for v in jax.tree_util.tree_leaves(b)
+                ) + sum(
+                    v.nbytes for _, b in cached_val
+                    for v in jax.tree_util.tree_leaves(b)
+                )
+                _log(
+                    logfile,
+                    f"# corpus cache: {len(cached_train)} train + "
+                    f"{len(cached_val)} val batches, {gb / 2**30:.2f} GB in HBM",
+                )
+            if not val_files:
+                # no validation split: every epoch "improves", so the best
+                # checkpoint tracks the latest params instead of never saving
+                val_metric = -float(epoch)
+
+            dt = time.time() - t_epoch
+            tr = {k: float(np.mean([d[k] for d in train_losses])) for k in train_losses[0]} if train_losses else {}
+            for k, v in tr.items():
+                tb.scalar(f"train/{k}", v, epoch)
+            tb.scalar("val/metric", val_metric, epoch)
+            tb.scalar("train/epoch_time_s", dt, epoch)
+            if not is_asr and val_files and int(config.get("tb_media", 1)):
+                _tb_media(tb, model, config, stats, train_state.params, dm, val_files, epoch)
+            tb.flush()
+            _log(
+                logfile,
+                f"epoch {epoch}\t"
+                + "\t".join(f"train_{k}={v:.5f}" for k, v in tr.items())
+                + "\t"
+                + val_report
+                + f"\ttime={dt:.1f}s",
+            )
+
+            if val_metric < best_val:
+                best_val = val_metric
+                best_epoch = epoch
+                cneg_epochs = 0
+                name = "asrnet" if is_asr else "sinet"
                 checkpoints.save_checkpoint(
-                    ckpt_dir, "ckpt", jax.device_get(train_state.params),
-                    opt_state=jax.device_get(train_state.opt_state), step=step,
+                    ckpt_dir, name, jax.device_get(train_state.params), step=step
                 )
-        if n_acc == 0 and epoch == 0:
-            _log(
-                logfile,
-                f"# WARNING: 0 training steps in epoch 0 — batch_size "
-                f"({batch_size}) likely exceeds the training corpus "
-                "(drop_remainder drops the lone short batch)",
-            )
-        train_losses = []
-        if loss_accum is not None:
-            fetched = jax.device_get(loss_accum)
-            final = float(np.asarray(fetched["loss"])) / n_acc
-            if not np.isfinite(final):
-                raise FloatingPointError(
-                    f"NaN/Inf loss in epoch {epoch} — aborting"
-                )
-            train_losses = [{k: float(v) / n_acc for k, v in fetched.items()}]
-
-        # validation pass; selection metric follows the model's own loss:
-        # mean-all for base blstm/unet (training.py), hole-only for the
-        # ssnn/emb/ctc variants (training_ctc.py:383-389)
-        spec = model.extra.get("spec") if model.extra else None
-        select_hole = bool(spec and spec.loss_on_hole_only)
-        if device_cache and (epoch > 0 or prefilled):
-            pairs = cached_val
-        elif device_cache:
-            cached_val[:] = [
-                (meta, placed if use_mesh else jax.device_put(placed))
-                for meta, placed in _val_pairs(dm, val_files, batch_size, place)
-            ]
-            pairs = cached_val
-        else:
-            pairs = _val_pairs(dm, val_files, batch_size, place)
-        val_metric, val_report = _validate(
-            pairs, eval_step, train_state.params, is_asr, select_hole
-        )
-        if device_cache and epoch == 0 and not prefilled and cached_train:
-            # operational visibility: the cache must fit HBM next to params
-            # + optimizer state; report what epoch 0 actually pinned
-            gb = sum(
-                v.nbytes for b in cached_train for v in jax.tree_util.tree_leaves(b)
-            ) + sum(
-                v.nbytes for _, b in cached_val
-                for v in jax.tree_util.tree_leaves(b)
-            )
-            _log(
-                logfile,
-                f"# corpus cache: {len(cached_train)} train + "
-                f"{len(cached_val)} val batches, {gb / 2**30:.2f} GB in HBM",
-            )
-        if not val_files:
-            # no validation split: every epoch "improves", so the best
-            # checkpoint tracks the latest params instead of never saving
-            val_metric = -float(epoch)
-
-        dt = time.time() - t_epoch
-        tr = {k: float(np.mean([d[k] for d in train_losses])) for k in train_losses[0]} if train_losses else {}
-        for k, v in tr.items():
-            tb.scalar(f"train/{k}", v, epoch)
-        tb.scalar("val/metric", val_metric, epoch)
-        tb.scalar("train/epoch_time_s", dt, epoch)
-        if not is_asr and val_files and int(config.get("tb_media", 1)):
-            _tb_media(tb, model, config, stats, train_state.params, dm, val_files, epoch)
-        tb.flush()
-        _log(
-            logfile,
-            f"epoch {epoch}\t"
-            + "\t".join(f"train_{k}={v:.5f}" for k, v in tr.items())
-            + "\t"
-            + val_report
-            + f"\ttime={dt:.1f}s",
-        )
-
-        if val_metric < best_val:
-            best_val = val_metric
-            best_epoch = epoch
-            cneg_epochs = 0
-            name = "asrnet" if is_asr else "sinet"
-            checkpoints.save_checkpoint(
-                ckpt_dir, name, jax.device_get(train_state.params), step=step
-            )
-            _log(logfile, f"# new best val metric {best_val:.5f} -> saved {name}")
-        else:
-            cneg_epochs += 1
-            if cneg_epochs >= int(config["n_earlystop_epochs"]):
-                _log(logfile, f"# early stop at epoch {epoch} (best epoch {best_epoch})")
-                break
+                _log(logfile, f"# new best val metric {best_val:.5f} -> saved {name}")
+            else:
+                cneg_epochs += 1
+                if cneg_epochs >= int(config["n_earlystop_epochs"]):
+                    _log(logfile, f"# early stop at epoch {epoch} (best epoch {best_epoch})")
+                    break
 
     if trace_active:
         # training ended (epoch limit / early stop) before the requested
@@ -437,7 +471,26 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             f"# WARNING: run ended before profile_steps steps; "
             f"partial trace written to {profile_dir}",
         )
-    summary = {"best_val": best_val, "best_epoch": best_epoch, "steps": step}
+    if preempt["hit"]:
+        # preemption (SIGTERM): the in-flight step completed, so save a
+        # full resume point — params + optimizer moments + step, the same
+        # sidecar layout the periodic 1000-step checkpoint uses.  Resume
+        # by setting `model_ckp = <ckpt_dir>/ckpt` in the config.
+        checkpoints.save_checkpoint(
+            ckpt_dir, "ckpt", jax.device_get(train_state.params),
+            opt_state=jax.device_get(train_state.opt_state), step=step,
+        )
+        _log(
+            logfile,
+            f"# SIGTERM: preemption checkpoint at step {step} -> "
+            f"{os.path.join(ckpt_dir, 'ckpt')}; set model_ckp to resume",
+        )
+    summary = {
+        "best_val": best_val,
+        "best_epoch": best_epoch,
+        "steps": step,
+        "preempted": bool(preempt["hit"]),
+    }
     _log(logfile, f"# done: best_val={best_val:.5f} at epoch {best_epoch}")
     tb.close()
     return summary

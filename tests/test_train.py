@@ -215,6 +215,52 @@ def test_write_bundle_self_copy(tmp_path):
     assert os.path.isfile(ckpt_dir / "audio_features_mean.npy")
 
 
+def test_preemption_checkpoint_and_resume(corpus, tmp_path):
+    """SIGTERM mid-training (what a preempted TPU VM / scheduler sends)
+    must finish the in-flight step, write a full resume checkpoint
+    (params + optimizer + step) and return cleanly; a second train() from
+    that checkpoint must pick up at the saved step."""
+    import signal
+    import threading
+    import time
+
+    cfg_path = _write_config(tmp_path, corpus, model="a-blstm", max_n_epochs=200)
+    log = str(tmp_path / "exp" / "training_log.txt")
+
+    def _kill_after_epoch0():
+        # wait until epoch 0 has completed — train() is inside the epoch
+        # loop, so its SIGTERM handler is definitely installed
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.isfile(log) and "epoch 0\t" in open(log).read():
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.05)
+
+    t = threading.Thread(target=_kill_after_epoch0, daemon=True)
+    t.start()
+    summary = loop.train(cfg_path)
+    t.join()
+    assert summary["preempted"] is True
+    assert summary["steps"] > 0
+    text = open(log).read()
+    assert "SIGTERM: preemption checkpoint" in text
+    ckpt = str(tmp_path / "exp" / "netmodel" / "ckpt")
+    assert os.path.isfile(ckpt + ".npz")
+    assert os.path.isfile(ckpt + ".opt.npz")
+    # the default handler is restored after train() returns
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+    cfg_path2 = _write_config(
+        tmp_path, corpus, model="a-blstm", max_n_epochs=1, model_ckp=ckpt,
+        exp_folder=str(tmp_path / "exp_resume"),
+    )
+    s2 = loop.train(cfg_path2)
+    assert s2["preempted"] is False
+    assert s2["steps"] > summary["steps"]  # resumed from the saved step
+    assert np.isfinite(s2["best_val"])
+
+
 def test_profile_trace_closed_on_short_run(corpus, tmp_path):
     """profile_steps beyond the run length: the trace must still be closed
     and a partial-trace warning logged (not a dangling start_trace)."""
