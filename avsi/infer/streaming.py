@@ -447,6 +447,13 @@ class StreamingInpainter:
             jnp.asarray(stats[0], jnp.float32),
             jnp.asarray(stats[1], jnp.float32),
         )
+        # host copy for the per-push front-end: np.asarray on a device array
+        # would be a blocking device->host fetch on EVERY push (the tunnel
+        # floor is ~34 ms per fetch — CLAUDE.md), straight on the latency path
+        self._stats_np = (
+            np.asarray(stats[0], dtype=np.float32),
+            np.asarray(stats[1], dtype=np.float32),
+        )
         if self.spec.conditioning == "emb":
             if embedding is None:
                 raise ValueError("model needs an external speaker embedding")
@@ -589,8 +596,7 @@ class StreamingInpainter:
         re = spec.real.astype(np.float32)[:, : self.af]
         im = spec.imag.astype(np.float32)[:, : self.af]
         logmag = np.log(np.sqrt(re * re + im * im) + 1e-6)
-        mean = np.asarray(self._stats[0])
-        std = np.asarray(self._stats[1])
+        mean, std = self._stats_np
         spec_norm = ((logmag - mean) / std).astype(np.float32)
         self._frames["spec_norm"] = np.concatenate(
             [self._frames["spec_norm"], spec_norm]
@@ -709,25 +715,36 @@ class StreamingInpainter:
         self._carry = carries
         self._prev_dev = prev_dev
         self._ssnn_sum, self._ssnn_cnt = s_sum, s_cnt
-        if self.want_transcript:
-            # incremental greedy CTC collapse over the newly emitted frames
-            self._ctc_prev = greedy_collapse(
-                np.asarray(ids)[0, :n_emit], self._ctc_blank,
-                self._ctc_prev, self.transcript,
-            )
         for k in fr:
             fr[k] = fr[k][n_emit:]
+        # ONE device->host fetch per window (each fetch is a full tunnel
+        # round-trip, ~34 ms floor): bundle the transcript ids with whatever
+        # the audio path needs instead of fetching them separately
         if n_emit == self.chunk:
             # fused on-device OLA already produced exactly these samples
             self._frames_out += n_emit
-            out = np.asarray(wav)[0]
+            if self.want_transcript:
+                wav_h, ids_h = jax.device_get((wav, ids))
+            else:
+                wav_h, ids_h = np.asarray(wav), None
+            out = wav_h[0]
         else:
             # terminal short flush window: host OLA over the n_emit frames
             # with the pre-step device prev as left context
+            fetch = (mag, phase, prev_before) + ((ids,) if self.want_transcript else ())
+            fetched = jax.device_get(fetch)
+            mag_h, phase_h, prev_h = fetched[:3]
+            ids_h = fetched[3] if self.want_transcript else None
             out = self._emit(
-                np.asarray(mag)[0, :n_emit],
-                np.asarray(phase)[0, :n_emit],
-                tuple(np.asarray(p)[0] for p in prev_before),
+                mag_h[0, :n_emit],
+                phase_h[0, :n_emit],
+                tuple(p[0] for p in prev_h),
+            )
+        if self.want_transcript:
+            # incremental greedy CTC collapse over the newly emitted frames
+            self._ctc_prev = greedy_collapse(
+                ids_h[0, :n_emit], self._ctc_blank,
+                self._ctc_prev, self.transcript,
             )
         self._trim_buffers()
         return out

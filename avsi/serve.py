@@ -460,13 +460,22 @@ def serve(
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            except Exception as e:  # malformed request -> 400, not a crash
+            except (ValueError, struct.error) as e:
+                # malformed request -> 400 with the message
                 msg = str(e).encode()
                 self.send_response(400)
                 self.send_header("Content-Length", str(len(msg)))
                 self.end_headers()
                 self.wfile.write(msg)
+            except Exception:
+                # server bug (device/XLA failure, bad reload) -> opaque 500,
+                # same contract as /stream — no internal detail on the wire
+                self.send_response(500)
+                self.send_header("Content-Length", "14")
+                self.end_headers()
+                self.wfile.write(b"internal error")
 
     server = ThreadingHTTPServer((host, port), Handler)
+    server.service = service  # exposed for tests / embedding callers
     print(f"avsi inpainting service on http://{host}:{port} (model {service.config['model']})")
     return server  # caller runs serve_forever()

@@ -39,6 +39,7 @@ from avsi import config as config_lib
 from avsi.data import reader as reader_lib
 from avsi.data import stats as stats_lib
 from avsi.data.tfrecord import list_tfrecord_files
+from avsi.infer.common import per_sample_losses as _per_sample_l1
 from avsi.models import asr as asr_model
 from avsi.models import registry
 from avsi.ops import ctc as ctc_ops
@@ -79,16 +80,6 @@ def _log(logfile, msg):
     if logfile:
         with open(logfile, "a") as f:
             f.write(msg + "\n")
-
-
-def _per_sample_l1(outputs, batch):
-    masks = batch["masks"]
-    diff = jnp.abs(outputs["target_spec_norm"] - outputs["prediction"])
-    hole = jnp.sum(diff * (1 - masks), axis=(1, 2)) / jnp.maximum(
-        jnp.sum(1 - masks, axis=(1, 2)), 1.0
-    )
-    total = jnp.mean(diff, axis=(1, 2))
-    return total, hole
 
 
 def make_train_step(model, tx, config, stats):
@@ -268,6 +259,10 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     # `nan_check_every` steps (each fetch is a full tunnel round-trip —
     # fetching per step serializes training on slow links)
     nan_check_every = int(config.get("nan_check_every", 100))
+    # progress-print cadence never fetches more often than the NaN check
+    # (a user raising nan_check_every for a slow link must not still pay a
+    # blocking fetch every 200 steps)
+    log_every = max(200, nan_check_every)
     # optional device trace: config `profile_steps = N` traces steps
     # 3..3+N of epoch 0 into <exp_folder>/profile (TensorBoard-readable)
     profile_steps = int(config.get("profile_steps", 0))
@@ -302,6 +297,13 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                 f"shared corpus_cache was built for {prev} but this train() "
                 f"call uses {stamp} — use a separate cache"
             )
+        if cached_train and not corpus_cache.get("complete"):
+            # the previous fill aborted mid-epoch-0 (NaN abort, preemption):
+            # cached_train holds only part of the corpus and cached_val may
+            # be empty — treating it as complete would silently train on a
+            # partial corpus with no validation. Discard and refill.
+            cached_train.clear()
+            cached_val.clear()
     else:
         cached_train = []
         cached_val = []
@@ -353,14 +355,20 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                 )
                 n_acc += 1
                 last_ldict = ldict
-                if step % nan_check_every == 0 or step % 200 == 0:
+                # each host fetch of the device loss is a full tunnel
+                # round-trip, so both the NaN check and the progress print
+                # respect nan_check_every (0 disables the NaN check; the
+                # progress print then runs at its own 200-step cadence)
+                if (nan_check_every and step % nan_check_every == 0) or (
+                    step % log_every == 0
+                ):
                     loss = float(ldict["loss"])
                     if not np.isfinite(loss):
                         raise FloatingPointError(
                             f"NaN/Inf loss at step {step} — aborting (reference "
                             "training.py:244-249 semantics)"
                         )
-                    if step % 200 == 0:
+                    if step % log_every == 0:
                         print(
                             f"epoch {epoch} step {step} "
                             + " ".join(f"{k}={float(v):.5f}" for k, v in ldict.items()),
@@ -424,6 +432,11 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                     f"# corpus cache: {len(cached_train)} train + "
                     f"{len(cached_val)} val batches, {gb / 2**30:.2f} GB in HBM",
                 )
+                if corpus_cache is not None:
+                    # the fill is only trustworthy once epoch 0 streamed the
+                    # whole corpus AND validation cached its batches; a fill
+                    # interrupted earlier is discarded on the next call
+                    corpus_cache["complete"] = True
             if not val_files:
                 # no validation split: every epoch "improves", so the best
                 # checkpoint tracks the latest params instead of never saving

@@ -93,6 +93,25 @@ def test_http_endpoint(model_dir):
         # and the service still works after the bad request
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
             assert r.read() == b"ok"
+
+        # a server-side bug must surface as an opaque 500 (same contract as
+        # /stream), never a 400 that blames the client and leaks internals
+        real_enhance = server.service.enhance
+        server.service.enhance = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("secret internal detail")
+        )
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/enhance", data=body, method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == 500
+            assert b"secret" not in exc.value.read()
+        finally:
+            server.service.enhance = real_enhance
+        with urllib.request.urlopen(req) as r:
+            assert np.frombuffer(r.read(), "<i2").shape == (9600,)
     finally:
         server.shutdown()
 

@@ -197,6 +197,35 @@ def test_shared_corpus_cache_across_models(corpus, tmp_path):
     assert len(cache["train"]) == n_batches  # reused, not re-uploaded
     assert os.path.isfile(str(tmp_path / "exp_asr" / "netmodel" / "asrnet.npz"))
 
+    # a fill interrupted mid-epoch-0 (NaN abort / preemption) leaves a
+    # PARTIAL train cache and possibly no val cache; the next call must
+    # discard and refill instead of silently training on part of the corpus
+    assert cache.get("complete") is True
+    cache.pop("complete")
+    del cache["train"][1:]
+    cache["val"].clear()
+    cfg_si2 = _write_config(
+        tmp_path, corpus, model="a-blstm-ssnn-ctc", max_n_epochs=2,
+        exp_folder=str(tmp_path / "exp_si2"),
+    )
+    s3 = loop.train(cfg_si2, corpus_cache=cache)
+    assert np.isfinite(s3["best_val"])
+    assert len(cache["train"]) == n_batches  # refilled to the full corpus
+    assert len(cache["val"]) > 0  # validation batches restored
+    assert cache.get("complete") is True
+    assert os.path.isfile(str(tmp_path / "exp_si2" / "netmodel" / "sinet.npz"))
+
+
+def test_nan_check_disabled(corpus, tmp_path):
+    """nan_check_every = 0 disables the per-step NaN fetch (slow-link knob)
+    without crashing on the modulo, and training still completes."""
+    cfg = _write_config(
+        tmp_path, corpus, model="a-blstm", max_n_epochs=1, nan_check_every=0
+    )
+    s = loop.train(cfg)
+    assert s["steps"] > 0
+    assert np.isfinite(s["best_val"])
+
 
 def test_write_bundle_self_copy(tmp_path):
     """Resuming from a bundle's own config.txt must not SameFileError
