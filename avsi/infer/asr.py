@@ -32,10 +32,13 @@ def make_asr_step(config, stats, apply_mask: bool):
     def step(params, batch):
         batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         out = asr_model.forward(params, batch, config, stats_j, apply_mask=apply_mask)
-        losses = asr_model.losses(out, batch, config)
-        decoded = asr_model.decode_greedy(out, batch)
         lengths = out.get("logit_lengths", batch["sequence_lengths"])
-        return out["logits"], decoded, losses["loss"], lengths
+        # per-sequence loss so the host can drop pad_final filler rows
+        loss_per_seq = ctc_ops.ctc_loss_per_seq(
+            out["logits"], lengths, batch["labels"], batch["labels_lengths"]
+        )
+        decoded = asr_model.decode_greedy(out, batch)
+        return out["logits"], decoded, loss_per_seq, lengths
 
     return step
 
@@ -69,8 +72,8 @@ def infer(
     decs, labs = [], []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        logits, decoded, loss, lengths = step(params, mesh_lib.compact_batch(batch))
-        losses.append(float(loss))
+        logits, decoded, loss_per_seq, lengths = step(params, mesh_lib.compact_batch(batch))
+        losses.extend(np.asarray(loss_per_seq)[:n_real].tolist())
         decoded = np.asarray(decoded)
         logits = np.asarray(logits)
         lengths = np.asarray(lengths)

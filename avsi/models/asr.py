@@ -84,22 +84,25 @@ def forward(
     from avsi.models.blstm import _dtypes
 
     compute_dtype, gate_dtype = _dtypes(config)
-    sources = batch["target_sources"] if audio_sources is None else audio_sources
-    t = batch["masks"].shape[1]
-    feats = asr_features(
-        sources,
-        stats,
-        masks=batch["masks"] if apply_mask else None,
-        num_frames=t,
-        num_spec_bins=config["audio_feat_dim"],
-    )
     input_type = config["model"].split("-")[0]
     if input_type == "v":
+        # video-only: skip the audio front-end entirely (no wasted
+        # STFT/mel work inside the jitted step)
         net_in = batch["video_features"]
-    elif input_type == "av":
-        net_in = jnp.concatenate([feats, batch["video_features"]], axis=2)
     else:
-        net_in = feats
+        sources = batch["target_sources"] if audio_sources is None else audio_sources
+        t = batch["masks"].shape[1]
+        feats = asr_features(
+            sources,
+            stats,
+            masks=batch["masks"] if apply_mask else None,
+            num_frames=t,
+            num_spec_bins=config["audio_feat_dim"],
+        )
+        if input_type == "av":
+            net_in = jnp.concatenate([feats, batch["video_features"]], axis=2)
+        else:
+            net_in = feats
     k = int(config.get("frame_stack", 1))
     logit_lengths = batch["sequence_lengths"]
     if k > 1:
@@ -110,7 +113,7 @@ def forward(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train
     )
     logits = core.dense(params["head"], rnn_out).astype(jnp.float32)
-    return {"logits": logits, "features": feats, "logit_lengths": logit_lengths}
+    return {"logits": logits, "logit_lengths": logit_lengths}
 
 
 def losses(outputs: dict, batch: dict, config: dict) -> dict:

@@ -22,13 +22,13 @@ import jax.numpy as jnp
 import optax
 
 
-def ctc_loss(
+def ctc_loss_per_seq(
     logits: jax.Array,
     logit_lengths: jax.Array,
     labels: jax.Array,
     label_lengths: jax.Array,
 ) -> jax.Array:
-    """Mean CTC negative log-likelihood.
+    """Per-sequence CTC negative log-likelihood, shape (B,).
 
     logits: (B, T, C) with blank as the LAST class (TF convention).
     labels: (B, L) int class ids in [0, C-1).
@@ -37,14 +37,23 @@ def ctc_loss(
     l = labels.shape[1]
     logit_paddings = (jnp.arange(t)[None, :] >= logit_lengths[:, None]).astype(jnp.float32)
     label_paddings = (jnp.arange(l)[None, :] >= label_lengths[:, None]).astype(jnp.float32)
-    per_seq = optax.ctc_loss(
+    return optax.ctc_loss(
         logits,
         logit_paddings,
         labels.astype(jnp.int32),
         label_paddings,
         blank_id=logits.shape[-1] - 1,
     )
-    return jnp.mean(per_seq)
+
+
+def ctc_loss(
+    logits: jax.Array,
+    logit_lengths: jax.Array,
+    labels: jax.Array,
+    label_lengths: jax.Array,
+) -> jax.Array:
+    """Mean CTC negative log-likelihood (see ctc_loss_per_seq)."""
+    return jnp.mean(ctc_loss_per_seq(logits, logit_lengths, labels, label_lengths))
 
 
 def greedy_decode(logits: jax.Array, logit_lengths: jax.Array) -> jax.Array:

@@ -75,12 +75,19 @@ def _dft_matrix(frame_length: int, fft_length: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _synthesis_window(frame_length: int, frame_step: int) -> np.ndarray:
-    """tf.signal.inverse_stft_window_fn: fw / (overlapped sum of fw^2)."""
+    """tf.signal.inverse_stft_window_fn: fw / (overlapped sum of fw^2).
+
+    Matches TF for any (frame_length, frame_step) pair, including
+    non-divisible hops (e.g. 400/160): the squared window is zero-padded
+    to a whole number of hops before folding.  Degenerate non-COLA
+    configs (frame_step == frame_length with a Hann window) divide by
+    zero at the window zeros exactly as TF does.
+    """
     fw = hann_window(frame_length)
-    denom_period = np.zeros(frame_step, dtype=np.float64)
-    for ofs in range(0, frame_length, frame_step):
-        denom_period += (fw[ofs : ofs + frame_step] ** 2)
-    denom = np.tile(denom_period, frame_length // frame_step + 1)[:frame_length]
+    overlaps = -(-frame_length // frame_step)
+    denom = np.pad(fw**2, (0, overlaps * frame_step - frame_length))
+    denom = denom.reshape(overlaps, frame_step).sum(axis=0)
+    denom = np.tile(denom, overlaps)[:frame_length]
     return (fw / denom).astype(np.float64)
 
 

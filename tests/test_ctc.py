@@ -156,3 +156,16 @@ def test_edit_distance_and_per():
     assert ctc.edit_distance([], [1, 2]) == 2
     per = ctc.per_metric([[1, 2], [1]], [[1, 2], [1, 2]])
     assert abs(per - 0.25) < 1e-9
+
+
+def test_ctc_loss_per_seq_matches_mean():
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(4, 20, 6).astype(np.float32))
+    lengths = jnp.asarray([20, 15, 10, 5])
+    labels = jnp.asarray(rng.randint(0, 5, size=(4, 8)))
+    lab_lens = jnp.asarray([8, 4, 3, 1])
+    per_seq = ctc.ctc_loss_per_seq(logits, lengths, labels, lab_lens)
+    assert per_seq.shape == (4,)
+    assert np.isfinite(np.asarray(per_seq)).all()
+    mean = ctc.ctc_loss(logits, lengths, labels, lab_lens)
+    np.testing.assert_allclose(float(mean), float(np.mean(np.asarray(per_seq))), rtol=1e-6)

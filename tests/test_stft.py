@@ -23,7 +23,9 @@ def wave():
     return (rng.randn(3, 48000) * 0.1).astype(np.float32)
 
 
-CONFIGS = [(384, 192, 512), (256, 128, 256)]
+# third config: a standard 25 ms/10 ms hop where frame_length is NOT a
+# multiple of frame_step (exercises the general synthesis-window fold)
+CONFIGS = [(384, 192, 512), (256, 128, 256), (400, 160, 512)]
 
 
 @pytest.mark.parametrize("fl,fs,nfft", CONFIGS)
