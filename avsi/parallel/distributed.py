@@ -36,9 +36,20 @@ def initialize(
 
 def shard_files(file_list: list[str], process_index: int | None = None,
                 process_count: int | None = None) -> list[str]:
-    """Deterministic per-host file shard (round-robin over sorted files)."""
+    """Deterministic per-host file shard (round-robin over sorted files).
+
+    Raises when there are fewer files than processes: a host with an empty
+    shard would fail (or hang in the first collective) asymmetrically long
+    after startup — fail fast on every host instead, with the fix stated.
+    """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
+    if len(file_list) < pc:
+        raise ValueError(
+            f"{len(file_list)} tfrecord file(s) cannot be sharded over {pc} "
+            "processes — some hosts would get an empty shard; regroup the "
+            "corpus into at least one file per host (tfrecords_grouping)"
+        )
     return [f for i, f in enumerate(sorted(file_list)) if i % pc == pi]
 
 

@@ -34,11 +34,7 @@ def save_tree(path: str, tree, extra: dict | None = None) -> None:
     np.savez(path, **flat)
 
 
-def load_tree(path: str, template):
-    """Load leaves into the structure of `template` (order-stable)."""
-    if not path.endswith(".npz"):
-        path = path + ".npz"
-    data = np.load(path)
+def _tree_from_npz(data, template, path: str):
     leaves_t, treedef = jax.tree_util.tree_flatten(template)
     flat = _flatten(template)
     keys = list(flat.keys())
@@ -53,17 +49,34 @@ def load_tree(path: str, template):
             raise ValueError(
                 f"shape mismatch for {key}: ckpt {arr.shape} vs template {np.shape(leaf)}"
             )
+        want = np.asarray(leaf).dtype
+        if arr.dtype != want:
+            # e.g. a float64 archive from external tooling must not
+            # silently widen a float32 model (slow wide TPU compiles,
+            # changed numerics) — load at the template's dtype
+            arr = arr.astype(want)
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_tree(path: str, template):
+    """Load leaves into the structure of `template` (order-stable).
+    Leaf dtypes follow the template (shape must match exactly)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path) as data:
+        return _tree_from_npz(data, template, path)
 
 
 def load_extra(path: str) -> dict:
     if not path.endswith(".npz"):
         path = path + ".npz"
-    data = np.load(path)
-    return {
-        k.split("/", 1)[1]: data[k] for k in data.files if k.startswith("__extra__/")
-    }
+    with np.load(path) as data:
+        return {
+            k.split("/", 1)[1]: data[k]
+            for k in data.files
+            if k.startswith("__extra__/")
+        }
 
 
 def save_checkpoint(
@@ -79,8 +92,9 @@ def save_checkpoint(
 
 def restore_checkpoint(ckpt_dir: str, name: str, params_template, opt_template=None):
     prefix = os.path.join(ckpt_dir, name)
-    params = load_tree(prefix, params_template)
-    step = int(load_extra(prefix).get("step", 0))
+    with np.load(prefix + ".npz") as data:  # one open for leaves + extras
+        params = _tree_from_npz(data, params_template, prefix)
+        step = int(data["__extra__/step"]) if "__extra__/step" in data else 0
     opt_state = None
     if opt_template is not None and os.path.isfile(prefix + ".opt.npz"):
         opt_state = load_tree(prefix + ".opt", opt_template)
@@ -95,11 +109,12 @@ def write_meta(ckpt_dir: str, config: dict) -> None:
 
 def write_bundle(
     ckpt_dir: str, config_file: str, config: dict, feat_dim: int | None = None
-) -> None:
+) -> tuple:
     """Make `ckpt_dir` a self-contained inference bundle: config.txt plus
     the mu/sigma stats copied next to the weights (training.py:121-127) —
     the exact layout `load_model_bundle` reads.  Single source of truth
-    for the layout (used by the trainer and by `import_tf`)."""
+    for the layout (used by the trainer and by `import_tf`).  Returns the
+    loaded (mean, std) stats so the caller need not re-read the .npy files."""
     import shutil
 
     from avsi.data import stats as stats_lib
@@ -115,3 +130,4 @@ def write_bundle(
     )
     np.save(os.path.join(ckpt_dir, "audio_features_mean.npy"), stats[0])
     np.save(os.path.join(ckpt_dir, "audio_features_std.npy"), stats[1])
+    return stats

@@ -82,6 +82,27 @@ def _log(logfile, msg):
             f.write(msg + "\n")
 
 
+def exit_if_preempted(summary: dict, code: int = 143) -> None:
+    """Exit the process if `summary` came from a SIGTERM-preempted train().
+
+    Multi-model drivers must call this (or use train_or_exit) after every
+    train(): the preempted run has already written its full resume
+    checkpoint, and the scheduler's grace period is ticking — starting the
+    next model would get SIGKILLed mid-run.  Exit code 143 = 128+SIGTERM,
+    the conventional 'terminated on request' status."""
+    if summary.get("preempted"):
+        print("# preempted: resume checkpoint written, exiting", flush=True)
+        raise SystemExit(code)
+
+
+def train_or_exit(*args, **kwargs) -> dict:
+    """train(), but exit the process after a SIGTERM preemption instead of
+    returning — the right call for scripts that train several models."""
+    summary = train(*args, **kwargs)
+    exit_if_preempted(summary)
+    return summary
+
+
 def make_train_step(model, tx, config, stats):
     stats = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
 
@@ -113,9 +134,13 @@ def make_eval_step(model, config, stats, is_asr=False):
         batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         out = model.forward(params, batch, config, stats, train=False)
         if is_asr:
-            l = model.losses(out, batch, config)
+            # per-sequence loss: the host drops pad_final filler rows
+            lengths = out.get("logit_lengths", batch["sequence_lengths"])
+            loss_ps = ctc_ops.ctc_loss_per_seq(
+                out["logits"], lengths, batch["labels"], batch["labels_lengths"]
+            )
             decoded = asr_model.decode_greedy(out, batch)
-            return {"loss": l["loss"], "decoded": decoded}
+            return {"loss_ps": loss_ps, "decoded": decoded}
         l = model.losses(out, batch, config)
         total, hole = _per_sample_l1(out, batch)
         res = {"loss_ps": total, "loss_hole_ps": hole}
@@ -164,10 +189,7 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     # log-mel, independent of audio_feat_dim — never sliced
     feat_dim = None if is_asr else int(config["audio_feat_dim"])
     # self-contained checkpoint dir: config + stats (training.py:121-127)
-    checkpoints.write_bundle(ckpt_dir, config_file, config, feat_dim=feat_dim)
-    stats = stats_lib.load_stats(
-        config["audio_feat_mean"], config["audio_feat_std"], feat_dim=feat_dim
-    )
+    stats = checkpoints.write_bundle(ckpt_dir, config_file, config, feat_dim=feat_dim)
     checkpoints.write_meta(ckpt_dir, config)
 
     model = (
@@ -290,6 +312,11 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             "root_folder": os.path.abspath(str(config["root_folder"])),
             "batch_size": int(config["batch_size"]),
             "audio_len": int(config["audio_len"]),
+            "audio_feat_dim": int(config["audio_feat_dim"]),
+            "video_feat_dim": int(config["video_feat_dim"]),
+            # cached device arrays carry their placement: a call with a
+            # different data-shard count must not consume them
+            "num_data_shards": int(config.get("num_data_shards", 0)),
         }
         prev = corpus_cache.setdefault("stamp", stamp)
         if prev != stamp:
@@ -314,12 +341,12 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             f"model {model_name} needs them — use a separate cache"
         )
     cache_rng = np.random.default_rng(int(config.get("seed", 0)) + 101)
+    media_cache: dict = {}  # device-resident TB media batch + jitted step
     with _preemption_flag() as preempt:
         for epoch in range(int(config["max_n_epochs"])):
             t_epoch = time.time()
             loss_accum = None
             n_acc = 0
-            last_ldict = None
             from_cache = device_cache and (epoch > 0 or prefilled)
             if from_cache:
                 train_iter = (cached_train[i] for i in cache_rng.permutation(len(cached_train)))
@@ -354,16 +381,16 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                     else jax.tree_util.tree_map(jnp.add, loss_accum, ldict)
                 )
                 n_acc += 1
-                last_ldict = ldict
                 # each host fetch of the device loss is a full tunnel
                 # round-trip, so both the NaN check and the progress print
-                # respect nan_check_every (0 disables the NaN check; the
-                # progress print then runs at its own 200-step cadence)
-                if (nan_check_every and step % nan_check_every == 0) or (
-                    step % log_every == 0
-                ):
+                # respect nan_check_every (0 disables the per-step NaN abort
+                # entirely — the progress print still fetches at its own
+                # 200-step cadence but must not turn into a surprise abort;
+                # the end-of-epoch check below still catches NaN runs)
+                do_nan = bool(nan_check_every) and step % nan_check_every == 0
+                if do_nan or step % log_every == 0:
                     loss = float(ldict["loss"])
-                    if not np.isfinite(loss):
+                    if do_nan and not np.isfinite(loss):
                         raise FloatingPointError(
                             f"NaN/Inf loss at step {step} — aborting (reference "
                             "training.py:244-249 semantics)"
@@ -449,7 +476,10 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             tb.scalar("val/metric", val_metric, epoch)
             tb.scalar("train/epoch_time_s", dt, epoch)
             if not is_asr and val_files and int(config.get("tb_media", 1)):
-                _tb_media(tb, model, config, stats, train_state.params, dm, val_files, epoch)
+                _tb_media(
+                    tb, model, config, stats, train_state.params, dm, val_files,
+                    epoch, cache=media_cache,
+                )
             tb.flush()
             _log(
                 logfile,
@@ -509,23 +539,40 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     return summary
 
 
-def _tb_media(tb, model, config, stats, params, dm, val_files, epoch, n_samples=2):
-    """Spectrogram-image + audio summaries (reference models.py:200-219)."""
-    stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
-    batch = next(iter(dm.batches(val_files, min(n_samples, 2), pad_final=True)))
-    dev = mesh_lib.device_batch(batch)
-    out = model.forward(params, dev, config, stats_j, train=False)
-    wav = model.enhanced_sources(out, dev, config, stats_j) if model.enhanced_sources else None
-    target = np.asarray(out["target_spec_norm"])
-    pred = np.asarray(out["prediction"])
-    masks = np.asarray(dev["masks"])
+def _tb_media(tb, model, config, stats, params, dm, val_files, epoch, cache, n_samples=2):
+    """Spectrogram-image + audio summaries (reference models.py:200-219).
+
+    The tiny media batch is read, placed on device, and the media forward
+    jitted ONCE per train() (stored in `cache`); later epochs reuse both —
+    re-reading/re-uploading every epoch would defeat the corpus cache's
+    zero-input-traffic design on slow links."""
+    if "batch" not in cache:
+        batch = next(iter(dm.batches(val_files, min(n_samples, 2), pad_final=True)))
+        cache["batch"] = jax.device_put(mesh_lib.device_batch(batch))
+        stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
+
+        def media_step(params, dev):
+            out = model.forward(params, dev, config, stats_j, train=False)
+            res = {
+                "target": out["target_spec_norm"],
+                "pred": out["prediction"],
+                "masks": dev["masks"],
+            }
+            if model.enhanced_sources:
+                res["wav"] = model.enhanced_sources(out, dev, config, stats_j)
+            return res
+
+        cache["step"] = jax.jit(media_step)
+    fetched = jax.device_get(cache["step"](params, cache["batch"]))
+    target, pred, masks = fetched["target"], fetched["pred"], fetched["masks"]
+    wav = fetched.get("wav")
     for i in range(min(n_samples, target.shape[0])):
         # frequency up, time right (tf.image.flip_up_down of the transpose)
         tb.image(f"Target_spectrogram/{i}", target[i].T[::-1], epoch)
         tb.image(f"Enhanced_spectrogram/{i}", pred[i].T[::-1], epoch)
         tb.image(f"Mask/{i}", masks[i].T[::-1], epoch)
         if wav is not None:
-            w = np.asarray(wav[i])
+            w = wav[i]
             peak = np.abs(w).max() or 1.0
             tb.audio(f"Enhanced_audio/{i}", w / peak * 32000, epoch)
 
@@ -543,30 +590,45 @@ def _val_pairs(dm, val_files, batch_size, place):
 
 def _validate(val_pairs, eval_step, params, is_asr, select_hole=True):
     """Per-epoch validation over (host_meta, placed) pairs.
+
+    Keeps a window of batches in flight: jit dispatch is async, so the
+    device computes batch k+1..k+8 while the host fetches batch k's small
+    results (each fetch is a ~34 ms-floor tunnel round-trip on the relay),
+    instead of serializing submit->fetch per batch.  The window bounds how
+    many un-freed input batches sit in HBM at once on the non-cached path.
     Returns (selection_metric, report_string)."""
-    if is_asr:
-        losses, weights, pers, per_w = [], [], [], []
+    def _pipelined(depth=8):
+        from collections import deque
+
+        window = deque()
         for meta, placed in val_pairs:
-            res = eval_step(params, placed)
+            window.append((meta, eval_step(params, placed)))
+            if len(window) >= depth:
+                yield window.popleft()
+        while window:
+            yield window.popleft()
+
+    submitted = _pipelined()
+    if is_asr:
+        losses, pers, weights = [], [], []
+        for meta, res in submitted:
             n = meta["num_real"]
-            # batch means weighted by real count (padded duplicates bias
-            # the final batch's mean only by their own weight)
-            losses.append(float(res["loss"]) * n)
-            weights.append(n)
+            losses.extend(np.asarray(res["loss_ps"])[:n].tolist())
             pers.append(_host_per(np.asarray(res["decoded"]), meta) * n)
-            per_w.append(n)
+            weights.append(n)
         if not weights:
             return math.inf, "val=none"
-        per = float(np.sum(pers) / np.sum(per_w))
-        val_loss = float(np.sum(losses) / np.sum(weights))
+        per = float(np.sum(pers) / np.sum(weights))
+        val_loss = float(np.mean(losses))
         return per, f"val_loss={val_loss:.5f}\tval_per={per:.5f}"
     tot, hole, ctcs, ctc_w, pers = [], [], [], [], []
-    for meta, placed in val_pairs:
-        res = eval_step(params, placed)
+    for meta, res in submitted:
         n = meta["num_real"]
         tot.extend(np.asarray(res["loss_ps"])[:n].tolist())
         hole.extend(np.asarray(res["loss_hole_ps"])[:n].tolist())
         if "ctc_loss" in res:
+            # batch means weighted by real count (padded duplicates bias
+            # the final batch's mean only by their own weight)
             ctcs.append(float(res["ctc_loss"]) * n)
             ctc_w.append(n)
             pers.append(_host_per(np.asarray(res["decoded"]), meta) * n)

@@ -87,14 +87,14 @@ def main(dest="/dev/shm/grid_drill", epochs_si=10, epochs_asr=4,
     t0 = time.time()
     asr_cfg = cfg("a-blstm", "exp_asr", fbanks + "_mean.npy", fbanks + "_std.npy",
                   epochs_asr, net_dim=[250, 250], frame_stack=3)
-    asr_summary = loop.train(asr_cfg, is_asr=True, corpus_cache=corpus_cache)
+    asr_summary = loop.train_or_exit(asr_cfg, is_asr=True, corpus_cache=corpus_cache)
     timings["asr_train_s"] = round(time.time() - t0, 1)
 
     print("=== training SI flagship (cached corpus) ===", flush=True)
     t0 = time.time()
     si_cfg = cfg("av-blstm-ssnn-ctc", "exp_si", spec + "_mean.npy",
                  spec + "_std.npy", epochs_si)
-    si_summary = loop.train(si_cfg, corpus_cache=corpus_cache)
+    si_summary = loop.train_or_exit(si_cfg, corpus_cache=corpus_cache)
     timings["si_train_s"] = round(time.time() - t0, 1)
 
     asr_ckpt = os.path.join(dest, "exp_asr", "netmodel")

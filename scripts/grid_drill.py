@@ -175,7 +175,7 @@ def stage_epoch(dest, batch_size=128):
     from avsi.train import loop
 
     t0 = time.time()
-    summary = loop.train(cfg_path)
+    summary = loop.train_or_exit(cfg_path)
     dt = time.time() - t0
     return {
         "stage": "epoch", "seconds": round(dt, 1), "steps": summary["steps"],

@@ -58,7 +58,7 @@ def main(epochs_ctc=60, epochs_lc=10, n_utts=64, chunk=8, look=16,
         cfgp = ctc_dir + ".config"
         config_lib.save_configfile(cfg, cfgp)
         print(f"=== ctc=0.05 fine-tune ({epochs_ctc} epochs) ===", flush=True)
-        summ = loop.train(cfgp, corpus_cache=cache)
+        summ = loop.train_or_exit(cfgp, corpus_cache=cache)
         print("ctc05 best_val", summ["best_val"], flush=True)
 
     config, stats, _, params = load_model_bundle(
@@ -94,7 +94,7 @@ def main(epochs_ctc=60, epochs_lc=10, n_utts=64, chunk=8, look=16,
         cfgp = lc_dir + ".config"
         config_lib.save_configfile(cfg, cfgp)
         print(f"=== LC-exact fine-tune ({epochs_lc} epochs) ===", flush=True)
-        summ = loop.train(cfgp, corpus_cache=cache)
+        summ = loop.train_or_exit(cfgp, corpus_cache=cache)
         print("lc best_val", summ["best_val"], flush=True)
 
     config_lc, stats_lc, _, params_lc = load_model_bundle(

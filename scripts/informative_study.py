@@ -84,7 +84,7 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
     print("=== training ASR judge ===", flush=True)
     judge_cfg = cfg("a-blstm", "exp_asr", fbanks + "_mean.npy",
                     fbanks + "_std.npy", 8, net_dim=[250, 250], frame_stack=3)
-    out["judge"] = loop.train(judge_cfg, is_asr=True, corpus_cache=cache)
+    out["judge"] = loop.train_or_exit(judge_cfg, is_asr=True, corpus_cache=cache)
     asr_ckpt = os.path.join(dest, "exp_asr", "netmodel")
 
     print("=== masking baseline ===", flush=True)
@@ -106,7 +106,7 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
         exp = f"exp_{model}"
         print(f"=== {model}: {epochs} epochs ===", flush=True)
         t0 = time.time()
-        summary = loop.train(
+        summary = loop.train_or_exit(
             cfg(model, exp, spec + "_mean.npy", spec + "_std.npy", epochs),
             corpus_cache=cache,
         )

@@ -52,7 +52,7 @@ def main(epochs_lc=10, n_utts=64, chunk=8, look=16):
         cfgp = exp + ".config"
         config_lib.save_configfile(cfg, cfgp)
         print("=== LC fine-tune (window-space trainer):", cfgp, flush=True)
-        summ = loop.train(cfgp)
+        summ = loop.train_or_exit(cfgp)
         print("lc best_val", summ["best_val"], flush=True)
 
     out = {"study": "LC fine-tune with the exact window-space trainer",

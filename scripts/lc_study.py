@@ -156,7 +156,7 @@ def main(root="/dev/shm/lc_sub_80",
         cfgp = exp + ".config"
         config_lib.save_configfile(dict(common, exp_folder=exp, **extra), cfgp)
         print("=== training", name, flush=True)
-        summ = loop.train(cfgp, corpus_cache=cache)
+        summ = loop.train_or_exit(cfgp, corpus_cache=cache)
         print(name, "best_val", summ["best_val"], flush=True)
         out[name + "_best_val"] = float(summ["best_val"])
         bundles[name] = load_model_bundle(os.path.join(exp, "netmodel"), norm=True)

@@ -48,7 +48,7 @@ def main(workdir="/tmp/avsi_quality", model="av-blstm", epochs=25, gap_ms=400.0)
     }
     cfg_path = os.path.join(workdir, "train.config")
     config_lib.save_configfile(cfg, cfg_path)
-    train_summary = loop.train(cfg_path)
+    train_summary = loop.train_or_exit(cfg_path)
 
     test_tfr = os.path.join(paths["tfrecords"], "test-set")
     test_audio = os.path.join(workdir, "syn", "test-set")

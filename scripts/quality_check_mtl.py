@@ -64,12 +64,12 @@ def main(workdir="/tmp/avsi_mtl", epochs=30):
     print("=== training ASR ===", flush=True)
     asr_cfg = cfg("a-blstm", "exp_asr", fb_prefix + "_mean.npy", fb_prefix + "_std.npy",
                   net_dim=[250, 250])
-    asr_summary = loop.train(asr_cfg, is_asr=True)
+    asr_summary = loop.train_or_exit(asr_cfg, is_asr=True)
 
     print("=== training SI (MTL flagship) ===", flush=True)
     si_cfg = cfg("av-blstm-ssnn-ctc", "exp_si", spec_prefix + "_mean.npy",
                  spec_prefix + "_std.npy")
-    si_summary = loop.train(si_cfg)
+    si_summary = loop.train_or_exit(si_cfg)
 
     test_tfr = os.path.join(paths["tfrecords"], "test-set")
     test_audio = os.path.join(workdir, "syn", "test-set")

@@ -59,7 +59,7 @@ def main(dest="/dev/shm/grid_drill"):
                  max_n_epochs=12, n_earlystop_epochs=12), cfgp)
         t0 = time.time()
         print("=== training exp_si (12 epochs) ===", flush=True)
-        summ = loop.train(cfgp, corpus_cache=cache)
+        summ = loop.train_or_exit(cfgp, corpus_cache=cache)
         print(f"exp_si best_val {summ['best_val']} ({time.time()-t0:.0f}s)",
               flush=True)
 
@@ -72,7 +72,7 @@ def main(dest="/dev/shm/grid_drill"):
                  max_n_epochs=60, n_earlystop_epochs=60), cfgp)
         t0 = time.time()
         print("=== fine-tuning exp_si_ctc (60 epochs, ctc=0.05) ===", flush=True)
-        summ = loop.train(cfgp, corpus_cache=cache)
+        summ = loop.train_or_exit(cfgp, corpus_cache=cache)
         print(f"exp_si_ctc best_val {summ['best_val']} ({time.time()-t0:.0f}s)",
               flush=True)
 

@@ -76,7 +76,7 @@ def main(epochs_lc=10, n_utts=64, chunk=8):
         cfgp = exp + ".config"
         config_lib.save_configfile(cfg, cfgp)
         print("=== LC fine-tune:", cfgp, flush=True)
-        summ = loop.train(cfgp)
+        summ = loop.train_or_exit(cfgp)
         print("lc best_val", summ["best_val"], flush=True)
     config_lc, stats_lc, _, params_lc = load_model_bundle(
         os.path.join(exp, "netmodel"), norm=True)

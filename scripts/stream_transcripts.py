@@ -56,7 +56,7 @@ def main(epochs=60, n_utts=64, ctc_weight=0.05, chunk=8, look=16):
         cfgp = exp + ".config"
         config_lib.save_configfile(cfg, cfgp)
         print("=== fine-tuning CTC head:", cfgp, flush=True)
-        summ = loop.train(cfgp)
+        summ = loop.train_or_exit(cfgp)
         print("fine-tune best_val", summ["best_val"], flush=True)
 
     config, stats, _, params = load_model_bundle(os.path.join(exp, "netmodel"), norm=True)

@@ -46,7 +46,7 @@ def main(base="/dev/shm/av_inf", epochs=20):
     vp = os.path.join(base, "exp_v_plain.config")
     config_lib.save_configfile(vcfg, vp)
     print("=== training vnet (v-blstm)", flush=True)
-    vsum = loop.train(vp, corpus_cache=cache)
+    vsum = loop.train_or_exit(vp, corpus_cache=cache)
     print("vnet best_val", vsum["best_val"], flush=True)
 
     tcfg = dict(
@@ -57,7 +57,7 @@ def main(base="/dev/shm/av_inf", epochs=20):
     tp = os.path.join(base, "exp_2steps.config")
     config_lib.save_configfile(tcfg, tp)
     print("=== training av-blstm-twosteps (frozen vnet)", flush=True)
-    tsum = loop.train(tp, corpus_cache=cache)
+    tsum = loop.train_or_exit(tp, corpus_cache=cache)
     print("twosteps best_val", tsum["best_val"], flush=True)
 
     print("=== inference on held-out test set", flush=True)

@@ -120,7 +120,7 @@ def main(workdir="/dev/shm/unet_drill", raw_src="/dev/shm/grid_drill/raw",
         cfgp = exp + ".config"
         config_lib.save_configfile(dict(common, model=model, exp_folder=exp), cfgp)
         print("=== training", model, flush=True)
-        summ = loop.train(cfgp, corpus_cache=cache)
+        summ = loop.train_or_exit(cfgp, corpus_cache=cache)
         print(model, "best_val", summ["best_val"], flush=True)
         out[model + "_best_val"] = float(summ["best_val"])
 

@@ -70,7 +70,7 @@ def main(dest="/dev/shm/grid_drill", epochs=60, models=DEFAULT_MODELS):
 
         print(f"=== {model}: training ({epochs} epochs) ===", flush=True)
         t0 = time.time()
-        summary = loop.train(cfgp, corpus_cache=corpus_cache)
+        summary = loop.train_or_exit(cfgp, corpus_cache=corpus_cache)
         train_s = round(time.time() - t0, 1)
 
         print(f"=== {model}: fused SI->ASR on 1980 test utterances ===",

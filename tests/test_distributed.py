@@ -142,3 +142,8 @@ with open(out, "w") as f:
     # both processes saw the same global sum over 2 hosts x 2 local devices:
     # host0 contributes 2*2*1.0, host1 contributes 2*2*2.0 -> 12
     assert results[0][1] == results[1][1] == 12.0
+
+
+def test_shard_files_rejects_empty_shards():
+    with pytest.raises(ValueError, match="empty shard"):
+        dist.shard_files(["a", "b", "c"], process_index=3, process_count=4)

@@ -301,3 +301,22 @@ def test_profile_trace_closed_on_short_run(corpus, tmp_path):
     log = open(str(tmp_path / "exp" / "training_log.txt")).read()
     assert "partial trace" in log
     assert os.path.isdir(str(tmp_path / "exp" / "profile"))
+
+
+def test_exit_if_preempted():
+    loop.exit_if_preempted({"preempted": False})  # no-op
+    with pytest.raises(SystemExit) as ei:
+        loop.exit_if_preempted({"preempted": True})
+    assert ei.value.code == 143
+
+
+def test_checkpoint_load_casts_to_template_dtype(tmp_path):
+    """A float64 archive (external tooling) must load at the template's
+    float32, not silently widen the model."""
+    tree = {"w": np.ones((3, 2), np.float64), "b": np.zeros(2, np.float64)}
+    checkpoints.save_tree(str(tmp_path / "ck"), tree, extra={"step": 7})
+    template = {"w": np.zeros((3, 2), np.float32), "b": np.zeros(2, np.float32)}
+    got, _, step = checkpoints.restore_checkpoint(str(tmp_path), "ck", template)
+    assert step == 7
+    assert got["w"].dtype == np.float32
+    assert got["b"].dtype == np.float32
