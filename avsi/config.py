@@ -49,10 +49,18 @@ def load_configfile(cfile: str) -> dict:
                     try:
                         out[key] = ast.literal_eval(value)
                     except (ValueError, SyntaxError):
-                        raise ValueError(
-                            f"Wrong syntax in the configuration file at line {nline} "
-                            "(may be due to mixed letters and integers?)"
-                        )
+                        if value.isidentifier():
+                            # identifier-like scalars with digits — the
+                            # natural spelling of avsi extension values
+                            # such as `compute_dtype = bfloat16` — load as
+                            # strings (the reference would reject them
+                            # unless quoted; documented deviation)
+                            out[key] = value
+                        else:
+                            raise ValueError(
+                                f"Wrong syntax in the configuration file at line {nline} "
+                                "(may be due to mixed letters and integers?)"
+                            )
                 else:
                     out[key] = value
             else:

@@ -26,7 +26,7 @@ from avsi.parallel import mesh as mesh_lib
 from avsi.infer.inpaint import load_model_bundle
 
 
-def make_asr_step(config, stats, apply_mask: bool):
+def make_asr_step(config, stats, apply_mask: bool, use_beam: bool):
     stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
 
     def step(params, batch):
@@ -37,8 +37,10 @@ def make_asr_step(config, stats, apply_mask: bool):
         loss_per_seq = ctc_ops.ctc_loss_per_seq(
             out["logits"], lengths, batch["labels"], batch["labels_lengths"]
         )
-        decoded = asr_model.decode_greedy(out, batch)
-        return out["logits"], decoded, loss_per_seq, lengths
+        # fetch only what the chosen decode path reads: full (B,T,C) logits
+        # for host beam search, or the tiny greedy-decoded ids
+        dec = out["logits"] if use_beam else asr_model.decode_greedy(out, batch)
+        return dec, loss_per_seq, lengths
 
     return step
 
@@ -65,27 +67,26 @@ def infer(
     files = list_tfrecord_files(data_path_test)
     if not files:
         raise ValueError(f"no tfrecords under {data_path_test}")
-    step = jax.jit(make_asr_step(config, stats, apply_mask))
+    step = jax.jit(make_asr_step(config, stats, apply_mask, use_beam=beam_width > 0))
 
     total = 0
     losses = []
     decs, labs = [], []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        logits, decoded, loss_per_seq, lengths = step(params, mesh_lib.compact_batch(batch))
+        dec, loss_per_seq, lengths = step(params, mesh_lib.compact_batch(batch))
         losses.extend(np.asarray(loss_per_seq)[:n_real].tolist())
-        decoded = np.asarray(decoded)
-        logits = np.asarray(logits)
+        dec = np.asarray(dec)
         lengths = np.asarray(lengths)
         if beam_width > 0:
             beam_seqs = ctc_ops.beam_search_decode_batch(
-                logits[:n_real], lengths[:n_real], beam_width
+                dec[:n_real], lengths[:n_real], beam_width
             )
         for i in range(n_real):
             if beam_width > 0:
                 seq = beam_seqs[i]
             else:
-                seq = [int(x) for x in decoded[i] if x >= 0]
+                seq = [int(x) for x in dec[i] if x >= 0]
             sample_dir = batch["sample_paths"][i]
             text = ",".join(ph_lib.get_phonemes_from_labels(seq, dictionary))
             os.makedirs(os.path.join(audio_path, sample_dir), exist_ok=True)

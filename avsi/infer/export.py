@@ -30,16 +30,19 @@ def save_inference_model(
     fixed batch size (`inference_model_generator.py:14-48`), while avsi has
     no train/inference graph split — all kinds re-export identically.
     """
-    for suffix in (".npz", ".opt.npz"):
-        src = input_model + suffix
-        if os.path.isfile(src):
-            if suffix == ".opt.npz":
-                continue  # inference checkpoints drop optimizer state
-            os.makedirs(os.path.dirname(output_model) or ".", exist_ok=True)
-            shutil.copy(src, output_model + ".npz")
+    src = input_model + ".npz"
+    if not os.path.isfile(src):
+        raise FileNotFoundError(
+            f"no checkpoint at {src} — input_model must be the checkpoint "
+            "prefix (e.g. <exp>/netmodel/sinet), not a directory"
+        )
+    os.makedirs(os.path.dirname(output_model) or ".", exist_ok=True)
+    shutil.copy(src, output_model + ".npz")
+    # optimizer state (.opt.npz) is deliberately dropped: inference
+    # checkpoints carry weights only
     # carry the self-contained sidecars when exporting across directories
-    src_dir = os.path.dirname(input_model)
-    dst_dir = os.path.dirname(output_model)
+    src_dir = os.path.abspath(os.path.dirname(input_model))
+    dst_dir = os.path.abspath(os.path.dirname(output_model))
     if src_dir != dst_dir:
         for name in ("config.txt", "audio_features_mean.npy", "audio_features_std.npy"):
             p = os.path.join(src_dir, name)
@@ -53,10 +56,20 @@ def rename_vars(
 ) -> int:
     """Regex-rename leaf keys inside a checkpoint npz."""
     path = checkpoint if checkpoint.endswith(".npz") else checkpoint + ".npz"
-    data = dict(np.load(path))
-    renamed = {re.sub(pattern, replacement, k): v for k, v in data.items()}
+    with np.load(path) as f:
+        data = dict(f)
+    renamed = {}
+    changed = 0
+    for k, v in data.items():
+        nk = re.sub(pattern, replacement, k)
+        if nk in renamed:
+            raise ValueError(
+                f"rename collision: two keys map to {nk!r} — a weight tensor "
+                "would be silently dropped"
+            )
+        renamed[nk] = v
+        changed += nk != k
     out = out_checkpoint if out_checkpoint.endswith(".npz") else out_checkpoint + ".npz"
     np.savez(out, **renamed)
-    changed = sum(1 for a, b in zip(data, renamed) if a != b)
     print(f"Renamed {changed} keys -> {out}")
     return changed

@@ -37,7 +37,7 @@ from avsi.utils import wav as wavio
 
 def make_siasr_step(
     si_model, si_config, si_stats, asr_config, asr_stats,
-    oracle_phase: bool, phase_recon: str, gl_iters: int,
+    oracle_phase: bool, phase_recon: str, gl_iters: int, use_beam: bool,
 ):
     si_stats_j = (jnp.asarray(si_stats[0]), jnp.asarray(si_stats[1]))
     asr_stats_j = (jnp.asarray(asr_stats[0]), jnp.asarray(asr_stats[1]))
@@ -54,9 +54,14 @@ def make_siasr_step(
         asr_out = asr_model.forward(
             asr_params, batch, asr_config, asr_stats_j, audio_sources=wav
         )
-        decoded = asr_model.decode_greedy(asr_out, batch)
         lengths = asr_out.get("logit_lengths", batch["sequence_lengths"])
-        return wav, asr_out["logits"], decoded, lengths, loss_ps, hole_ps
+        # int16 on device: halves the dominant device->host transfer
+        # (inpaint.py does the same; the host writes int16 wavs anyway)
+        wav_i16 = jnp.clip(wav, -32768, 32767).astype(jnp.int16)
+        # fetch only what the chosen decode path reads: full (B,T,C) logits
+        # for host beam search, or the tiny greedy-decoded ids
+        dec = asr_out["logits"] if use_beam else asr_model.decode_greedy(asr_out, batch)
+        return wav_i16, dec, lengths, loss_ps, hole_ps
 
     return step
 
@@ -93,7 +98,7 @@ def infer(
     step = jax.jit(
         make_siasr_step(
             si_model, si_config, si_stats, asr_config, asr_stats,
-            oracle_phase, phase_recon, gl_iters,
+            oracle_phase, phase_recon, gl_iters, use_beam=beam_width > 0,
         )
     )
 
@@ -102,16 +107,15 @@ def infer(
     losses, holes, decs, labs = [], [], [], []
     for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
         n_real = batch.get("num_real", batch_size)
-        wav, logits, decoded, lengths, loss_ps, hole_ps = step(
+        wav, dec, lengths, loss_ps, hole_ps = step(
             si_params, asr_params, mesh_lib.compact_batch(batch)
         )
-        wav, logits, decoded = np.asarray(wav), np.asarray(logits), np.asarray(decoded)
-        lengths = np.asarray(lengths)
+        wav, dec, lengths = np.asarray(wav), np.asarray(dec), np.asarray(lengths)
         losses.extend(np.asarray(loss_ps)[:n_real].tolist())
         holes.extend(np.asarray(hole_ps)[:n_real].tolist())
         if beam_width > 0:
             beam_seqs = ctc_ops.beam_search_decode_batch(
-                logits[:n_real], lengths[:n_real], beam_width
+                dec[:n_real], lengths[:n_real], beam_width
             )
         for i in range(n_real):
             sample_dir = batch["sample_paths"][i]
@@ -127,7 +131,7 @@ def infer(
             if beam_width > 0:
                 seq = beam_seqs[i]
             else:
-                seq = [int(x) for x in decoded[i] if x >= 0]
+                seq = [int(x) for x in dec[i] if x >= 0]
             with open(os.path.join(tr_dir, out_file_prefix + ".lbl"), "w") as f:
                 f.write(",".join(ph_lib.get_phonemes_from_labels(seq, dictionary)))
             decs.append(seq)

@@ -23,6 +23,9 @@ def read_wav_int16(path: str) -> tuple[int, np.ndarray]:
         out = (data / 65536.0).astype(np.float32)
     elif data.dtype in (np.float32, np.float64):
         out = (data * 32767.0).astype(np.float32)
+    elif data.dtype == np.uint8:
+        # 8-bit PCM is unsigned with 128 = silence: recenter and rescale
+        out = ((data.astype(np.float32) - 128.0) * 256.0)
     else:
         out = data.astype(np.float32)
     return sr, out

@@ -93,3 +93,18 @@ def test_save_roundtrip_alnum_string(tmp_path):
     cfg.save_configfile(c, p)
     back = cfg.load_configfile(p)
     assert back == c
+
+
+def test_identifier_scalar_with_digits_loads_as_string(tmp_path):
+    """`compute_dtype = bfloat16` must parse (avsi extension; the reference
+    parser would reject digit-containing unquoted scalars — documented
+    deviation)."""
+    p = tmp_path / "c.config"
+    p.write_text("compute_dtype = bfloat16\nnet_dim = [8]\n")
+    out = cfg.load_configfile(str(p))
+    assert out["compute_dtype"] == "bfloat16"
+    # genuinely malformed values still error
+    p2 = tmp_path / "bad.config"
+    p2.write_text("x = 3..5e\n")
+    with pytest.raises(ValueError):
+        cfg.load_configfile(str(p2))

@@ -1,6 +1,8 @@
 """Coverage for checkpoint surgery (C24/C26) and profiling utilities."""
 
 import os
+
+import pytest
 import time
 
 import numpy as np
@@ -49,3 +51,29 @@ def test_step_timer():
     assert 0.001 < s["p50_s"] < 0.1
     assert s["p99_s"] >= s["p50_s"]
     assert StepTimer().summary() == {}
+
+
+def test_save_inference_model_missing_source_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        export.save_inference_model(
+            "unused", str(tmp_path / "nope" / "sinet"), str(tmp_path / "out" / "infer")
+        )
+
+
+def test_rename_vars_collision_raises(tmp_path):
+    src = str(tmp_path / "ck")
+    np.savez(src + ".npz", **{"blstm_1/w": np.ones(2), "blstm_2/w": np.zeros(2)})
+    with pytest.raises(ValueError, match="collision"):
+        export.rename_vars(src, str(tmp_path / "out"), r"blstm_[12]", "blstm")
+
+
+def test_read_wav_uint8_recentered(tmp_path):
+    from scipy.io import wavfile
+
+    from avsi.utils import wav as wavio
+
+    data = np.array([128, 255, 0, 128], dtype=np.uint8)  # silence, +max, -max
+    wavfile.write(str(tmp_path / "u8.wav"), 16000, data)
+    _, out = wavio.read_wav_int16(str(tmp_path / "u8.wav"))
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, [0.0, 32512.0, -32768.0, 0.0])
