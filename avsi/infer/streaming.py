@@ -443,10 +443,6 @@ class StreamingInpainter:
             int(config.get("integration_layer", 0)) if self.spec.conditioning else 0
         )
         self.params = params
-        self._stats = (
-            jnp.asarray(stats[0], jnp.float32),
-            jnp.asarray(stats[1], jnp.float32),
-        )
         # host copy for the per-push front-end: np.asarray on a device array
         # would be a blocking device->host fetch on EVERY push (the tunnel
         # floor is ~34 ms per fetch — CLAUDE.md), straight on the latency path
@@ -475,7 +471,13 @@ class StreamingInpainter:
                 chunk=self.chunk,
                 compute_dtype=cdt,
                 gate_dtype=gdt,
-                stats=self._stats,
+                # device upload only on the cache-miss branch: a cache hit
+                # uses the stats captured at first trace, so uploading per
+                # stream-open would be dead tunnel traffic
+                stats=(
+                    jnp.asarray(stats[0], jnp.float32),
+                    jnp.asarray(stats[1], jnp.float32),
+                ),
                 transcript=self.want_transcript,
             )
             self._step = jax.jit(partial(_window_step, prog))
@@ -770,20 +772,23 @@ class StreamingInpainter:
         one-frame left context; the emitted sample region then matches the
         offline iSTFT (whose synthesis-window normalization is
         position-independent) exactly.  Only the terminal short flush
-        window takes this path — full windows emit on device."""
+        window takes this path — full windows emit on device.  Pure numpy
+        (same precomputed windowed-iDFT matrix as ops/stft.py): the inputs
+        were already fetched, so touching the device here would add an
+        upload plus a second blocking tunnel round-trip to the flush."""
         c = mag.shape[0]
         frames_mag = np.concatenate([prev[0][None], mag])
         frames_ph = np.concatenate([prev[1][None], phase])
-        wav = stft_ops.waveform_from_mag_phase(
-            jnp.asarray(frames_mag)[None],
-            jnp.asarray(frames_ph)[None],
-            num_samples=c * FRAME_STEP + FRAME_LENGTH,
-            frame_length=FRAME_LENGTH,
-            frame_step=FRAME_STEP,
-            fft_length=FFT_LENGTH,
-        )
+        coeffs = np.concatenate(
+            [frames_mag * np.cos(frames_ph), frames_mag * np.sin(frames_ph)],
+            axis=-1,
+        ).astype(np.float32)
+        frames = coeffs @ stft_ops._idft_matrix(FRAME_LENGTH, FFT_LENGTH, FRAME_STEP)
+        wav = np.zeros(c * FRAME_STEP + FRAME_LENGTH, np.float32)
+        for i in range(c + 1):
+            wav[i * FRAME_STEP : i * FRAME_STEP + FRAME_LENGTH] += frames[i]
         self._frames_out += c
-        return np.asarray(wav[0][FRAME_STEP : FRAME_STEP + c * FRAME_STEP])
+        return wav[FRAME_STEP : FRAME_STEP + c * FRAME_STEP]
 
 
 def stream_utterance(

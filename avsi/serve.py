@@ -74,8 +74,9 @@ class InpaintingService:
         self._norm = norm
         self.weights_version = 0
         self.started = time.monotonic()
-        # operational counters (served at /metrics); guarded by _lock where
-        # updated on the device path, by streams_lock on the stream path
+        # operational counters (served at /metrics); every update happens
+        # under _lock (the stream path increments n_stream_pushes inside
+        # its device-lock section too)
         self.n_utterances = 0
         self.n_device_steps = 0
         self.n_stream_pushes = 0
@@ -209,11 +210,28 @@ class InpaintingService:
         with self._lock:
             config, stats, params = self.config, self.stats, self.params
             cache = self._stream_programs
-        return StreamingInpainter(
+            known = set(cache)
+        inp = StreamingInpainter(
             config, stats, params,
             chunk_frames=chunk_frames, lookahead_frames=lookahead_frames,
             program_cache=cache, transcript=transcript,
         )
+        if (inp.chunk, inp.look, inp.want_transcript) not in known:
+            # fresh (chunk, look, transcript) key: jax.jit is lazy, so the
+            # compile would otherwise fire on the stream's FIRST PUSH —
+            # inside the device lock, stalling every other request behind a
+            # slow remote compile.  Warm it here, outside the lock, with one
+            # zero window, then clear the dummy state.
+            w = inp.window
+            n = (w - 1) * 192 + 384  # samples completing exactly w frames
+            video = (
+                np.zeros((w, self.vf), np.float32)
+                if inp.spec.input_type != "a"
+                else None
+            )
+            inp.push(np.zeros(n, np.float32), np.ones(w, np.float32), video)
+            inp.reset()
+        return inp
 
 
 def serve(
@@ -226,19 +244,23 @@ def serve(
 ):
     service = InpaintingService(model_path, **kw)
     streams: dict = {}  # sid -> [StreamingInpainter, last_used_monotonic,
-    #                            transcript ids already sent over HTTP]
+    #                            transcript ids already sent over HTTP,
+    #                            busy request count]
     streams_lock = threading.Lock()
 
     def _reap_streams():
         """Evict sessions idle past the TTL (abandoned clients would
         otherwise leak per-stream device + host state forever).
         Placeholders (open() still compiling — its first trace can exceed
-        the TTL) are exempt; their open thread removes them on failure."""
+        the TTL) are exempt; their open thread removes them on failure.
+        Busy sessions (a push queued on the device lock longer than the
+        TTL) are exempt too — evicting one would orphan an accepted push
+        and destroy the carried LSTM state mid-request."""
         now = time.monotonic()
         with streams_lock:
             for sid in [
                 s for s, v in streams.items()
-                if v[0] is not None and now - v[1] > stream_idle_s
+                if v[0] is not None and v[3] == 0 and now - v[1] > stream_idle_s
             ]:
                 del streams[sid]
 
@@ -334,7 +356,7 @@ def serve(
                 with streams_lock:
                     full = len(streams) >= max_streams
                     if not full:
-                        streams[sid] = [None, time.monotonic(), 0]  # placeholder
+                        streams[sid] = [None, time.monotonic(), 0, 0]  # placeholder
                 if full:
                     self._reply(429, b"too many live streams")
                     return
@@ -347,7 +369,7 @@ def serve(
                 with streams_lock:
                     # unconditional (re-)insert: never KeyError even if the
                     # placeholder was somehow dropped while compiling
-                    streams[sid] = [inp, time.monotonic(), 0]
+                    streams[sid] = [inp, time.monotonic(), 0, 0]
                 self._reply(200, json.dumps({
                     "id": sid, "chunk_frames": inp.chunk, "lookahead_frames": inp.look,
                     "frame_step": 192, "frame_length": 384,
@@ -362,59 +384,69 @@ def serve(
                     entry = None  # placeholder: open() still in flight
                 if entry is not None:
                     entry[1] = time.monotonic()
+                    entry[3] += 1  # busy: the reaper must not evict us
+                                   # while we wait on the device lock
             if entry is None:
                 self._reply(404, b"no such stream")
                 return
             inp = entry[0]
-            with service._lock:  # one device stream
-                if closing:
-                    out = inp.flush()
-                    with streams_lock:
-                        streams.pop(sid, None)
-                else:
-                    n_samples, n_frames = struct.unpack_from("<ii", raw, 0)
-                    off = 8
-                    wave = np.frombuffer(raw, "<i2", n_samples, off)
-                    off += 2 * n_samples
-                    mask = np.frombuffer(raw, np.uint8, n_frames, off)
-                    off += n_frames
-                    video = None
-                    if inp.spec.input_type != "a":
-                        # visual rows ride as f16 (the payload-compaction
-                        # convention): n_frames x video_feat_dim
-                        video = np.frombuffer(
-                            raw, "<f2", n_frames * inp.vf, off
-                        ).astype(np.float32).reshape(n_frames, inp.vf)
-                    out = inp.push(
-                        wave.astype(np.float32), mask.astype(np.float32),
-                        video,
-                    )
-                    service.n_stream_pushes += 1
-                body = np.clip(out, -32768, 32767).astype("<i2").tobytes()
-                if inp.want_transcript:
-                    # framed reply:
-                    # <i4 n_wav_samples> wav_i2[] new_label_ids_i2[].
-                    # The cursor is HTTP-session state, so it lives in
-                    # the streams entry, not on the inference object.
-                    # Stays under the push lock: concurrent pushes on one
-                    # stream must each see/advance the cursor exactly once
-                    # or label ids get duplicated across replies.
-                    new_ids = inp.transcript[entry[2] :]
-                    entry[2] = len(inp.transcript)
-                    body = (
-                        struct.pack("<i", len(out))
-                        + body
-                        + np.asarray(new_ids, "<i2").tobytes()
-                    )
+            try:
+                with service._lock:  # one device stream
+                    if closing:
+                        out = inp.flush()
+                        with streams_lock:
+                            streams.pop(sid, None)
+                    else:
+                        n_samples, n_frames = struct.unpack_from("<ii", raw, 0)
+                        off = 8
+                        wave = np.frombuffer(raw, "<i2", n_samples, off)
+                        off += 2 * n_samples
+                        mask = np.frombuffer(raw, np.uint8, n_frames, off)
+                        off += n_frames
+                        if mask.size and mask.max() > 1:
+                            raise ValueError("frame mask bytes must be 0 or 1")
+                        video = None
+                        if inp.spec.input_type != "a":
+                            # visual rows ride as f16 (the payload-compaction
+                            # convention): n_frames x video_feat_dim
+                            video = np.frombuffer(
+                                raw, "<f2", n_frames * inp.vf, off
+                            ).astype(np.float32).reshape(n_frames, inp.vf)
+                        out = inp.push(
+                            wave.astype(np.float32), mask.astype(np.float32),
+                            video,
+                        )
+                        service.n_stream_pushes += 1
+                    body = np.clip(out, -32768, 32767).astype("<i2").tobytes()
+                    if inp.want_transcript:
+                        # framed reply:
+                        # <i4 n_wav_samples> wav_i2[] new_label_ids_i2[].
+                        # The cursor is HTTP-session state, so it lives in
+                        # the streams entry, not on the inference object.
+                        # Stays under the push lock: concurrent pushes on one
+                        # stream must each see/advance the cursor exactly once
+                        # or label ids get duplicated across replies.
+                        new_ids = inp.transcript[entry[2] :]
+                        entry[2] = len(inp.transcript)
+                        body = (
+                            struct.pack("<i", len(out))
+                            + body
+                            + np.asarray(new_ids, "<i2").tobytes()
+                        )
+            finally:
+                with streams_lock:
+                    entry[3] -= 1
+                    entry[1] = time.monotonic()
             self._reply(200, body)
 
         def do_POST(self):
+            # client errors -> 400 with the message; anything else is a
+            # server bug -> opaque 500 (no internal detail leaked). If a
+            # response was already started (including a 200 whose body write
+            # died on a closed client socket), never write a second one into
+            # the same connection.
+            self._replied = False
             if self.path.startswith("/stream/"):
-                # client errors -> 400 with the message; anything else is a
-                # server bug -> opaque 500 (no internal detail leaked). If a
-                # response was already started, never write a second one
-                # into the same connection.
-                self._replied = False
                 try:
                     self._do_stream()
                 except (ValueError, KeyError, IndexError, struct.error) as e:
@@ -432,9 +464,11 @@ def serve(
                     version = service.reload(path)
                     self._reply(200, json.dumps({"weights_version": version}).encode())
                 except (ValueError, FileNotFoundError, KeyError) as e:
-                    self._reply(400, str(e).encode())
+                    if not self._replied:
+                        self._reply(400, str(e).encode())
                 except Exception:
-                    self._reply(500, b"internal error")
+                    if not self._replied:
+                        self._reply(500, b"internal error")
                 return
             if self.path != "/enhance":
                 self.send_response(404)
@@ -452,28 +486,20 @@ def serve(
                 off = 8
                 wave = np.frombuffer(raw, "<i2", n_samples, off).astype(np.float32)
                 off += 2 * n_samples
-                mask = np.frombuffer(raw, np.uint8, t_frames, off).astype(np.float32)
-                enhanced = service.enhance(wave, mask)
-                body = enhanced.astype("<i2").tobytes()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/octet-stream")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                mask = np.frombuffer(raw, np.uint8, t_frames, off)
+                if mask.size and mask.max() > 1:
+                    raise ValueError("frame mask bytes must be 0 or 1")
+                enhanced = service.enhance(wave, mask.astype(np.float32))
+                self._reply(200, enhanced.astype("<i2").tobytes())
             except (ValueError, struct.error) as e:
                 # malformed request -> 400 with the message
-                msg = str(e).encode()
-                self.send_response(400)
-                self.send_header("Content-Length", str(len(msg)))
-                self.end_headers()
-                self.wfile.write(msg)
+                if not self._replied:
+                    self._reply(400, str(e).encode())
             except Exception:
                 # server bug (device/XLA failure, bad reload) -> opaque 500,
                 # same contract as /stream — no internal detail on the wire
-                self.send_response(500)
-                self.send_header("Content-Length", "14")
-                self.end_headers()
-                self.wfile.write(b"internal error")
+                if not self._replied:
+                    self._reply(500, b"internal error")
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.service = service  # exposed for tests / embedding callers
