@@ -34,15 +34,26 @@ _ERROR_CODES = {
 
 
 def _build() -> bool:
+    # Link to a per-process temp path and publish with an atomic rename:
+    # concurrent builders each replace the final .so with a complete file
+    # (never a half-written ELF), and a process that already dlopen'd the
+    # old library keeps its mapped inode (an in-place `-o libavsi_loader.so`
+    # truncates the live mapping -> SIGBUS on the next page fault).
     srcs = [p for p in (_SRC_PATH, _SRC_CTC) if os.path.isfile(p)]
+    tmp = f"{_SO_PATH}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             *srcs, "-o", _SO_PATH],
+             *srcs, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _SO_PATH)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -254,18 +265,22 @@ def load_file_records(
     if rc > max_samples:
         raise ValueError(f"{path} holds more than {max_samples} records")
     n = rc
+    # copy to exact-size arrays: callers (reader._native_batches_grouped)
+    # keep per-sample slices alive across files, and a view would pin the
+    # whole oversized (max_samples+1)-row parse buffer for as long as any
+    # slice lives — several times the actual data in steady state
     out = {
-        "sequence_lengths": seq_lens[:n],
-        "labels_lengths": lab_lens[:n],
-        "target_sources": wav[:n],
-        "labels": labels[:n],
-        "video_features": video[:n],
-        "masks": mask[:n],
+        "sequence_lengths": seq_lens[:n].copy(),
+        "labels_lengths": lab_lens[:n].copy(),
+        "target_sources": wav[:n].copy(),
+        "labels": labels[:n].copy(),
+        "video_features": video[:n].copy(),
+        "masks": mask[:n].copy(),
         "sample_paths": [
             path_buf.raw[i * 256 : (i + 1) * 256].split(b"\x00", 1)[0].decode(errors="replace")
             for i in range(n)
         ],
     }
     if emb is not None:
-        out["embeddings"] = emb[:n]
+        out["embeddings"] = emb[:n].copy()
     return out

@@ -51,6 +51,17 @@ def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
         spec_mean = os.path.join(work, "audio_spec_mean.npy")  # grid_drill layout
     spec_std = spec_mean.replace("_mean.npy", "_std.npy")
 
+    # the per-gap corpora below are generated on the default 12 ms-hop /
+    # 257-bin mask grid (create_syn_dataset defaults); fail loudly rather
+    # than hand a unet-geometry (8 ms / 128-bin) model misaligned masks
+    if (si_model.frame_step, si_model.fft_length) != (192, 512):
+        raise SystemExit(
+            f"gap_sweep generates masks on the 12 ms / 257-bin grid, but the "
+            f"SI checkpoint uses hop={si_model.frame_step} / "
+            f"fft={si_model.fft_length}; regenerate the per-gap corpora at "
+            "the model's geometry before sweeping"
+        )
+
     results = {"utts_per_gap": len(utt_names) * len(speakers)}
     for gap in gaps:
         tag = f"test-set-{gap}ms{cap_tag}"

@@ -136,6 +136,13 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
 
 if __name__ == "__main__":
     a = sys.argv[1:]
+    if len(a) in (4, 5):
+        # a partial utts triple would otherwise be silently dropped
+        raise SystemExit(
+            "usage: informative_study.py [dir] [epochs] [speakers] "
+            "[train_utts val_utts test_utts] [model ...] — give all three "
+            "utterance counts or none"
+        )
     main(
         a[0] if a else "/dev/shm/informative",
         int(a[1]) if len(a) > 1 else 60,

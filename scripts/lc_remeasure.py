@@ -27,12 +27,13 @@ from stream_per_levers import _stream_eval  # noqa: E402
 D = "/dev/shm/grid_drill"
 
 
-def main(epochs_lc=10, n_utts=64, chunk=8, look=16):
+def main(epochs_lc=10, n_utts=64, chunk=8, look=16, drill_dir=None):
     from avsi import config as config_lib
     from avsi.infer.inpaint import load_model_bundle
     from avsi.train import loop
     from avsi.ops import ctc as ctc_ops  # noqa: F401  (import check early)
 
+    D = drill_dir or globals()["D"]
     base_dir = os.path.join(D, "exp_si_ctc")
     config, stats, _, params = load_model_bundle(
         os.path.join(base_dir, "netmodel"), norm=True)

@@ -62,7 +62,9 @@ def main(workdir="/tmp/avsi_quality", model="av-blstm", epochs=25, gap_ms=400.0)
         os.path.join(workdir, "exp", "netmodel"), test_tfr, test_audio,
         "qcheck", norm=True, batch_size=8, phase_recon="gl", gl_iters=30,
     )
-    eval_summary = harness.speech_inpainting_eval(
+    # PER-free surface: no ASR runs here, so the PER columns of
+    # speech_inpainting_eval would degenerate to 1.0 and pollute quality.json
+    eval_summary = harness.speech_enhancement_eval(
         test_audio, "qcheck", "qcheck_eval", masked_eval=True,
     )
     out = {

@@ -78,7 +78,7 @@ def main(dest="/dev/shm/grid_drill"):
 
     del cache
     print("=== LC re-measure (causal-ssnn window-space trainer) ===", flush=True)
-    lc_remeasure.main()
+    lc_remeasure.main(drill_dir=dest)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ def main(model_dir="/dev/shm/grid_drill/exp_si/netmodel",
     stats_j = (np.asarray(stats[0], np.float32), np.asarray(stats[1], np.float32))
 
     offline_dec, stream_dec, refs = [], [], []
+    waves, fmasks, vids = [], [], []
     fwd = jax.jit(
         lambda p, b: blstm_lib.forward(p, b, config, stats_j, spec=spec, train=False)[
             "asr_logits"
@@ -60,6 +61,11 @@ def main(model_dir="/dev/shm/grid_drill/exp_si/netmodel",
             offline_dec.append([int(x) for x in dec[i] if x >= 0])
             ll = int(batch["labels_lengths"][i])
             refs.append([int(x) for x in batch["labels"][i][:ll]])
+            # keep the streaming inputs from this same pass (a second
+            # dm.batches sweep would re-parse the whole corpus)
+            waves.append(np.asarray(batch["target_sources"][i], np.float32))
+            fmasks.append(np.asarray(batch["masks"][i, :, 0], np.float32))
+            vids.append(np.asarray(batch["video_features"][i], np.float32))
             done += 1
             if done >= n_utts:
                 break
@@ -68,19 +74,6 @@ def main(model_dir="/dev/shm/grid_drill/exp_si/netmodel",
     # streaming transcripts for the same utterances in ONE lockstep fleet:
     # per-window dispatch covers all streams at once (the single-stream
     # path pays one relay round trip per window per utterance)
-    waves, fmasks, vids = [], [], []
-    got = 0
-    for batch in dm.batches(files, 8):
-        n = batch.get("num_real", len(batch["sequence_lengths"]))
-        for i in range(n):
-            waves.append(np.asarray(batch["target_sources"][i], np.float32))
-            fmasks.append(np.asarray(batch["masks"][i, :, 0], np.float32))
-            vids.append(np.asarray(batch["video_features"][i], np.float32))
-            got += 1
-            if got >= done:
-                break
-        if got >= done:
-            break
     _, stream_dec = streaming.stream_utterances_lockstep(
         config, stats, params, np.stack(waves), np.stack(fmasks),
         np.stack(vids), chunk_frames=chunk, lookahead_frames=look,

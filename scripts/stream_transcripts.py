@@ -74,10 +74,10 @@ def main(epochs=60, n_utts=64, ctc_weight=0.05, chunk=8, look=16):
         "n_utts": int(len(waves)),
     }
 
-    # offline ceilings (full bidirectional context)
-    out["per_offline"] = ctc_ops.per_metric(
-        _offline_decode(config, stats, params, batches, n_utts), labels
-    )
+    # offline ceilings (full bidirectional context); decode once, reused
+    # below for the stream-vs-offline disagreement metric
+    offline_dec = _offline_decode(config, stats, params, batches, n_utts)
+    out["per_offline"] = ctc_ops.per_metric(offline_dec, labels)
     out["stoi_offline"] = _mean_stoi(
         waves, _offline_wavs(config, stats, params, batches, n_utts)
     )
@@ -91,7 +91,6 @@ def main(epochs=60, n_utts=64, ctc_weight=0.05, chunk=8, look=16):
     )
     out["per_streaming"] = ctc_ops.per_metric(dec_s, labels)
     out["stoi_streaming"] = _mean_stoi(waves, wav_s)
-    offline_dec = _offline_decode(config, stats, params, batches, n_utts)
     out["per_stream_vs_offline"] = ctc_ops.per_metric(dec_s, offline_dec)
     print("streaming: PER", out["per_streaming"], "STOI", out["stoi_streaming"],
           "vs-offline", out["per_stream_vs_offline"], flush=True)

@@ -61,7 +61,13 @@ def build_corpus(workdir, raw_src):
                 _, wave = wavio.read_wav_int16(src)
                 wave = wave.astype(np.float32)[:N_SAMPLES]
                 if len(wave) < N_SAMPLES:
-                    continue
+                    # a silent `continue` would shrink the split below the
+                    # documented size with no error (the upfront count check
+                    # cannot see wave lengths)
+                    raise ValueError(
+                        f"{src} is shorter than {N_SAMPLES} samples; the "
+                        "anchor corpus requires full-length raw utterances"
+                    )
                 # gaps ~200-400 ms at the 8 ms frame grid (25-50 frames)
                 mask, _, _ = masks_lib.get_intrusions_mask(
                     rng, AF, T, cov_mean=0.25, cov_std=0.06, n_max_intr=1

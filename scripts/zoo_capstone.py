@@ -51,9 +51,8 @@ def main(dest="/dev/shm/grid_drill", epochs=60, models=DEFAULT_MODELS):
     corpus_cache: dict = {}  # ONE upload shared by every family
     out: dict = {}
 
-    for model in models:
-        exp = f"exp_zoo_{model}"
-        cfg = {
+    def family_config(model, exp):
+        return {
             "model": model, "audio_feat_dim": 257, "video_feat_dim": 136,
             "audio_len": 48000, "batch_size": 128, "net_dim": [250, 250, 250],
             "integration_layer": 0, "dropout_rate": 0.0,
@@ -65,12 +64,33 @@ def main(dest="/dev/shm/grid_drill", epochs=60, models=DEFAULT_MODELS):
             "audio_feat_mean": spec + "_mean.npy",
             "audio_feat_std": spec + "_std.npy", "tb_media": 0,
         }
+
+    def train_family(model, exp, extra=None):
+        cfg = family_config(model, exp)
+        cfg.update(extra or {})
         cfgp = os.path.join(dest, exp + ".config")
         config_lib.save_configfile(cfg, cfgp)
+        return loop.train_or_exit(cfgp, corpus_cache=corpus_cache)
+
+    for model in models:
+        exp = f"exp_zoo_{model}"
+        extra = {}
+        if model == "av-blstm-twosteps":
+            # the composition NEEDS a pre-trained, frozen v-blstm restored
+            # via model_ckp_vnet (reference training.py:115-116,153-159;
+            # the recipe scripts/twosteps_anchor.py uses) — without it the
+            # av-net trains on top of a random frozen video net
+            vnet_ckpt = os.path.join(dest, "exp_zoo_vnet", "netmodel", "sinet")
+            if not os.path.exists(vnet_ckpt + ".npz"):
+                print(f"=== {model}: pre-training vnet (v-blstm) ===",
+                      flush=True)
+                vsum = train_family("v-blstm", "exp_zoo_vnet")
+                print(f"vnet best_val {vsum['best_val']}", flush=True)
+            extra["model_ckp_vnet"] = vnet_ckpt
 
         print(f"=== {model}: training ({epochs} epochs) ===", flush=True)
         t0 = time.time()
-        summary = loop.train_or_exit(cfgp, corpus_cache=corpus_cache)
+        summary = train_family(model, exp, extra)
         train_s = round(time.time() - t0, 1)
 
         print(f"=== {model}: fused SI->ASR on 1980 test utterances ===",
