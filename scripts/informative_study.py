@@ -104,10 +104,26 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
 
     for model in models:
         exp = f"exp_{model}"
+        extra = {}
+        if model == "av-blstm-twosteps":
+            # the composition NEEDS a pre-trained frozen v-blstm restored via
+            # model_ckp_vnet (reference training.py:115-116,153-159); without
+            # it the av-net trains on a random frozen video net
+            vnet_ckpt = os.path.join(dest, "exp_vnet", "netmodel", "sinet")
+            if not os.path.exists(vnet_ckpt + ".npz"):
+                print("=== pre-training vnet (v-blstm) ===", flush=True)
+                vsum = loop.train_or_exit(
+                    cfg("v-blstm", "exp_vnet", spec + "_mean.npy",
+                        spec + "_std.npy", epochs),
+                    corpus_cache=cache,
+                )
+                print(f"vnet best_val {vsum['best_val']}", flush=True)
+            extra["model_ckp_vnet"] = vnet_ckpt
         print(f"=== {model}: {epochs} epochs ===", flush=True)
         t0 = time.time()
         summary = loop.train_or_exit(
-            cfg(model, exp, spec + "_mean.npy", spec + "_std.npy", epochs),
+            cfg(model, exp, spec + "_mean.npy", spec + "_std.npy", epochs,
+                **extra),
             corpus_cache=cache,
         )
         prefix = f"inf_{model}"
