@@ -834,6 +834,7 @@ def stream_utterances_lockstep(
     lookahead_frames: int | None = None,
     program_cache: dict | None = None,
     transcript: bool = False,
+    mesh=None,
 ):
     """Serve B streams in lockstep: each window is ONE fused device
     dispatch covering every stream (the multi-tenant serving shape), and
@@ -852,7 +853,16 @@ def stream_utterances_lockstep(
     transcripts is a list of B collapsed greedy CTC label-id lists —
     identical to each stream's StreamingInpainter incremental decode
     (multi-tenant live transcription at the same one-dispatch-per-window
-    cost)."""
+    cost).
+
+    mesh: an optional `jax.sharding.Mesh` with a `data` axis.  The fleet
+    is sharded over it — params replicated, every per-stream plane (window
+    inputs, LSTM carries, ssnn running state) partitioned on the batch
+    axis — so the SAME one-dispatch-per-window program serves B streams
+    across a whole slice (streams are independent; GSPMD partitions with
+    zero collectives).  The reference has no serving at all (SURVEY §2.4);
+    this is the multi-chip extension of the avsi-only fleet path.
+    Requires B divisible by the `data` axis size."""
     spec = blstm_lib.parse_model_name(config["model"])
     af = int(config["audio_feat_dim"])
     vf = int(config["video_feat_dim"])
@@ -881,6 +891,25 @@ def stream_utterances_lockstep(
         raise ValueError("model needs external speaker embeddings")
     if spec.input_type != "a" and videos is None:
         raise ValueError("model consumes video features")
+
+    shard = repl = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = mesh.shape.get("data", 0)
+        if not n_data:
+            raise ValueError("mesh must carry a 'data' axis")
+        if b_sz % n_data != 0:
+            raise ValueError(
+                f"fleet size {b_sz} not divisible by the mesh data axis "
+                f"({n_data})"
+            )
+        shard = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, repl)
+
+    def _put(x, sharding):
+        return jax.device_put(x, sharding) if sharding is not None else x
 
     stats_j = (jnp.asarray(stats[0], jnp.float32), jnp.asarray(stats[1], jnp.float32))
     key = ("raw", chunk, look, transcript)
@@ -916,17 +945,25 @@ def stream_utterances_lockstep(
         vid_glob = np.zeros((b_sz, t0_max + window_n, vf), np.float32)
         vid_glob[:, :t_frames] = np.asarray(videos, np.float32)
     ext_emb = (
-        jnp.asarray(embeddings, jnp.float32) if spec.conditioning == "emb" else None
+        _put(jnp.asarray(embeddings, jnp.float32), shard)
+        if spec.conditioning == "emb"
+        else None
     )
 
     hidden = [p["wh"].shape[1] for p, _ in _layer_list(params, spec, int_layer)]
     carries = [
-        (jnp.zeros((b_sz, h), jnp.float32), jnp.zeros((b_sz, h), jnp.float32))
+        (
+            _put(jnp.zeros((b_sz, h), jnp.float32), shard),
+            _put(jnp.zeros((b_sz, h), jnp.float32), shard),
+        )
         for h in hidden
     ]
-    prev = (jnp.zeros((b_sz, af), jnp.float32), jnp.zeros((b_sz, af), jnp.float32))
-    ssnn_sum = jnp.zeros((b_sz, blstm_lib.SSNN_DIM), jnp.float32)
-    ssnn_cnt = jnp.zeros((b_sz,), jnp.float32)
+    prev = (
+        _put(jnp.zeros((b_sz, af), jnp.float32), shard),
+        _put(jnp.zeros((b_sz, af), jnp.float32), shard),
+    )
+    ssnn_sum = _put(jnp.zeros((b_sz, blstm_lib.SSNN_DIM), jnp.float32), shard)
+    ssnn_cnt = _put(jnp.zeros((b_sz,), jnp.float32), shard)
     raw_len = (ext_frames - 1) * FRAME_STEP + FRAME_LENGTH
 
     outs = []
@@ -942,14 +979,18 @@ def stream_utterances_lockstep(
     for t0 in range(0, t_frames, chunk):
         final = t0 + window_n > real_frames  # the class's flush-window condition
         raw = {
-            "samples": jnp.asarray(samp[:, t0 * FRAME_STEP : t0 * FRAME_STEP + raw_len]),
-            "mask_ext": jnp.asarray(mask_glob[:, t0 : t0 + ext_frames]),
-            "video": (
+            "samples": _put(
+                jnp.asarray(samp[:, t0 * FRAME_STEP : t0 * FRAME_STEP + raw_len]),
+                shard,
+            ),
+            "mask_ext": _put(jnp.asarray(mask_glob[:, t0 : t0 + ext_frames]), shard),
+            "video": _put(
                 jnp.asarray(vid_glob[:, t0 : t0 + window_n])
                 if vid_glob is not None
-                else jnp.zeros((b_sz, window_n, vf), jnp.float32)
+                else jnp.zeros((b_sz, window_n, vf), jnp.float32),
+                shard,
             ),
-            "t_valid": jnp.asarray(min(_EXT_CTX + t_frames - t0, ext_frames)),
+            "t_valid": _put(jnp.asarray(min(_EXT_CTX + t_frames - t0, ext_frames)), repl),
         }
         if ext_emb is not None:
             raw["embedding"] = ext_emb
@@ -957,11 +998,14 @@ def stream_utterances_lockstep(
             visible = min(t0 + window_n, t_frames)
             upto = visible if final else max(0, visible - _DELTA_N)
             n_new = max(0, upto - deltas_done)
-            raw["fold_lo"] = jnp.asarray(_EXT_CTX + deltas_done - t0)
-            raw["fold_n"] = jnp.asarray(float(n_new))
-            raw["clamp_lo"] = jnp.asarray(max(0, _EXT_CTX - t0))
-            raw["clamp_hi"] = jnp.asarray(
-                _EXT_CTX + (t_frames - 1 - t0) if final else ext_frames - 1
+            raw["fold_lo"] = _put(jnp.asarray(_EXT_CTX + deltas_done - t0), repl)
+            raw["fold_n"] = _put(jnp.asarray(float(n_new)), repl)
+            raw["clamp_lo"] = _put(jnp.asarray(max(0, _EXT_CTX - t0)), repl)
+            raw["clamp_hi"] = _put(
+                jnp.asarray(
+                    _EXT_CTX + (t_frames - 1 - t0) if final else ext_frames - 1
+                ),
+                repl,
             )
             deltas_done = upto
         wav, _, _, carries, prev, ssnn_sum, ssnn_cnt, ids = step(

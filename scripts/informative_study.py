@@ -81,11 +81,17 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
     cache: dict = {}
     out: dict = {"speakers": speakers, "utts": list(utts), "epochs": epochs}
 
-    print("=== training ASR judge ===", flush=True)
-    judge_cfg = cfg("a-blstm", "exp_asr", fbanks + "_mean.npy",
-                    fbanks + "_std.npy", 8, net_dim=[250, 250], frame_stack=3)
-    out["judge"] = loop.train_or_exit(judge_cfg, is_asr=True, corpus_cache=cache)
     asr_ckpt = os.path.join(dest, "exp_asr", "netmodel")
+    if os.path.exists(os.path.join(asr_ckpt, "asrnet.npz")):
+        print("=== reusing trained ASR judge ===", flush=True)
+        out["judge"] = {"note": "reused existing exp_asr checkpoint"}
+    else:
+        print("=== training ASR judge ===", flush=True)
+        judge_cfg = cfg("a-blstm", "exp_asr", fbanks + "_mean.npy",
+                        fbanks + "_std.npy", 8, net_dim=[250, 250],
+                        frame_stack=3)
+        out["judge"] = loop.train_or_exit(judge_cfg, is_asr=True,
+                                          corpus_cache=cache)
 
     print("=== masking baseline ===", flush=True)
     masking.mask_app(

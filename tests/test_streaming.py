@@ -383,3 +383,37 @@ def test_lockstep_emb_and_validation():
         streaming.stream_utterances_lockstep(
             config, stats, params, waves, masks[:, :5], videos, embeddings=embs
         )
+
+
+def test_lockstep_sharded_fleet_matches_unsharded():
+    """mesh=: the fleet shards over the data axis (multi-chip serving).
+    Same program, same windows — outputs and transcripts must match the
+    single-device fleet exactly (streams are independent; GSPMD only
+    partitions the batch axis)."""
+    from avsi.parallel import mesh as mesh_lib
+
+    config, spec, params, stats, _ = _setup("av-blstm-ssnn-ctc")
+    b = synth_batch(config, batch_size=8, seed=11, gap=(4, 11))
+    waves = np.asarray(b["target_sources"])
+    masks = np.array(b["masks"][:, :, 0])
+    videos = np.asarray(b["video_features"])
+    masks[3, 15:22] = 0.0  # vary per-stream holes
+    masks[5, :] = 1.0
+
+    base_wav, base_tr = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos,
+        chunk_frames=5, lookahead_frames=7, transcript=True,
+    )
+    mesh = mesh_lib.get_mesh(4)
+    got_wav, got_tr = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos,
+        chunk_frames=5, lookahead_frames=7, transcript=True, mesh=mesh,
+    )
+    np.testing.assert_allclose(got_wav, base_wav, atol=2e-4, rtol=0)
+    assert got_tr == base_tr
+
+    with pytest.raises(ValueError):
+        streaming.stream_utterances_lockstep(
+            config, stats, params, waves[:3], masks[:3], videos[:3],
+            chunk_frames=5, lookahead_frames=7, mesh=mesh,
+        )
