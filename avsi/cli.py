@@ -225,6 +225,13 @@ def main(argv=None):
     args = parse_args(argv)
     name = args.subparser_name
 
+    # persistent XLA compile cache: identical programs across CLI
+    # invocations (train/infer/masking/serve) skip the 10-40 s remote
+    # compile on repeat runs; keyed on HLO, no staleness risk
+    from avsi.utils import cache as _cache
+
+    _cache.enable()
+
     if name == "dataset_generator":
         from avsi.data.generator import create_syn_dataset
 

@@ -33,6 +33,9 @@ from avsi.utils import wav as wavio
 
 def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False):
     """Load (config, stats, model, params) from a self-contained ckpt dir."""
+    from avsi.utils import cache as _cache
+
+    _cache.enable()  # inference scripts re-jit identical programs across runs
     config = config_lib.check_trainconfiguration(
         config_lib.load_configfile(os.path.join(model_path, "config.txt"))
     )

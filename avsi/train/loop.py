@@ -98,6 +98,9 @@ def exit_if_preempted(summary: dict, code: int = 143) -> None:
 def train_or_exit(*args, **kwargs) -> dict:
     """train(), but exit the process after a SIGTERM preemption instead of
     returning — the right call for scripts that train several models."""
+    from avsi.utils import cache as _cache
+
+    _cache.enable()  # study scripts retrain identical programs across runs
     summary = train(*args, **kwargs)
     exit_if_preempted(summary)
     return summary

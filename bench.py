@@ -100,6 +100,9 @@ def measure_tpu(batch_size=BATCH, inner_iters=50, compute_dtype="float32") -> di
     import jax.numpy as jnp
 
     from avsi.models import registry
+    from avsi.utils import cache as _cache
+
+    _cache.enable()  # repeat bench runs skip the remote compile
 
     config = _flagship_config(batch_size, compute_dtype)
     model = registry.get_model(config["model"])
