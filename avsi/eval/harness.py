@@ -188,6 +188,9 @@ def _summarize_and_write(rows, test_audio_dir, out_file, masked_eval,
             # must not turn the whole PER column into nan
             summary["per_masked"] = _nstats(col("PER_MASK"))
             summary["per_reduction"] = _nstats(per_r)
+        if with_sdr:
+            summary["sdr_masked"] = _nstats(col("SDR_MASK"))
+            summary["sisdr_masked"] = _nstats(col("SISDR_MASK"))
         print("Masked L1 (spectrogram): {:.5f} ({:.5f})".format(*summary["l1_masked"]))
         print("Masked PESQ: {:.5f} ({:.5f})".format(*summary["pesq_masked"]))
         print("Masked STOI: {:.5f} ({:.5f})".format(*summary["stoi_masked"]))

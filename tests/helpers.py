@@ -36,14 +36,15 @@ def tiny_config(model="a-blstm", audio_len=4800, net_dim=(32, 32), **kw):
 def synth_batch(config, batch_size=2, seed=0, gap=(5, 12)):
     """A GRID-shaped synthetic batch matching the TFRecord schema."""
     rng = np.random.RandomState(seed)
-    t = -(-config["audio_len"] // 192) if config["model"] != "unet" else config["audio_len"] // 128
+    # both unet twins live on the 16 ms / 8 ms (hop 128) grid
+    is_unet = str(config["model"]).startswith("unet")
+    t = config["audio_len"] // 128 if is_unet else -(-config["audio_len"] // 192)
     af = config["audio_feat_dim"]
     wave = 0.1 * np.sin(
         2 * np.pi * np.cumsum(rng.rand(batch_size, config["audio_len"]) * 0.05, axis=1)
     ) + 0.01 * rng.randn(batch_size, config["audio_len"])
     masks = np.ones((batch_size, t, af), np.float32)
-    for b in range(batch_size):
-        masks[b, gap[0] : gap[1]] = 0.0
+    masks[:, gap[0] : gap[1]] = 0.0
     labels = np.zeros((batch_size, 50), np.float32)
     lab_len = np.full((batch_size,), 5, np.int32)
     for b in range(batch_size):

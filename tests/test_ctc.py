@@ -63,10 +63,10 @@ def test_beam_search_agrees_with_greedy_on_peaked():
 def test_beam_search_merges_probability_mass():
     """Classic case where beam search beats best-path: repeated mass on a
     label split across alignments."""
-    # T=2, C=2 (label 0, blank 1)
-    # P(path [0,1]) = .6*.6, P([1,0]) = .4*.4 -- wait construct standard example:
+    # T=2, C=2 (label 0 has p=0.4 per step, blank p=0.6). Best single path
+    # is [blank, blank] (0.36) -> empty, but the three alignments of label
+    # '0' ([0,b], [b,0], [0,0]) sum to .4*.6 + .6*.4 + .4*.4 = 0.64
     logits = np.log(np.array([[0.4, 0.6], [0.4, 0.6]], np.float32))
-    # best path = [blank, blank] -> empty; but P(label '0') = .4*.6+.6*.4+.4*.4 = .64
     beam = ctc.beam_search_decode(logits, 2, beam_width=4)
     assert beam == [0]
 

@@ -106,7 +106,9 @@ with open(out, "w") as f:
     f.write(repr((sorted(mine), float(total))))
 """
     )
-    port = 12765
+    # PID-derived port: two concurrent suite runs on one host must not
+    # join each other's 2-process jax.distributed job
+    port = 12000 + (os.getpid() % 20000)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"

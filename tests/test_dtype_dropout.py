@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from avsi.models import registry
 from avsi.train import loop as loop_lib, state as state_lib
-from tests.helpers import identity_stats, synth_batch, tiny_config
+from helpers import identity_stats, synth_batch, tiny_config
 
 
 def _run_steps(cfg, n=6):

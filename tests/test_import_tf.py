@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from avsi.infer import import_tf
 from avsi.models import core, registry
-from tests.helpers import tiny_config
+from helpers import tiny_config
 
 
 def _sigmoid(x):
@@ -84,6 +84,7 @@ def test_roundtrip_export_import(tmp_path):
     for (pa, a), (pb, b) in zip(
         jax.tree_util.tree_flatten_with_path(params)[0],
         jax.tree_util.tree_flatten_with_path(got)[0],
+        strict=True,
     ):
         assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, err_msg=jax.tree_util.keystr(pa))
@@ -179,7 +180,8 @@ def test_cli_roundtrip(tmp_path):
         assert os.path.exists(os.path.join(back_dir, fname)), fname
     _, _, _, got = load_model_bundle(back_dir, norm=True)
     for a, b in zip(
-        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got)
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got),
+        strict=True,
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
@@ -199,6 +201,7 @@ def test_roundtrip_all_scope_layouts(model):
     for (pa, a), (pb, b) in zip(
         jax.tree_util.tree_flatten_with_path(params)[0],
         jax.tree_util.tree_flatten_with_path(got)[0],
+        strict=True,
     ):
         assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, err_msg=jax.tree_util.keystr(pa))
@@ -216,7 +219,8 @@ def test_roundtrip_asr_scope_layouts(model):
         import_tf.params_to_tf_variables(params, cfg, is_asr=True), params
     )
     for a, b in zip(
-        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got)
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got),
+        strict=True,
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 

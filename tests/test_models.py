@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from avsi.models import asr, blstm, registry
-from tests.helpers import identity_stats, synth_batch, tiny_config
+from helpers import identity_stats, synth_batch, tiny_config
 
 T = 25  # ceil(4800 / 192)
 

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from avsi.models import registry
 from avsi.train import checkpoints, loop as loop_lib, state as state_lib
-from tests.helpers import identity_stats, synth_batch, tiny_config
+from helpers import identity_stats, synth_batch, tiny_config
 
 
 def test_resume_bitwise_continuation(tmp_path):
@@ -53,6 +53,7 @@ def test_resume_bitwise_continuation(tmp_path):
     for a, b in zip(
         jax.tree_util.tree_leaves(st_cont.params),
         jax.tree_util.tree_leaves(st_res.params),
+        strict=True,
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
