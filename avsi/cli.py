@@ -204,6 +204,9 @@ def parse_args(argv=None):
     p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--max_streams", type=int, default=64)
     p.add_argument("--stream_idle_s", type=float, default=600.0)
+    p.add_argument("--data_shards", type=int, default=0,
+                   help="shard the /enhance micro-batch over a data mesh "
+                        "of this many devices (0 = single device)")
 
     p = sub.add_parser("fixture", description="Generate a synthetic GRID-like corpus (not in reference).")
     p.add_argument("-d", "--dest_dir", required=True)
@@ -371,7 +374,7 @@ def main(argv=None):
             args.model_path, args.host, args.port,
             max_streams=args.max_streams, stream_idle_s=args.stream_idle_s,
             micro_batch=args.micro_batch, phase_recon=args.phase_recon,
-            gl_iters=args.gl_iters,
+            gl_iters=args.gl_iters, data_shards=args.data_shards,
         )
         server.serve_forever()
     elif name == "fixture":

@@ -52,10 +52,32 @@ class InpaintingService:
         phase_recon: str = "gl",
         gl_iters: int = 30,
         norm: bool = True,
+        data_shards: int = 0,
     ):
+        """data_shards > 1 shards the /enhance micro-batch over a `data`
+        mesh (params replicated, batch partitioned — zero collectives,
+        utterances are independent), so one service instance saturates a
+        multi-chip slice.  Live streams keep their per-session
+        single-device state; shard fleets via
+        `streaming.stream_utterances_lockstep(mesh=...)` instead."""
         from avsi.infer.inpaint import load_model_bundle, make_infer_step
 
         self.config, stats, model, self.params = load_model_bundle(model_path, norm)
+        self._shard = self._repl = None
+        if data_shards and int(data_shards) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from avsi.parallel import mesh as mesh_lib
+
+            if micro_batch % int(data_shards):
+                raise ValueError(
+                    f"micro_batch {micro_batch} not divisible by "
+                    f"data_shards {data_shards}"
+                )
+            mesh = mesh_lib.get_mesh(int(data_shards))
+            self._shard = NamedSharding(mesh, PartitionSpec("data"))
+            self._repl = NamedSharding(mesh, PartitionSpec())
+            self.params = jax.device_put(self.params, self._repl)
         self.stats = stats
         self.micro_batch = micro_batch
         self.audio_len = int(self.config["audio_len"])
@@ -130,6 +152,8 @@ class InpaintingService:
             np.array_equal(stats[0], self.stats[0])
             and np.array_equal(stats[1], self.stats[1])
         )
+        if self._repl is not None:
+            params = jax.device_put(params, self._repl)
         new_step = self._step
         if rebuild:
             new_step = jax.jit(
@@ -139,7 +163,7 @@ class InpaintingService:
             )
             # compile + warm OUTSIDE the serving lock so in-flight requests
             # are not stalled behind the (possibly slow remote) compile
-            batch = self._template_batch(self.micro_batch)
+            batch = self._put_batch(self._template_batch(self.micro_batch))
             np.asarray(new_step(params, batch)[0])
         with self._lock:
             self.params = params
@@ -166,8 +190,13 @@ class InpaintingService:
             "mask_frames": np.ones((n, self.t_frames), np.int8),
         }
 
+    def _put_batch(self, batch: dict) -> dict:
+        if self._shard is None:
+            return batch
+        return {k: jax.device_put(v, self._shard) for k, v in batch.items()}
+
     def warmup(self) -> None:
-        batch = self._template_batch(self.micro_batch)
+        batch = self._put_batch(self._template_batch(self.micro_batch))
         wav, _, _ = self._step(self.params, batch)
         np.asarray(wav)
 
@@ -184,7 +213,7 @@ class InpaintingService:
                     waves[chunk], -32768, 32767
                 ).astype(np.int16)
                 batch["mask_frames"][:k] = mask_frames[chunk].astype(np.int8)
-                wav, _, _ = self._step(self.params, batch)
+                wav, _, _ = self._step(self.params, self._put_batch(batch))
                 out[chunk] = np.asarray(wav)[:k]
                 self.n_utterances += k
                 self.n_device_steps += 1

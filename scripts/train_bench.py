@@ -19,18 +19,12 @@ import jax.numpy as jnp
 
 
 def main(batch_size=128, inner=10, compute_dtype="bfloat16"):
+    from avsi.flagship import flagship_config, synthetic_batch
     from avsi.models import registry
     from avsi.train import loop as loop_lib, state as state_lib
 
-    config = {
-        "model": "av-blstm-ssnn-ctc", "audio_feat_dim": 257, "video_feat_dim": 136,
-        "audio_len": 48000, "batch_size": batch_size, "net_dim": [250, 250, 250],
-        "integration_layer": 0, "dropout_rate": 0.0, "num_asr_labels": 34,
-        "ctc_loss": 0.001, "embedding_dim": 512, "optimizer_type": "adam",
-        "starter_learning_rate": 0.001, "learning_rate": 0.001,
-        "lr_updating_steps": 10000, "lr_decay": 1.0, "l2": 0.0,
-        "compute_dtype": compute_dtype, "seed": 0,
-    }
+    # single source of truth shared with bench.py / __graft_entry__.py
+    config = flagship_config(batch_size, compute_dtype)
     model = registry.get_model(config["model"])
     params = model.init(jax.random.PRNGKey(0), config)
     stats = (np.zeros(257, np.float32), np.ones(257, np.float32))
@@ -38,19 +32,11 @@ def main(batch_size=128, inner=10, compute_dtype="bfloat16"):
     st = state_lib.TrainState(params, tx.init(params), jnp.int32(0))
     step_fn = loop_lib.make_train_step(model, tx, config, stats)
 
-    rng = np.random.RandomState(0)
-    t = 250
-    masks = np.ones((batch_size, t, 257), np.float32)
-    masks[:, 80:147] = 0.0
-    labels = np.zeros((batch_size, 50), np.float32)
-    labels[:, :5] = rng.randint(0, 33, size=(batch_size, 5))
     batch = {
-        "sequence_lengths": jnp.full((batch_size,), t, jnp.int32),
-        "labels_lengths": jnp.full((batch_size,), 5, jnp.int32),
-        "target_sources": jnp.asarray(3000 * rng.randn(batch_size, 48000), jnp.float32),
-        "video_features": jnp.asarray(rng.randn(batch_size, t, 136), jnp.float32),
-        "masks": jnp.asarray(masks),
-        "labels": jnp.asarray(labels),
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(
+            config, batch_size, gap_start=80, gap_frames=67
+        ).items()
     }
 
     def measure(f, *args, n=3):

@@ -418,3 +418,33 @@ def test_http_streaming(model_dir):
         assert out2.shape == (9600,)
     finally:
         server.shutdown()
+
+
+def test_service_enhance_data_shards(model_dir):
+    """data_shards: the /enhance micro-batch sharded over a 2-device data
+    mesh must reproduce the single-device service to 1 int16 LSB (params
+    replicated, batch partitioned, no collectives)."""
+    from avsi.serve import InpaintingService
+
+    base = InpaintingService(model_dir, micro_batch=2, phase_recon="none")
+    svc = InpaintingService(model_dir, micro_batch=2, phase_recon="none",
+                            data_shards=2)
+    rng = np.random.RandomState(1)
+    waves = (3000 * rng.randn(3, 9600)).astype(np.float32)
+    masks = np.ones((3, 50), np.float32)
+    masks[:, 12:22] = 0
+    # 1 int16 LSB: XLA partitioning may reassociate float math, which
+    # can flip samples sitting exactly on the rounding boundary
+    np.testing.assert_allclose(
+        svc.enhance_batch(waves, masks).astype(np.int32),
+        base.enhance_batch(waves, masks).astype(np.int32), atol=1, rtol=0,
+    )
+    # reload keeps the replicated placement
+    svc.reload()
+    np.testing.assert_allclose(
+        svc.enhance_batch(waves, masks).astype(np.int32),
+        base.enhance_batch(waves, masks).astype(np.int32), atol=1, rtol=0,
+    )
+    with pytest.raises(ValueError):
+        InpaintingService(model_dir, micro_batch=3, phase_recon="none",
+                          data_shards=2)
