@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--look", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--model", default="av-blstm-ssnn-ctc")
+    ap.add_argument("--data_shards", type=int, default=0,
+                    help="shard the fleet over a data mesh of N devices "
+                         "(0 = single device)")
     ap.add_argument("--fleet", type=int, default=0,
                     help="also bench N lockstep streams through one "
                     "batched window program (multi-tenant serving shape)")
@@ -68,12 +71,18 @@ def main():
     assert out.shape == (48000,) and np.isfinite(out).all()
     if args.fleet:
         b = args.fleet
+        fleet_mesh = None
+        if args.data_shards > 1:
+            from avsi.parallel import mesh as mesh_lib
+
+            fleet_mesh = mesh_lib.get_mesh(args.data_shards)
         waves = (3000 * rng.randn(b, 48000)).astype(np.float32)
         fmask = np.tile(mask, (b, 1))
         vids = rng.randn(b, 250, 136).astype(np.float32) if vid is not None else None
         streaming.stream_utterances_lockstep(  # compile
             config, stats, params, waves, fmask, vids,
             chunk_frames=args.chunk, lookahead_frames=args.look,
+            mesh=fleet_mesh,
         )
         ts = []
         for _ in range(args.reps):
@@ -81,6 +90,7 @@ def main():
             fo = streaming.stream_utterances_lockstep(
                 config, stats, params, waves, fmask, vids,
                 chunk_frames=args.chunk, lookahead_frames=args.look,
+                mesh=fleet_mesh,
             )
             ts.append(time.time() - t0)
         fdt = min(ts)
@@ -93,6 +103,7 @@ def main():
             "value": round(rtf_fleet, 1),
             "unit": "concurrent_realtime_streams_per_chip",
             "fleet": b,
+            "data_shards": args.data_shards,
             "wall_s_per_3s_utt_fleet": round(fdt, 3),
             "ms_per_window_fleet": round(1000 * fdt / n_windows, 1),
         }))
