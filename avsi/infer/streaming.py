@@ -26,9 +26,18 @@ Semantics vs the offline path (`avsi/infer/inpaint.py`):
   * With a short window the forward direction is still exact; only the
     backward context is truncated to L frames (the LC approximation).
   * Phase: masked phase (known-region phase, zero in the hole) — the
-    streaming analogue of the reference's pre-LWS output.  Iterative
-    Griffin-Lim over a chunk window would see too little context to help;
-    use the offline path when phase reconstruction matters.
+    streaming analogue of the reference's pre-LWS output, and the exact
+    twin of the offline `phase_recon="none"` path.  `phase_fill=True`
+    instead fills the hole by causal phase-vocoder extrapolation (the
+    forward half of `avsi.ops.phase.extrapolate_phase`, zero added
+    latency, carry on device) — measured NEGATIVE result, hence off by
+    default: on the trained informative flagship the fill is sample-exact
+    with the offline forward-only extrapolation (STOI 0.8832 == 0.8832 at
+    a whole-utterance window) yet LOSES to masked phase (0.8945) at
+    gl_iters=0; extrapolation pays only as a Griffin-Lim INIT
+    (offline gl10: 0.9046 extrapolate-init vs 0.8942 zero-init), and GL
+    over a chunk window sees too little context to help.  Use the offline
+    path when phase reconstruction matters.
   * SSNN speaker embeddings are estimated causally: the masked average
     (models.py:800-842, +1 denominator) accumulates a frame once its delta
     features are final (2 frames after arrival; exact at flush) and it is
@@ -61,6 +70,7 @@ import jax.numpy as jnp
 from avsi.models import blstm as blstm_lib
 from avsi.models import core
 from avsi.ops import stft as stft_ops
+from avsi.ops.phase import _princarg
 
 FRAME_LENGTH = blstm_lib.FRAME_LENGTH  # 384
 FRAME_STEP = blstm_lib.FRAME_STEP  # 192
@@ -198,10 +208,10 @@ class _ProgSpec:
     StreamingInpainter with its live buffers."""
 
     __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "gate_dtype",
-                 "stats", "transcript")
+                 "stats", "transcript", "phase_fill")
 
     def __init__(self, spec, int_layer, chunk, compute_dtype, stats,
-                 transcript=False, gate_dtype=None):
+                 transcript=False, gate_dtype=None, phase_fill=False):
         self.spec = spec
         self.int_layer = int_layer
         self.chunk = chunk
@@ -211,6 +221,35 @@ class _ProgSpec:
         self.gate_dtype = compute_dtype if gate_dtype is None else gate_dtype
         self.stats = stats
         self.transcript = transcript  # also emit CTC argmax ids per chunk
+        self.phase_fill = phase_fill  # causal hole-phase extrapolation
+
+
+def _causal_fill(phase, known, carry):
+    """Causal hole-phase extrapolation over one chunk of frames — the
+    forward half of `avsi.ops.phase.extrapolate_phase`, with the scan carry
+    exposed so it composes exactly across window boundaries.
+
+    phase: (B, C, F) masked phase (true where known, anything in the hole);
+    known: (B, C) 1 = frame intact; carry: (last output phase (B, F),
+    per-bin advance (B, F), last frame knownness (B,)).  Returns the filled
+    (B, C, F) phase and the new (advance, knownness) carry — the new last
+    phase is the filled chunk's final frame, which the caller already
+    keeps as the OLA left context."""
+    f = phase.shape[-1]
+    omega = 2 * jnp.pi * jnp.arange(f) * FRAME_STEP / FFT_LENGTH
+
+    def fill_cell(c, inp):
+        ph_prev, adv, pk = c
+        ph_t, k_t = inp
+        both = (k_t * pk)[:, None]
+        adv = jnp.where(both > 0, omega + _princarg(ph_t - ph_prev - omega), adv)
+        ph_out = jnp.where(k_t[:, None] > 0, ph_t, ph_prev + adv)
+        return (ph_out, adv, k_t), ph_out
+
+    (_, adv, pk), ph_f = jax.lax.scan(
+        fill_cell, carry, (jnp.moveaxis(phase, 1, 0), known.T)
+    )
+    return jnp.moveaxis(ph_f, 0, 1), (adv, pk)
 
 
 def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
@@ -289,7 +328,14 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
     # fused OLA: resynthesize [prev_frame, chunk frames] on device and
     # return only the samples the chunk finalizes.  Batch-generic: the
     # same program serves one live stream (B=1) or a lockstep fleet.
-    prev_mag, prev_phase = prev  # (B, af) each
+    # prev also carries the causal phase-extrapolation state: the last
+    # emitted frame's (filled) phase doubles as the extrapolation anchor.
+    prev_mag, prev_phase, ph_adv, prev_known = prev  # (B,af)x3 + (B,)
+    if prog.phase_fill:
+        k_emit = window["mask"][:, : prog.chunk]  # (B, C)
+        phase, (ph_adv, prev_known) = _causal_fill(
+            phase, k_emit, (prev_phase, ph_adv, prev_known)
+        )
     frames_mag = jnp.concatenate([prev_mag[:, None], mag], axis=1)
     frames_ph = jnp.concatenate([prev_phase[:, None], phase], axis=1)
     wav = stft_ops.waveform_from_mag_phase(
@@ -300,7 +346,7 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
         frame_step=FRAME_STEP,
         fft_length=FFT_LENGTH,
     )[:, FRAME_STEP : FRAME_STEP + prog.chunk * FRAME_STEP]
-    new_prev = (mag[:, -1], phase[:, -1])
+    new_prev = (mag[:, -1], phase[:, -1], ph_adv, prev_known)
     return wav, mag, phase, new_carries, new_prev, ssnn_sum, ssnn_cnt, ids
 
 
@@ -410,6 +456,7 @@ class StreamingInpainter:
         embedding: np.ndarray | None = None,
         program_cache: dict | None = None,
         transcript: bool = False,
+        phase_fill: bool = False,
     ):
         """chunk_frames/lookahead_frames default (None) to the model's
         TRAINED window when the config carries lc_chunk/lc_lookahead —
@@ -460,7 +507,8 @@ class StreamingInpainter:
             p["wh"].shape[1] for p, _ in _layer_list(params, self.spec, self.int_layer)
         ]
         self._ctc_blank = ctc_blank_id(params) if self.spec.ctc else -1
-        key = (self.chunk, self.look, self.want_transcript)
+        self.phase_fill = bool(phase_fill)
+        key = (self.chunk, self.look, self.want_transcript, self.phase_fill)
         if program_cache is not None and key in program_cache:
             self._step = program_cache[key]
         else:
@@ -479,6 +527,7 @@ class StreamingInpainter:
                     jnp.asarray(stats[1], jnp.float32),
                 ),
                 transcript=self.want_transcript,
+                phase_fill=self.phase_fill,
             )
             self._step = jax.jit(partial(_window_step, prog))
             if program_cache is not None:
@@ -507,10 +556,17 @@ class StreamingInpainter:
         # previous emitted frame (mag, phase): the left OLA context.  Zeros
         # behave exactly like the offline iSTFT's nonexistent frame -1.
         # Device copy feeds the fused on-device OLA; the host mirror serves
-        # the short terminal flush window.
+        # the short terminal flush window.  Slots 3/4 are the causal
+        # phase-extrapolation carry: per-bin advance (init: the bin's
+        # nominal hop advance) and whether the last frame was known.
+        omega = (
+            2 * np.pi * np.arange(self.af) * FRAME_STEP / FFT_LENGTH
+        ).astype(np.float32)
         self._prev_dev = (
             jnp.zeros((1, self.af), jnp.float32),
             jnp.zeros((1, self.af), jnp.float32),
+            jnp.asarray(omega[None]),
+            jnp.zeros((1,), jnp.float32),
         )
         self._frames_in = 0  # featurized
         self._frames_out = 0  # emitted
@@ -835,6 +891,7 @@ def stream_utterances_lockstep(
     program_cache: dict | None = None,
     transcript: bool = False,
     mesh=None,
+    phase_fill: bool = False,
 ):
     """Serve B streams in lockstep: each window is ONE fused device
     dispatch covering every stream (the multi-tenant serving shape), and
@@ -912,7 +969,7 @@ def stream_utterances_lockstep(
         return jax.device_put(x, sharding) if sharding is not None else x
 
     stats_j = (jnp.asarray(stats[0], jnp.float32), jnp.asarray(stats[1], jnp.float32))
-    key = ("raw", chunk, look, transcript)
+    key = ("raw", chunk, look, transcript, bool(phase_fill))
     if program_cache is not None and key in program_cache:
         step = program_cache[key]
     else:
@@ -922,6 +979,7 @@ def stream_utterances_lockstep(
             compute_dtype=cdt, gate_dtype=gdt,
             stats=stats_j,
             transcript=transcript,
+            phase_fill=bool(phase_fill),
         )
         step = jax.jit(partial(_window_step_raw, prog))
         if program_cache is not None:
@@ -958,9 +1016,14 @@ def stream_utterances_lockstep(
         )
         for h in hidden
     ]
+    omega = (2 * np.pi * np.arange(af) * FRAME_STEP / FFT_LENGTH).astype(
+        np.float32
+    )
     prev = (
         _put(jnp.zeros((b_sz, af), jnp.float32), shard),
         _put(jnp.zeros((b_sz, af), jnp.float32), shard),
+        _put(jnp.broadcast_to(omega, (b_sz, af)).copy(), shard),
+        _put(jnp.zeros((b_sz,), jnp.float32), shard),
     )
     ssnn_sum = _put(jnp.zeros((b_sz, blstm_lib.SSNN_DIM), jnp.float32), shard)
     ssnn_cnt = _put(jnp.zeros((b_sz,), jnp.float32), shard)

@@ -224,13 +224,17 @@ class InpaintingService:
 
     def open_stream(self, chunk_frames: int | None = None,
                     lookahead_frames: int | None = None,
-                    transcript: bool = False):
+                    transcript: bool = False,
+                    phase_fill: bool = False):
         """A live LC-BLSTM stream sharing this service's warm weights (and,
-        across streams with the same chunk/lookahead/transcript, the
+        across streams with the same chunk/lookahead/transcript/fill, the
         compiled window program). chunk/lookahead default to the model's
         trained LC window when the config carries lc_chunk/lc_lookahead
         (else C=8/L=16). transcript=True (CTC models) maintains an
-        incremental greedy decode on the stream object."""
+        incremental greedy decode on the stream object. phase_fill=True
+        enables causal hole-phase extrapolation (measured net-negative on
+        STOI/PESQ without Griffin-Lim refinement — see
+        infer/streaming.py's module docstring — hence opt-in)."""
         from avsi.infer.streaming import StreamingInpainter
 
         # snapshot a coherent (config, stats, params, cache) set under the
@@ -244,8 +248,9 @@ class InpaintingService:
             config, stats, params,
             chunk_frames=chunk_frames, lookahead_frames=lookahead_frames,
             program_cache=cache, transcript=transcript,
+            phase_fill=phase_fill,
         )
-        if (inp.chunk, inp.look, inp.want_transcript) not in known:
+        if (inp.chunk, inp.look, inp.want_transcript, inp.phase_fill) not in known:
             # fresh (chunk, look, transcript) key: jax.jit is lazy, so the
             # compile would otherwise fire on the stream's FIRST PUSH —
             # inside the device lock, stalling every other request behind a
@@ -364,6 +369,7 @@ def serve(
                 chunk = int(q["chunk"][0]) if "chunk" in q else None
                 look = int(q["look"][0]) if "look" in q else None
                 transcript = bool(int(q.get("transcript", ["0"])[0]))
+                fill = bool(int(q.get("fill", ["0"])[0]))
                 if chunk is not None and not 1 <= chunk <= 256:
                     raise ValueError("chunk must be in [1,256]")
                 if look is not None and not 0 <= look <= 256:
@@ -390,7 +396,8 @@ def serve(
                     self._reply(429, b"too many live streams")
                     return
                 try:
-                    inp = service.open_stream(chunk, look, transcript=transcript)
+                    inp = service.open_stream(chunk, look, transcript=transcript,
+                                              phase_fill=fill)
                 except Exception:
                     with streams_lock:
                         streams.pop(sid, None)

@@ -68,7 +68,8 @@ def test_full_window_matches_offline(model, cfg_kw):
     wave, frame_mask, video = _streaming_inputs(batch)
     emb = np.asarray(batch["embeddings"][0]) if spec.conditioning == "emb" else None
     inp = streaming.StreamingInpainter(
-        config, stats, params, chunk_frames=T, lookahead_frames=0, embedding=emb
+        config, stats, params, chunk_frames=T, lookahead_frames=0,
+        embedding=emb, phase_fill=False,  # offline "none" uses masked phase
     )
     got = streaming.stream_utterance(inp, wave, frame_mask, video)
     assert got.shape == (T * 192,)
@@ -95,7 +96,8 @@ def test_lc_window_close_to_offline():
     off = _offline_wav(params, batch, config, stats, spec)[: T * 192]
     wave, frame_mask, _ = _streaming_inputs(batch)
     inp = streaming.StreamingInpainter(
-        config, stats, params, chunk_frames=8, lookahead_frames=16
+        config, stats, params, chunk_frames=8, lookahead_frames=16,
+        phase_fill=False,  # offline "none" uses masked phase
     )
     got = streaming.stream_utterance(inp, wave, frame_mask)
     rel = np.linalg.norm(got - off) / (np.linalg.norm(off) + 1e-12)
@@ -103,6 +105,109 @@ def test_lc_window_close_to_offline():
     # and the hole region is actually synthesized, not silence
     hole = got[6 * 192 : 13 * 192]
     assert np.abs(hole).max() > 0
+
+
+def test_phase_fill_carry_composes_across_chunks():
+    """The extrapolation carry (advance + last phase + knownness) crosses
+    window boundaries exactly: chunked _causal_fill equals one whole-
+    sequence call, and both equal an independent numpy forward fill."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    b, t, f = 2, 40, 9
+    phase = rng.uniform(-np.pi, np.pi, (b, t, f)).astype(np.float32)
+    known = np.ones((b, t), np.float32)
+    known[0, 10:22] = 0.0  # mid hole
+    known[1, 0:5] = 0.0  # hole at stream start
+    known[1, 30:40] = 0.0  # hole running into stream end
+    phase = phase * known[:, :, None]  # masked phase, like the live path
+
+    omega = 2 * np.pi * np.arange(f) * 192 / 512
+    carry0 = (
+        jnp.zeros((b, f), jnp.float32),
+        jnp.asarray(np.broadcast_to(omega, (b, f)).astype(np.float32)),
+        jnp.zeros((b,), jnp.float32),
+    )
+
+    whole, _ = streaming._causal_fill(
+        jnp.asarray(phase), jnp.asarray(known), carry0
+    )
+    whole = np.asarray(whole)
+
+    # chunked: 7-frame windows, carry threaded manually
+    carry = carry0
+    parts = []
+    for lo in range(0, t, 7):
+        ph_c, (adv, pk) = streaming._causal_fill(
+            jnp.asarray(phase[:, lo : lo + 7]),
+            jnp.asarray(known[:, lo : lo + 7]),
+            carry,
+        )
+        parts.append(np.asarray(ph_c))
+        carry = (jnp.asarray(ph_c[:, -1]), adv, pk)
+    chunked = np.concatenate(parts, axis=1)
+    np.testing.assert_allclose(chunked, whole, atol=1e-5, rtol=0)
+
+    # independent numpy reference
+    def princarg(x):
+        return (x + np.pi) % (2 * np.pi) - np.pi
+
+    for i in range(b):
+        ph_prev = np.zeros(f, np.float32)
+        adv = omega.copy()
+        pk = 0.0
+        for ti in range(t):
+            if known[i, ti] > 0:
+                if pk > 0:
+                    adv = omega + princarg(phase[i, ti] - ph_prev - omega)
+                out = phase[i, ti]
+            else:
+                out = ph_prev + adv
+            # extrapolated phase accumulates to tens of radians; compare at
+            # f32 resolution of that magnitude
+            np.testing.assert_allclose(whole[i, ti], out, atol=5e-4, rtol=0)
+            ph_prev = out.astype(np.float32)
+            pk = known[i, ti]
+
+
+def test_phase_fill_touches_only_the_hole():
+    """Fill changes samples only near hole frames: with an intact mask the
+    output is identical, and with a hole everything >=1 frame away from it
+    (outside OLA bleed) matches the no-fill output."""
+    config, spec, params, stats, batch = _setup("a-blstm")
+    wave, frame_mask, _ = _streaming_inputs(batch)
+
+    def run(mask, fill):
+        inp = streaming.StreamingInpainter(
+            config, stats, params, chunk_frames=8, lookahead_frames=4,
+            phase_fill=fill,
+        )
+        return streaming.stream_utterance(inp, wave, mask)
+
+    intact = np.ones_like(frame_mask)
+    np.testing.assert_allclose(
+        run(intact, True), run(intact, False), atol=1e-6, rtol=0
+    )
+    with_f = run(frame_mask, True)
+    without = run(frame_mask, False)
+    hole = np.flatnonzero(frame_mask < 0.5)
+    assert hole.size, "fixture batch should contain a hole"
+    near = np.zeros(len(frame_mask), bool)
+    for h in hole:
+        near[max(0, h - 1) : h + 2] = True
+    far_samples = np.repeat(~near, 192)[: len(with_f)]
+    np.testing.assert_allclose(
+        with_f[far_samples], without[far_samples], atol=1e-4, rtol=0
+    )
+    # and inside the hole the two genuinely differ (the fill is active) —
+    # scaled to the (random-init) model's output amplitude
+    hole_samples = np.repeat(
+        np.isin(np.arange(len(frame_mask)), hole), 192
+    )[: len(with_f)]
+    scale = np.abs(without).max() + 1e-12
+    assert (
+        np.abs(with_f[hole_samples] - without[hole_samples]).max() > 0.2 * scale
+    )
 
 
 def test_incremental_emission_and_latency():
