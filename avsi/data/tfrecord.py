@@ -138,13 +138,48 @@ def encode_feature_list(features: list[bytes]) -> bytes:
     return b"".join(_len_delimited(1, f) for f in features)
 
 
+def _feature_list_float_rows(arr) -> bytes:
+    """Encoded FeatureList of one packed-float Feature per row, vectorized.
+
+    Byte-identical to
+    ``encode_feature_list([feature_floats(row) for row in arr])`` (asserted
+    in tests/test_tfrecord.py) but ~20x faster for the (250, 257)-sized
+    mask/video matrices that dominate corpus serialization: every row has
+    the same byte width, so the protobuf headers are computed once and the
+    float payload is one contiguous ``tobytes`` sliced per row.
+    """
+    arr = np.ascontiguousarray(np.asarray(arr, dtype="<f4"))
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, w = arr.shape
+    rb = 4 * w
+    inner_hdr = _tag(1, 2) + _varint(rb)  # FloatList.value, packed
+    feat_hdr = _tag(2, 2) + _varint(len(inner_hdr) + rb)  # Feature.float_list
+    row_hdr = (  # FeatureList.feature entry
+        _tag(1, 2)
+        + _varint(len(feat_hdr) + len(inner_hdr) + rb)
+        + feat_hdr
+        + inner_hdr
+    )
+    raw = memoryview(arr.tobytes())
+    return b"".join(
+        b"".join((row_hdr, raw[i * rb : (i + 1) * rb])) for i in range(n)
+    )
+
+
 def encode_sequence_example(
-    context: dict[str, bytes], feature_lists: dict[str, list[bytes]]
+    context: dict[str, bytes], feature_lists: dict[str, list[bytes] | bytes]
 ) -> bytes:
-    """SequenceExample{context=1 Features, feature_lists=2 FeatureLists}"""
+    """SequenceExample{context=1 Features, feature_lists=2 FeatureLists}
+
+    A feature_lists value may be either a list of encoded Features or an
+    already-encoded FeatureList (bytes, e.g. from _feature_list_float_rows).
+    """
     ctx = encode_features(context)
     fls = b"".join(
-        _len_delimited(1, _map_entry(k, encode_feature_list(v)))
+        _len_delimited(
+            1, _map_entry(k, v if isinstance(v, bytes) else encode_feature_list(v))
+        )
         for k, v in feature_lists.items()
     )
     return _len_delimited(1, ctx) + _len_delimited(2, fls)
@@ -260,10 +295,15 @@ class TFRecordWriter:
 
     def write(self, record: bytes) -> None:
         header = struct.pack("<Q", len(record))
-        self._f.write(header)
-        self._f.write(struct.pack("<I", _masked_crc(header)))
-        self._f.write(record)
-        self._f.write(struct.pack("<I", _masked_crc(record)))
+        # one kernel write per record: on this sandbox's tmpfs each write()
+        # costs ~2 ms regardless of size, so 4 writes/record dominated
+        # corpus serialization
+        self._f.write(
+            header
+            + struct.pack("<I", _masked_crc(header))
+            + record
+            + struct.pack("<I", _masked_crc(record))
+        )
 
     def close(self) -> None:
         self._f.close()
@@ -331,9 +371,9 @@ def serialize_sample_fixed(
     if embedding is not None:
         context["embedding"] = feature_floats(embedding)
     feature_lists = {
-        "mask": [feature_floats(row) for row in np.asarray(mask)],
-        "video_features": [feature_floats(row) for row in np.asarray(video_features)],
-        "labels": [feature_floats([float(x)]) for x in np.asarray(labels)],
+        "mask": _feature_list_float_rows(mask),
+        "video_features": _feature_list_float_rows(video_features),
+        "labels": _feature_list_float_rows(np.asarray(labels, np.float32)),
     }
     return encode_sequence_example(context, feature_lists)
 
@@ -388,12 +428,12 @@ def serialize_sample_var(
     if embedding is not None:
         context["embedding"] = feature_floats(embedding)
     feature_lists = {
-        "target_audio_wav": [
-            feature_floats([float(x)]) for x in np.asarray(target_audio_wav)
-        ],
-        "video_features": [feature_floats(row) for row in np.asarray(video_features)],
-        "mask": [feature_floats(row) for row in np.asarray(mask)],
-        "labels": [feature_floats([float(x)]) for x in np.asarray(labels)],
+        "target_audio_wav": _feature_list_float_rows(
+            np.asarray(target_audio_wav, np.float32)
+        ),
+        "video_features": _feature_list_float_rows(video_features),
+        "mask": _feature_list_float_rows(mask),
+        "labels": _feature_list_float_rows(np.asarray(labels, np.float32)),
         "sample_path": [feature_int64s([ord(ch)]) for ch in sample_path],
     }
     return encode_sequence_example(context, feature_lists)

@@ -138,3 +138,20 @@ def test_group_tfrecords_raw_passthrough(tmp_path):
         grouped += list(read_records(str(out / f), verify_crc=True))
     assert sorted(grouped) == sorted(originals)
     assert (out / "seq_lengths.npy").exists()
+
+
+def test_vectorized_feature_list_byte_identical():
+    """_feature_list_float_rows is a pure speedup: byte-identical to the
+    generic per-row encoding it replaced in serialize_sample_{fixed,var}."""
+    rng = np.random.RandomState(3)
+    for arr in (
+        rng.randn(250, 257).astype(np.float32),
+        rng.randn(250, 136).astype(np.float64),  # float64 input path
+        rng.randn(50),  # 1-D (labels / var-mode wav)
+        np.zeros((0, 7), np.float32),  # empty
+    ):
+        fast = tfr._feature_list_float_rows(arr)
+        rows = np.asarray(arr, np.float32)
+        rows = rows[:, None] if rows.ndim == 1 else rows
+        slow = tfr.encode_feature_list([tfr.feature_floats(r) for r in rows])
+        assert fast == slow
