@@ -17,6 +17,7 @@ from avsi.ops import phase as phase_ops
 def reconstruct_waveform(
     model, outputs: dict, batch: dict, config: dict, stats_j: tuple,
     oracle_phase: bool, phase_recon: str, gl_iters: int,
+    gl_opts: dict | None = None,
 ) -> jax.Array:
     if oracle_phase or phase_recon == "none":
         return model.enhanced_sources(outputs, batch, config, stats_j, oracle_phase)
@@ -40,6 +41,7 @@ def reconstruct_waveform(
         frame_length=model.frame_length,
         frame_step=model.frame_step,
         fft_length=model.fft_length,
+        **(gl_opts or {}),
     )
 
 

@@ -62,7 +62,8 @@ def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False):
     return config, stats, model, params
 
 
-def make_infer_step(model, config, stats, oracle_phase: bool, phase_recon: str, gl_iters: int):
+def make_infer_step(model, config, stats, oracle_phase: bool, phase_recon: str, gl_iters: int,
+                    gl_opts: dict | None = None):
     stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
 
     def step(params, batch):
@@ -70,7 +71,8 @@ def make_infer_step(model, config, stats, oracle_phase: bool, phase_recon: str, 
         out = model.forward(params, batch, config, stats_j, train=False)
         loss_ps, hole_ps = common.per_sample_losses(out, batch)
         wav = common.reconstruct_waveform(
-            model, out, batch, config, stats_j, oracle_phase, phase_recon, gl_iters
+            model, out, batch, config, stats_j, oracle_phase, phase_recon, gl_iters,
+            gl_opts,
         )
         # int16 on device: the files are int16 anyway and this halves the
         # device->host transfer of the dominant output
@@ -90,6 +92,7 @@ def infer(
     batch_size: int = 1,
     phase_recon: str = "gl",
     gl_iters: int = 50,
+    gl_opts: dict | None = None,
 ) -> dict:
     batch_size = batch_size or 1
     config, stats, model, params = load_model_bundle(model_path, norm)
@@ -103,7 +106,8 @@ def infer(
     if not files:
         raise ValueError(f"no tfrecords under {data_path_test}")
 
-    step = jax.jit(make_infer_step(model, config, stats, oracle_phase, phase_recon, gl_iters))
+    step = jax.jit(make_infer_step(model, config, stats, oracle_phase, phase_recon, gl_iters,
+                                   gl_opts))
 
     def write_one(args):
         path, data = args

@@ -107,6 +107,7 @@ def griffin_lim_blend(
     fft_length: int = 512,
     momentum: float = 0.99,
     init: str = "extrapolate",
+    hole_mag_relax: float = 0.0,
 ) -> jax.Array:
     """Reconstruct a waveform from magnitudes with partially-known phase.
 
@@ -115,6 +116,13 @@ def griffin_lim_blend(
     with momentum) from `init` — "extrapolate" (phase-vocoder continuation
     from the gap boundaries, the default) or "zero".  Returns
     (B, num_samples).
+
+    hole_mag_relax (0..1, default 0 = classic clamped GL): lets the HOLE
+    magnitudes drift toward the consistency projection's magnitudes by a
+    per-iteration factor — `m <- (1-r)*model_mag + r*|proj|` on hole bins —
+    so the final synthesis uses a spectrogram that trades model-magnitude
+    fidelity for STFT consistency.  Known-region magnitudes stay clamped.
+    Opt-in (scripts/phase_study.py measures whether it pays).
     """
     total = (mag.shape[-2] - 1) * frame_step + frame_length
 
@@ -124,25 +132,30 @@ def griffin_lim_blend(
     def stft_(x):
         return stft_ops.stft_real_imag(x, frame_length, frame_step, fft_length)
 
-    def project(phase):
-        """One STFT->iSTFT consistency projection; returns new phase."""
-        re = mag * jnp.cos(phase)
-        im = mag * jnp.sin(phase)
+    def project(m, phase):
+        """One STFT->iSTFT consistency projection; returns (phase, |proj|)."""
+        re = m * jnp.cos(phase)
+        im = m * jnp.sin(phase)
         x = istft_(re, im)
         re2, im2 = stft_(x)
         re2, im2 = re2[..., : mag.shape[-2], : mag.shape[-1]], im2[..., : mag.shape[-2], : mag.shape[-1]]
-        return jnp.arctan2(im2, re2)
+        return jnp.arctan2(im2, re2), jnp.sqrt(re2 * re2 + im2 * im2)
+
+    relax = float(hole_mag_relax)
 
     def body(carry, _):
-        phase, prev = carry
-        new = project(phase)
+        phase, prev, m = carry
+        new, proj_mag = project(m, phase)
         # momentum acceleration (fast GL) applied on the unit circle
         accel = jnp.arctan2(
             jnp.sin(new) + momentum * (jnp.sin(new) - jnp.sin(prev)),
             jnp.cos(new) + momentum * (jnp.cos(new) - jnp.cos(prev)),
         )
         blended = known_mask * known_phase + (1 - known_mask) * accel
-        return (blended, new), None
+        if relax:  # python-level: the relax==0 graph is untouched
+            drift = (1.0 - relax) * mag + relax * proj_mag
+            m = known_mask * mag + (1 - known_mask) * drift
+        return (blended, new, m), None
 
     if init == "extrapolate":
         phase0 = extrapolate_phase(
@@ -152,7 +165,9 @@ def griffin_lim_blend(
         phase0 = known_mask * known_phase
     else:
         raise ValueError(f"unknown phase init {init!r}")
-    (phase, _), _ = jax.lax.scan(body, (phase0, phase0), None, length=n_iters)
-    re = mag * jnp.cos(phase)
-    im = mag * jnp.sin(phase)
+    (phase, _, mag_f), _ = jax.lax.scan(
+        body, (phase0, phase0, mag), None, length=n_iters
+    )
+    re = mag_f * jnp.cos(phase)
+    im = mag_f * jnp.sin(phase)
     return istft_(re, im)[..., :num_samples]

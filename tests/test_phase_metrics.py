@@ -119,6 +119,40 @@ class TestGriffinLim:
         }
         assert out["extrapolate"] > out["zero"] + 0.05, out
 
+    def test_hole_mag_relax(self):
+        """hole_mag_relax=0 must be bit-identical to the classic clamped GL
+        (the knob is opt-in); relax>0 must (a) return finite audio, (b) keep
+        the known region intact, and (c) move |STFT| in the hole away from
+        the clamped magnitudes (the drift it is documented to introduce)."""
+        wave = _speechlike(seed=11)[None]
+        re, im = stft_ops.stft_real_imag(wave)
+        t, f = re.shape[1], re.shape[2]
+        mask = np.ones((1, t, f), np.float32)
+        mask[:, 30:45] = 0.0
+        mag = jnp.hypot(re, im)
+        phase = jnp.arctan2(im, re)
+        kw = dict(num_samples=16000, n_iters=10)
+        base = np.asarray(
+            phase_ops.griffin_lim_blend(mag, phase, jnp.asarray(mask), **kw)
+        )
+        off = np.asarray(
+            phase_ops.griffin_lim_blend(
+                mag, phase, jnp.asarray(mask), hole_mag_relax=0.0, **kw
+            )
+        )
+        np.testing.assert_array_equal(base, off)
+        rel = np.asarray(
+            phase_ops.griffin_lim_blend(
+                mag, phase, jnp.asarray(mask), hole_mag_relax=0.3, **kw
+            )
+        )
+        assert np.isfinite(rel).all()
+        assert not np.array_equal(rel, base)
+        # known region still reconstructs the original closely
+        seg = slice(5 * 192, 25 * 192)
+        err = np.abs(rel[0, seg] - wave[0, seg]).mean() / np.abs(wave[0, seg]).mean()
+        assert err < 0.05, err
+
     def test_preserves_known_region(self):
         wave = _speechlike(seed=1)[None]
         re, im = stft_ops.stft_real_imag(wave)
