@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = [
     # name, gl_iters, gl_opts
+    ("oracle", 0, {"oracle": True}),        # oracle-phase upper anchor
     ("ext_i0", 0, {}),                      # pure extrapolated phase
     ("zero_i30_m99", 30, {"init": "zero"}),  # pre-extrapolation provenance
     ("ext_i10_m99", 10, {}),
@@ -68,8 +69,10 @@ def main(dest="/dev/shm/informative_full", exp="exp_av-blstm-ssnn-ctc",
     for name, iters, opts in VARIANTS:
         prefix = f"ph_{name}"
         t0 = time.time()
+        oracle = bool(opts.pop("oracle", False))
         inpaint.infer(
             si_ckpt, sub, test_audio, prefix, norm=True, batch_size=128,
+            oracle_phase=oracle,
             phase_recon="gl", gl_iters=iters, gl_opts=opts or None,
         )
         ev = harness.speech_inpainting_eval(
