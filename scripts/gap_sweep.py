@@ -17,6 +17,7 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(work, si_ckpt, asr_ckpt, gaps=(100, 200, 400, 800, 1600)):
