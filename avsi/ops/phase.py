@@ -56,6 +56,11 @@ def extrapolate_phase(
     adv = omega + _princarg(known_phase - prev - omega)  # (B,T,F)
     prev_known = jnp.concatenate([known_mask[:, :1], known_mask[:, :-1]], axis=1)
     adv_ok = known_mask * prev_known  # advance valid: both frames known
+    # frame 0 has no genuine previous frame (prev above duplicates it, so
+    # the "measured" advance there is ~0 mod 2pi, not the bin's hop
+    # advance); without this a gap starting at frame 1 would be continued
+    # with a frozen phase instead of the nominal advance
+    adv_ok = adv_ok.at[:, 0].set(0.0)
 
     def step(sign):
         def body(carry, inp):
@@ -84,6 +89,7 @@ def extrapolate_phase(
     )
     next_known = jnp.concatenate([known_mask[:, 1:], known_mask[:, -1:]], axis=1)
     adv_b_ok = known_mask * next_known
+    adv_b_ok = adv_b_ok.at[:, -1].set(0.0)  # mirror of the frame-0 guard
     rev = lambda x: tm(x)[::-1]
     (_, _, _), (right, d_right) = jax.lax.scan(
         step(-1.0), (known_phase[:, -1], init_a, zero),

@@ -79,6 +79,48 @@ class TestGriffinLim:
         werr = float((err * w).sum() / w.sum())
         assert werr < 0.15, werr  # radians; zero-init would be ~pi/2
 
+    def test_extrapolate_boundary_gaps_use_nominal_advance(self):
+        """Gaps touching the sequence boundary: frame 0 (resp. T-1) has no
+        genuine previous (next) frame, so the degenerate self-pair there
+        must NOT be taken as an advance measurement — a gap starting at
+        frame 1 (ending at T-2) is continued with the bin's nominal hop
+        advance omega, not a frozen phase (regression: the self-pair
+        'measured' ~0 mod 2pi and froze the fill)."""
+        t, f = 8, 4
+        hop, n_fft = 192, 512
+        omega = 2 * np.pi * np.arange(f) * hop / n_fft
+        rng = np.random.RandomState(0)
+        phase = np.tile(rng.uniform(-np.pi, np.pi, (1, 1, f)), (1, t, 1))
+
+        # gap at frames 1..3: frames 1,2 are nearest the LEFT boundary
+        # (frame 0), whose only available advance is the nominal omega
+        mask = np.ones((1, t, f), np.float32)
+        mask[:, 1:4] = 0.0
+        est = np.asarray(
+            phase_ops.extrapolate_phase(
+                jnp.asarray(phase * mask, jnp.float32), jnp.asarray(mask), hop, n_fft
+            )
+        )
+        for k in range(1, 3):  # frame 0 + k*omega, on the circle
+            want = phase[0, 0] + k * omega
+            err = np.abs((est[0, k] - want + np.pi) % (2 * np.pi) - np.pi)
+            assert err.max() < 1e-4, (k, err)
+
+        # gap at frames 4..6: frame 6 is strictly nearest the RIGHT
+        # boundary (frame 7) — mirror case for the backward scan (frame 5
+        # ties in distance and goes to the left extrapolation, which has
+        # genuine in-segment measurements, so it is not asserted here)
+        mask2 = np.ones((1, t, f), np.float32)
+        mask2[:, 4:7] = 0.0
+        est2 = np.asarray(
+            phase_ops.extrapolate_phase(
+                jnp.asarray(phase * mask2, jnp.float32), jnp.asarray(mask2), hop, n_fft
+            )
+        )
+        want = phase[0, 0] - omega  # frame 7 - omega
+        err = np.abs((est2[0, 6] - want + np.pi) % (2 * np.pi) - np.pi)
+        assert err.max() < 1e-4, err
+
     def test_extrapolate_passes_known_bins_through(self):
         wave = _speechlike(seed=3)[None]
         re, im = stft_ops.stft_real_imag(wave)
