@@ -72,3 +72,48 @@ def get_intrusions_mask(
         mask[onset : onset + length] = 0.0
 
     return mask, true_mask_cov, n_intr
+
+
+def get_freeform_mask(
+    rng: np.random.Generator,
+    frame_dim: int,
+    spec_len: int,
+    cov_mean: float,
+    cov_std: float,
+    thick_max: int = 8,
+):
+    """Sample one binary FREE-FORM T-F hole mask (avsi extension).
+
+    Not in the reference, whose corpus only ever zeroes full-band time
+    gaps (dataset_generator.py:11-48).  Irregular holes — random-walk
+    "strokes" of varying thickness in the (time, frequency) plane, the
+    regime Liu et al. 2018 (arXiv 1804.07723) designed partial
+    convolutions for — give the `unet-pconv` twin an on-design evaluation
+    (scripts/unet_anchor.py --mask freeform).  The serialized schema is
+    unchanged: every consumer (models, masking baseline, Griffin-Lim
+    known-phase clamp, eval) is already per-(frame, bin).
+
+    Coverage ~ N(cov_mean, cov_std) clipped to [0.02, 0.8]; strokes are
+    drawn until the target is reached.  Returns (mask, true_coverage,
+    n_strokes) with mask (spec_len, frame_dim) float32, zeros in holes.
+    """
+    target = float(
+        np.clip(rng.normal(cov_mean, cov_std) if cov_std > 0 else cov_mean, 0.02, 0.8)
+    )
+    hole = np.zeros((spec_len, frame_dim), dtype=bool)
+    total = hole.size
+    n_strokes = 0
+    while hole.sum() < target * total:
+        n_strokes += 1
+        t = int(rng.integers(0, spec_len))
+        f = int(rng.integers(0, frame_dim))
+        ht = int(rng.integers(1, thick_max + 1))  # half-thickness per axis
+        hf = int(rng.integers(1, thick_max + 1))
+        for _ in range(int(rng.integers(8, 40))):
+            hole[max(0, t - ht) : t + ht + 1, max(0, f - hf) : f + hf + 1] = True
+            if hole.sum() >= target * total:
+                break
+            t = int(np.clip(t + rng.integers(-3, 4), 0, spec_len - 1))
+            f = int(np.clip(f + rng.integers(-3, 4), 0, frame_dim - 1))
+    mask = (~hole).astype(np.float32)
+    return mask, float(hole.sum()) / total, n_strokes

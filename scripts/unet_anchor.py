@@ -10,9 +10,17 @@ shared device-cached upload, reconstructs the masked baseline at the same
 geometry, GL-infers, and records masked -> enhanced STOI/PESQ/L1 at the
 reference's evaluation_mateng.sh STFT parameters (16/8/256).
 
-Usage: python scripts/unet_anchor.py [workdir] [raw_src] [epochs]
+Usage: python scripts/unet_anchor.py [workdir] [raw_src] [epochs] [mask_kind]
 raw_src defaults to the GRID-scale drill corpus raw wavs in tmpfs.
 Writes <workdir>/unet_anchor.json.
+
+mask_kind="freeform" (default "timegap") swaps the reference's full-band
+time gaps for irregular free-form T-F holes (data/masks.get_freeform_mask,
+~25% coverage) — the regime partial convolutions were designed for (Liu et
+al. 2018), giving the `unet-pconv` twin an ON-DESIGN anchor the reference
+task never exercises.  Everything downstream (models, masked baseline,
+GL known-phase clamp, eval) is already per-(frame, bin), so only the mask
+sampling changes.
 """
 
 import glob
@@ -31,7 +39,7 @@ VAL_PER_SPK = 25
 TEST_PER_SPK = 25
 
 
-def build_corpus(workdir, raw_src):
+def build_corpus(workdir, raw_src, mask_kind="timegap"):
     from avsi.data import tfrecord as tfr
     from avsi.utils import wav as wavio
     from avsi.data import masks as masks_lib
@@ -68,10 +76,17 @@ def build_corpus(workdir, raw_src):
                         f"{src} is shorter than {N_SAMPLES} samples; the "
                         "anchor corpus requires full-length raw utterances"
                     )
-                # gaps ~200-400 ms at the 8 ms frame grid (25-50 frames)
-                mask, _, _ = masks_lib.get_intrusions_mask(
-                    rng, AF, T, cov_mean=0.25, cov_std=0.06, n_max_intr=1
-                )
+                if mask_kind == "freeform":
+                    # irregular T-F holes, same ~25% coverage as the
+                    # time-gap corpus so the two anchors are comparable
+                    mask, _, _ = masks_lib.get_freeform_mask(
+                        rng, AF, T, cov_mean=0.25, cov_std=0.06
+                    )
+                else:
+                    # gaps ~200-400 ms at the 8 ms frame grid (25-50 frames)
+                    mask, _, _ = masks_lib.get_intrusions_mask(
+                        rng, AF, T, cov_mean=0.25, cov_std=0.06, n_max_intr=1
+                    )
                 name = f"s{spk}_" + os.path.splitext(os.path.basename(src))[0]
                 sdir = os.path.join(adir, name)
                 os.makedirs(sdir, exist_ok=True)
@@ -87,7 +102,7 @@ def build_corpus(workdir, raw_src):
 
 
 def main(workdir="/dev/shm/unet_drill", raw_src="/dev/shm/grid_drill/raw",
-         epochs=30):
+         epochs=30, mask_kind="timegap"):
     from avsi import config as config_lib
     from avsi.data import stats as stats_lib
     from avsi.eval import harness
@@ -95,7 +110,7 @@ def main(workdir="/dev/shm/unet_drill", raw_src="/dev/shm/grid_drill/raw",
     from avsi.train import loop
 
     if not os.path.isdir(os.path.join(workdir, "tfrecords", "test-set")):
-        build_corpus(workdir, raw_src)
+        build_corpus(workdir, raw_src, mask_kind)
 
     mean_p = os.path.join(workdir, "spec_mean.npy")
     std_p = os.path.join(workdir, "spec_std.npy")
@@ -120,7 +135,13 @@ def main(workdir="/dev/shm/unet_drill", raw_src="/dev/shm/grid_drill/raw",
         "audio_feat_mean": mean_p, "audio_feat_std": std_p,
     }
     cache = {}
-    out = {"study": "unet family anchor (128-bin corpus, ~200-400 ms gaps)"}
+    out = {
+        "study": "unet family anchor (128-bin corpus, "
+        + ("free-form T-F holes ~25%" if mask_kind == "freeform"
+           else "~200-400 ms gaps")
+        + ")",
+        "mask_kind": mask_kind,
+    }
     for model in ("unet", "unet-pconv"):
         exp = os.path.join(workdir, "exp_" + model.replace("-", "_"))
         cfgp = exp + ".config"
@@ -164,4 +185,9 @@ def main(workdir="/dev/shm/unet_drill", raw_src="/dev/shm/grid_drill/raw",
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    main(*args[:2], **({"epochs": int(args[2])} if len(args) > 2 else {}))
+    kw = {}
+    if len(args) > 2:
+        kw["epochs"] = int(args[2])
+    if len(args) > 3:
+        kw["mask_kind"] = args[3]
+    main(*args[:2], **kw)

@@ -39,6 +39,36 @@ class TestIntrusionMask:
         assert abs(np.mean(covs) - 0.27) < 0.01
 
 
+class TestFreeformMask:
+    def test_invariants(self):
+        """The free-form generator (avsi extension) must produce genuinely
+        irregular holes: binary mask, coverage near target, and at least
+        some partially-masked frames (else it degenerates to time gaps)."""
+        rng = np.random.default_rng(0)
+        partial_frames = 0
+        for _ in range(50):
+            mask, cov, n_strokes = masks.get_freeform_mask(
+                rng, 128, 128, cov_mean=0.25, cov_std=0.05
+            )
+            assert mask.shape == (128, 128)
+            assert mask.dtype == np.float32
+            assert set(np.unique(mask)) <= {0.0, 1.0}
+            assert abs((1.0 - mask.mean()) - cov) < 1e-6
+            assert 0.02 <= cov <= 0.8
+            assert n_strokes >= 1
+            rowsum = mask.sum(axis=1)
+            partial_frames += int(((rowsum > 0) & (rowsum < 128)).sum())
+        assert partial_frames > 50 * 10  # plenty of partially-valid frames
+
+    def test_coverage_distribution(self):
+        rng = np.random.default_rng(1)
+        covs = [
+            masks.get_freeform_mask(rng, 128, 128, 0.25, 0.0)[1] for _ in range(100)
+        ]
+        # strokes overshoot the target by at most one stroke-step's area
+        assert 0.24 < np.mean(covs) < 0.30, np.mean(covs)
+
+
 class TestFixtureSplits:
     def test_splits_are_disjoint(self, tmp_path):
         """Train/val/test must hold DIFFERENT utterances (quality gates
