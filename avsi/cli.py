@@ -136,6 +136,9 @@ def parse_args(argv=None):
     p.add_argument("-op", "--oracle_phase", action="store_const", const=True, default=False)
     p.add_argument("--phase_recon", default="gl", choices=["gl", "none"])
     p.add_argument("--gl_iters", type=int, default=50)
+    p.add_argument("--data_shards", type=int, default=0,
+                   help="shard each inference batch over a data mesh of "
+                        "this many devices (0 = single device)")
 
     p = sub.add_parser("inference_asr", description="Inference with trained ASR model.")
     p.add_argument("-d", "--data_dir", required=True)
@@ -333,7 +336,7 @@ def main(argv=None):
         infer(
             args.model_path, args.data_dir, args.audio_dir, args.out_file_prefix,
             args.norm, args.oracle_phase, args.batch_size, args.phase_recon,
-            args.gl_iters,
+            args.gl_iters, data_shards=args.data_shards,
         )
     elif name == "inference_asr":
         from avsi.infer.asr import infer

@@ -93,9 +93,24 @@ def infer(
     phase_recon: str = "gl",
     gl_iters: int = 50,
     gl_opts: dict | None = None,
+    data_shards: int = 0,
 ) -> dict:
+    """data_shards > 1 shards each inference batch over a `data` device
+    mesh (params replicated, batch partitioned — utterances are
+    independent, so GSPMD inserts zero collectives), the batch-inference
+    twin of `avsi serve --data_shards` / the training mesh.  Sharded ==
+    single-device output is asserted in tests/test_parallel.py."""
     batch_size = batch_size or 1
     config, stats, model, params = load_model_bundle(model_path, norm)
+    mesh = shard = None
+    if data_shards and int(data_shards) > 1:
+        if batch_size % int(data_shards):
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data_shards {data_shards}"
+            )
+        mesh = mesh_lib.get_mesh(int(data_shards))
+        shard = mesh_lib.batch_sharding(mesh)
+        params = mesh_lib.replicate(params, mesh)
     dm = reader_lib.DataManager(
         num_audio_samples=config["audio_len"],
         audio_feat_size=config["audio_feat_dim"],
@@ -146,7 +161,10 @@ def infer(
         # batch k's result download (jax dispatch is asynchronous)
         pending = None
         for batch in dm.prefetch_batches(files, batch_size, pad_final=True):
-            results = step(params, mesh_lib.compact_batch(batch))
+            cb = mesh_lib.compact_batch(batch)
+            if shard is not None:
+                cb = {k: jax.device_put(v, shard) for k, v in cb.items()}
+            results = step(params, cb)
             if pending is not None:
                 drain(pending)
             pending = (batch, *results)

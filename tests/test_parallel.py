@@ -165,3 +165,67 @@ def test_compact_batch_soft_mask_not_compacted():
     # binary masks still compact
     out2 = mesh_lib.compact_batch({**batch, "masks": np.ones_like(batch["masks"])})
     assert "mask_frames" in out2
+
+
+def test_infer_data_shards_matches_single_device(tmp_path):
+    """CLI batch inference with data_shards=2 must write byte-identical
+    wavs and report the same losses as the single-device path (the
+    batch-inference twin of `avsi serve --data_shards`)."""
+    import os
+
+    from avsi import config as config_lib
+    from avsi.data import fixture, stats as stats_lib
+    from avsi.infer import inpaint
+    from avsi.train import loop as train_loop
+    from avsi.utils import wav as wavio
+
+    d = str(tmp_path / "corpus")
+    paths = fixture.make_fixture(
+        d, n_speakers=2, n_samples=2, audio_len_ms=600, gap_ms=150.0,
+        gap_std_ms=20.0,
+    )
+    stats_prefix = os.path.join(d, "spec_norm")
+    stats_lib.compute_mean_std_features(
+        paths["training-set"], "target", stats_prefix, "spec",
+        window_size=24, step_size=12,
+    )
+    cfg = {
+        "model": "a-blstm", "audio_feat_dim": 257, "video_feat_dim": 136,
+        "audio_len": 9600, "batch_size": 2, "net_dim": [8], "integration_layer": 0,
+        "dropout_rate": 0.0, "max_n_epochs": 1, "n_earlystop_epochs": 5,
+        "optimizer_type": "adam", "starter_learning_rate": 0.003, "lr_decay": 1.0,
+        "root_folder": paths["tfrecords"], "exp_folder": str(tmp_path / "exp"),
+        "audio_feat_mean": stats_prefix + "_mean.npy",
+        "audio_feat_std": stats_prefix + "_std.npy",
+    }
+    cfgp = str(tmp_path / "t.config")
+    config_lib.save_configfile(cfg, cfgp)
+    train_loop.train(cfgp)
+    ckpt = str(tmp_path / "exp" / "netmodel")
+    test_tfr = os.path.join(paths["tfrecords"], "test-set")
+    test_aud = os.path.join(paths["audio"], "test-set")
+
+    kw = dict(norm=True, batch_size=2, phase_recon="gl", gl_iters=2)
+    single = inpaint.infer(ckpt, test_tfr, test_aud, "ds1", **kw)
+    sharded = inpaint.infer(ckpt, test_tfr, test_aud, "ds2", data_shards=2, **kw)
+    assert sharded["num_samples"] == single["num_samples"] > 0
+    np.testing.assert_allclose(sharded["loss"], single["loss"], atol=1e-5)
+    np.testing.assert_allclose(
+        sharded["loss_hole"], single["loss_hole"], atol=1e-5
+    )
+    n_pairs = 0
+    for root, _, names in os.walk(test_aud):
+        if "ds1.wav" in names:
+            assert "ds2.wav" in names
+            a, b = os.path.join(root, "ds1.wav"), os.path.join(root, "ds2.wav")
+            sa, wa = wavio.read_wav_int16(a)
+            sb_, wb = wavio.read_wav_int16(b)
+            assert sa == sb_
+            # int16 quantization makes bit-level agreement the expectation;
+            # allow a 1-LSB ulp from non-deterministic reduction order
+            assert np.abs(wa.astype(np.int32) - wb.astype(np.int32)).max() <= 1
+            n_pairs += 1
+    assert n_pairs == single["num_samples"]
+
+    with pytest.raises(ValueError):  # batch not divisible by shards
+        inpaint.infer(ckpt, test_tfr, test_aud, "ds3", data_shards=3, **kw)
