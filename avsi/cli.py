@@ -41,6 +41,10 @@ def parse_args(argv=None):
                    help="mask STFT hop in ms (12 for blstm; 8 for unet)")
     p.add_argument("-fd", "--mask_frame_dim", type=int, default=257,
                    help="mask frequency bins (257 for blstm; 128 for unet)")
+    p.add_argument("-mk", "--mask_kind", default="timegap",
+                   choices=["timegap", "freeform"],
+                   help="timegap = reference full-band time gaps; freeform "
+                        "= irregular T-F holes (avsi extension)")
 
     p = sub.add_parser("audio_preprocessing", description="Compute feature mean/std.")
     p.add_argument("-a", "--audio_dir", required=True)
@@ -223,6 +227,10 @@ def parse_args(argv=None):
                    help="mask STFT hop in ms (12 for blstm; 8 for unet)")
     p.add_argument("-fd", "--mask_frame_dim", type=int, default=257,
                    help="mask frequency bins (257 for blstm; 128 for unet)")
+    p.add_argument("-mk", "--mask_kind", default="timegap",
+                   choices=["timegap", "freeform"],
+                   help="timegap = reference full-band time gaps; freeform "
+                        "= irregular T-F holes (avsi extension)")
 
     return parser.parse_args(argv)
 
@@ -246,6 +254,7 @@ def main(argv=None):
             args.audio_length, args.num_max_intr, args.mask_coverage_mean,
             args.mask_coverage_std, args.ext,
             mask_hop_ms=args.mask_hop_ms, mask_frame_dim=args.mask_frame_dim,
+            mask_kind=args.mask_kind,
         )
     elif name == "audio_preprocessing":
         from avsi.data.stats import compute_mean_std_features
@@ -388,6 +397,7 @@ def main(argv=None):
             args.dest_dir, args.n_speakers, n_samples, args.audio_len_ms,
             gap_ms=args.gap_ms, gap_std_ms=args.gap_std_ms,
             mask_hop_ms=args.mask_hop_ms, mask_frame_dim=args.mask_frame_dim,
+            mask_kind=args.mask_kind,
         )
     else:
         print("Bad subcommand name. Closing...")

@@ -43,6 +43,7 @@ def make_fixture(
     video_informative: bool = False,
     mask_hop_ms: int = 12,
     mask_frame_dim: int = 257,
+    mask_kind: str = "timegap",
 ) -> dict:
     """Build raw corpus + masked sample dirs + tfrecords. Returns paths.
 
@@ -165,6 +166,7 @@ def make_fixture(
             utterance_names=split_names[split],
             mask_hop_ms=mask_hop_ms,
             mask_frame_dim=mask_frame_dim,
+            mask_kind=mask_kind,
         )
         out[split] = split_dir
         if with_embeddings:

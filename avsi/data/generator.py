@@ -38,6 +38,7 @@ def create_syn_data_speaker(
     utterance_names: list[str] | None = None,
     mask_hop_ms: int = 12,
     mask_frame_dim: int = 257,
+    mask_kind: str = "timegap",
 ) -> list[float]:
     """Per-speaker corrupted-sample dirs (dataset_generator.py:51-109).
 
@@ -48,7 +49,13 @@ def create_syn_data_speaker(
     hardcodes the BLSTM families' 24/12 ms 257-bin layout
     (dataset_generator.py:36-37); the unet family needs 16/8 ms at 128
     bins (`--mask_hop_ms 8 --mask_frame_dim 128`), without which its
-    documented training workflow cannot produce a compatible corpus."""
+    documented training workflow cannot produce a compatible corpus.
+
+    mask_kind='freeform' (avsi extension; not in the reference) draws
+    irregular T-F holes via masks.get_freeform_mask instead of full-band
+    time gaps; num_max_intr is ignored and the directory-name intrusion
+    count records the stroke count. The serialized schema is unchanged, so
+    every downstream consumer works as-is."""
     rng = rng or np.random.default_rng(30)
     clean_audio_dir = os.path.join(dataset_dir, f"s{n_speaker}", f"s{n_speaker}_16kHz")
     clean_list = sorted(glob(os.path.join(clean_audio_dir, f"*.{file_ext}")))
@@ -72,10 +79,17 @@ def create_syn_data_speaker(
     cov_mean_ratio = cov_mean / audio_len
     cov_std_ratio = cov_std / audio_len
     mask_cov_list = []
+    if mask_kind not in ("timegap", "freeform"):
+        raise ValueError(f"unknown mask_kind {mask_kind!r}")
     for clean_file in clean_list:
-        mask, cov, n_intr = mask_lib.get_intrusions_mask(
-            rng, frame_dim, spec_len, cov_mean_ratio, cov_std_ratio, n_max_intr
-        )
+        if mask_kind == "freeform":
+            mask, cov, n_intr = mask_lib.get_freeform_mask(
+                rng, frame_dim, spec_len, cov_mean_ratio, cov_std_ratio
+            )
+        else:
+            mask, cov, n_intr = mask_lib.get_intrusions_mask(
+                rng, frame_dim, spec_len, cov_mean_ratio, cov_std_ratio, n_max_intr
+            )
         mask_cov_list.append(cov)
         base = os.path.splitext(os.path.basename(clean_file))[0]
         name = f"s{n_speaker}_{base}_{int(cov * audio_len)}_{n_intr}"
@@ -110,6 +124,7 @@ def create_syn_dataset(
     utterance_names: list[str] | None = None,
     mask_hop_ms: int = 12,
     mask_frame_dim: int = 257,
+    mask_kind: str = "timegap",
 ) -> None:
     os.makedirs(dest_dir, exist_ok=True)
     mask_cov_list: list[float] = []
@@ -120,6 +135,7 @@ def create_syn_dataset(
             dataset_dir, dest_dir, s, n_samples, audio_len, n_max_intr, cov_mean,
             cov_std, file_ext, rng, utterance_names,
             mask_hop_ms=mask_hop_ms, mask_frame_dim=mask_frame_dim,
+            mask_kind=mask_kind,
         )
     print(
         "Dataset generation completed. {:d} samples, coverage mean {:.2f} ms "

@@ -113,6 +113,41 @@ class TestFixtureSplits:
         assert (len(tr), len(va), len(te)) == (4, 2, 1)
         assert tr & va == set() and tr & te == set() and va & te == set()
 
+    def test_freeform_mask_kind(self, tmp_path):
+        """mask_kind='freeform' (dataset_generator --mask_kind freeform)
+        must write irregular T-F hole masks through the standard corpus
+        layout — some frames partially masked — while 'timegap' corpora
+        stay full-band per frame."""
+        import os
+
+        from avsi.data import fixture
+
+        paths = fixture.make_fixture(
+            str(tmp_path), n_speakers=1, n_samples=2, audio_len_ms=600,
+            gap_ms=150.0, gap_std_ms=20.0, mask_kind="freeform",
+        )
+        partial = 0
+        n_masks = 0
+        for split in ("training-set", "validation-set", "test-set"):
+            for d in os.listdir(paths[split]):
+                mp = os.path.join(paths[split], d, "mask.npy")
+                if not os.path.isfile(mp):
+                    continue
+                m = np.load(mp)
+                n_masks += 1
+                assert m.shape == (600 // 12, 257)
+                assert set(np.unique(m)) <= {0.0, 1.0}
+                rowsum = m.sum(axis=1)
+                partial += int(((rowsum > 0) & (rowsum < 257)).sum())
+        assert n_masks == 6
+        assert partial > 0  # free-form holes are not full-band
+
+        with pytest.raises(ValueError):
+            fixture.make_fixture(
+                str(tmp_path / "bad"), n_speakers=1, n_samples=1,
+                audio_len_ms=600, mask_kind="nope",
+            )
+
 
 class TestLandmarkOverlay:
     """Offline renderer matching the reference show_face_landmarks
