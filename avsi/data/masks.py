@@ -60,7 +60,7 @@ def get_intrusions_mask(
             onset_pos.append(int(rng.integers(0, spec_len - mask_bins - (n_intr - 1) + 1)) // 2)
         elif i == n_intr - 1:
             lo = onset_pos[-1] + intr_lens[i - 1] + 1
-            hi = min(lo + spec_len - intr_lens[i], spec_len - intr_lens[i])
+            hi = spec_len - intr_lens[i]  # last onset anywhere in-bounds
             onset_pos.append(int(rng.integers(lo, hi + 1)))
         else:
             lo = onset_pos[-1] + intr_lens[i - 1] + 1
@@ -103,17 +103,21 @@ def get_freeform_mask(
     hole = np.zeros((spec_len, frame_dim), dtype=bool)
     total = hole.size
     n_strokes = 0
-    while hole.sum() < target * total:
+    covered = 0  # tracked incrementally: a full-grid hole.sum() per walk
+    # step would be O(T*F) x thousands of steps per corpus
+    while covered < target * total:
         n_strokes += 1
         t = int(rng.integers(0, spec_len))
         f = int(rng.integers(0, frame_dim))
         ht = int(rng.integers(1, thick_max + 1))  # half-thickness per axis
         hf = int(rng.integers(1, thick_max + 1))
         for _ in range(int(rng.integers(8, 40))):
-            hole[max(0, t - ht) : t + ht + 1, max(0, f - hf) : f + hf + 1] = True
-            if hole.sum() >= target * total:
+            rect = hole[max(0, t - ht) : t + ht + 1, max(0, f - hf) : f + hf + 1]
+            covered += rect.size - int(rect.sum())
+            rect[...] = True
+            if covered >= target * total:
                 break
             t = int(np.clip(t + rng.integers(-3, 4), 0, spec_len - 1))
             f = int(np.clip(f + rng.integers(-3, 4), 0, frame_dim - 1))
     mask = (~hole).astype(np.float32)
-    return mask, float(hole.sum()) / total, n_strokes
+    return mask, covered / total, n_strokes

@@ -570,6 +570,7 @@ class StreamingInpainter:
         )
         self._frames_in = 0  # featurized
         self._frames_out = 0  # emitted
+        self._closed = False  # set by flush(); push() then needs reset()
         self._deltas_done = 0  # frames whose ssnn contribution is summed
         self._buf_base = 0  # absolute frame index of mask/video/masked row 0
         self.transcript: list[int] = []  # collapsed CTC label ids so far
@@ -582,6 +583,11 @@ class StreamingInpainter:
         0 = hole) for the 12 ms frames those samples complete; `video` adds
         one 136-vector per frame for visual models.  Returns whatever
         enhanced samples became ready (np.float32, possibly empty)."""
+        if self._closed:
+            # the terminal flush window already ran through the device state
+            # (short-window pad rows poison the carries/prev frame), so
+            # continuing would silently corrupt output
+            raise RuntimeError("stream is flushed; call reset() to reuse")
         wave = np.asarray(wave, np.float32).reshape(-1)
         buf = np.concatenate([self._sample_buf, wave])
         n_frames = max(0, (len(buf) - FRAME_LENGTH) // FRAME_STEP + 1)
@@ -615,7 +621,10 @@ class StreamingInpainter:
         """End of stream: pad the tail with zeros exactly like the offline
         pad_end=True STFT (total frames = ceil(total_samples / 192)),
         process every buffered frame with zero-padded lookahead, and return
-        the final enhanced samples."""
+        the final enhanced samples.  Idempotent: a second flush() returns
+        empty; push() after flush() raises until reset()."""
+        if self._closed:
+            return np.zeros((0,), np.float32)
         n_rem = len(self._sample_buf)
         if n_rem > 0:
             n_frames = -(-n_rem // FRAME_STEP)  # ceil
@@ -642,7 +651,9 @@ class StreamingInpainter:
                     )
             self._featurize(_cut_frames(buf, n_frames))
             self._sample_buf = np.zeros((0,), np.float32)
-        return self._drain(final=True)
+        out = self._drain(final=True)
+        self._closed = True
+        return out
 
     # ------------------------------------------------------------- internals
 

@@ -75,11 +75,16 @@ def extrapolate_phase(
 
     tm = lambda x: jnp.moveaxis(x, 1, 0)  # (B,T,F) -> (T,B,F)
     init_a = jnp.broadcast_to(omega, (b, f))
-    zero = jnp.zeros((b, f))
+    # distance starts beyond any genuine in-sequence distance (< t), NOT at
+    # 0: a hole touching the sequence edge has no known frame on that side,
+    # and a 0-start would make its synthetic zero-phase anchor win the
+    # nearest-boundary vote over the only genuine boundary on the other
+    # side (leading/trailing gaps do occur — onset 0 is a legal draw)
+    far = jnp.full((b, f), float(t + 1))
 
     # left-to-right: continue each bin forward past its last known frame
     (_, _, _), (left, d_left) = jax.lax.scan(
-        step(+1.0), (known_phase[:, 0], init_a, zero),
+        step(+1.0), (known_phase[:, 0], init_a, far),
         (tm(known_phase), tm(known_mask), tm(adv), tm(adv_ok)),
     )
     # right-to-left: the advance into frame t is measured at (t, t+1)
@@ -92,7 +97,7 @@ def extrapolate_phase(
     adv_b_ok = adv_b_ok.at[:, -1].set(0.0)  # mirror of the frame-0 guard
     rev = lambda x: tm(x)[::-1]
     (_, _, _), (right, d_right) = jax.lax.scan(
-        step(-1.0), (known_phase[:, -1], init_a, zero),
+        step(-1.0), (known_phase[:, -1], init_a, far),
         (rev(known_phase), rev(known_mask), rev(adv_b), rev(adv_b_ok)),
     )
     left, d_left = tm(left), tm(d_left)  # back to (B,T,F); scans emit (T,B,F)

@@ -8,6 +8,7 @@ jitted enhancement function warm at a fixed micro-batch shape, and exposes
   POST /enhance   body: raw little-endian payload
       [int32 n_samples][int32 t_frames]
       [n_samples x int16 wave][t_frames x uint8 frame_mask]
+      (+ [emb_dim x float32 speaker embedding] for blstm-*-emb models)
   -> 200, body: n_samples x int16 enhanced wave
   GET /healthz    -> 200 "ok"
   GET /info       -> model/geometry/weights_version JSON
@@ -25,6 +26,7 @@ visual models append f16 video rows to each push payload, CTC models can
 request framed incremental transcripts with `transcript=1`):
 
   POST /stream/open?chunk=8&look=16  -> {"id": ..., "frame_step": 192, ...}
+      (blstm-*-emb models: the open body carries the float32 speaker vector)
   POST /stream/<id>   body: [int32 n_samples][int32 n_frames]
       [n_samples x int16 wave][n_frames x uint8 frame_mask]
   -> 200, body: int16 enhanced samples ready so far (possibly empty)
@@ -85,6 +87,19 @@ class InpaintingService:
         self.t_frames = -(-self.audio_len // model.frame_step)
         self.af = int(self.config["audio_feat_dim"])
         self.vf = int(self.config["video_feat_dim"])
+        # blstm-*-emb models take an external per-utterance speaker vector:
+        # the batch template carries an embeddings field (zeros for warmup)
+        # and /enhance callers must supply one per utterance
+        try:
+            from avsi.models.blstm import parse_model_name
+
+            self.emb_dim = (
+                int(self.config.get("embedding_dim", 512))
+                if parse_model_name(self.config["model"]).conditioning == "emb"
+                else 0
+            )
+        except ValueError:  # unet family: no conditioning
+            self.emb_dim = 0
         self._phase_recon = phase_recon
         self._gl_iters = gl_iters
         self._step = jax.jit(
@@ -122,8 +137,6 @@ class InpaintingService:
         use the new bundle immediately.
         """
         from avsi.infer.inpaint import load_model_bundle, make_infer_step
-
-        import jax
 
         cfg, stats, model, params = load_model_bundle(model_path or self._model_path, self._norm)
         for key in ("model", "audio_len", "audio_feat_dim", "video_feat_dim",
@@ -181,7 +194,7 @@ class InpaintingService:
         return self.weights_version
 
     def _template_batch(self, n: int) -> dict:
-        return {
+        batch = {
             "sequence_lengths": np.full((n,), self.t_frames, np.int32),
             "labels_lengths": np.ones((n,), np.int32),
             "target_sources": np.zeros((n, self.audio_len), np.int16),
@@ -189,6 +202,9 @@ class InpaintingService:
             "video_features": np.zeros((n, self.t_frames, self.vf), np.float16),
             "mask_frames": np.ones((n, self.t_frames), np.int8),
         }
+        if self.emb_dim:
+            batch["embeddings"] = np.zeros((n, self.emb_dim), np.float32)
+        return batch
 
     def _put_batch(self, batch: dict) -> dict:
         if self._shard is None:
@@ -200,9 +216,17 @@ class InpaintingService:
         wav, _, _ = self._step(self.params, batch)
         np.asarray(wav)
 
-    def enhance_batch(self, waves: np.ndarray, mask_frames: np.ndarray) -> np.ndarray:
-        """waves (N, audio_len) int16-scale; mask_frames (N, T) 0/1."""
+    def enhance_batch(self, waves: np.ndarray, mask_frames: np.ndarray,
+                      embeddings: np.ndarray | None = None) -> np.ndarray:
+        """waves (N, audio_len) int16-scale; mask_frames (N, T) 0/1;
+        embeddings (N, emb_dim) float32, required iff the model is a
+        blstm-*-emb variant."""
         n = len(waves)
+        if self.emb_dim and embeddings is None:
+            raise ValueError(
+                f"model {self.config['model']} needs per-utterance speaker "
+                f"embeddings (N, {self.emb_dim})"
+            )
         out = np.empty((n, self.audio_len), np.int16)
         with self._lock:  # one device stream; keep shapes fixed
             for lo in range(0, n, self.micro_batch):
@@ -213,19 +237,26 @@ class InpaintingService:
                     waves[chunk], -32768, 32767
                 ).astype(np.int16)
                 batch["mask_frames"][:k] = mask_frames[chunk].astype(np.int8)
+                if self.emb_dim:
+                    batch["embeddings"][:k] = embeddings[chunk].astype(np.float32)
                 wav, _, _ = self._step(self.params, self._put_batch(batch))
                 out[chunk] = np.asarray(wav)[:k]
                 self.n_utterances += k
                 self.n_device_steps += 1
         return out
 
-    def enhance(self, wave: np.ndarray, mask_frames: np.ndarray) -> np.ndarray:
-        return self.enhance_batch(wave[None], mask_frames[None])[0]
+    def enhance(self, wave: np.ndarray, mask_frames: np.ndarray,
+                embedding: np.ndarray | None = None) -> np.ndarray:
+        return self.enhance_batch(
+            wave[None], mask_frames[None],
+            None if embedding is None else np.asarray(embedding)[None],
+        )[0]
 
     def open_stream(self, chunk_frames: int | None = None,
                     lookahead_frames: int | None = None,
                     transcript: bool = False,
-                    phase_fill: bool = False):
+                    phase_fill: bool = False,
+                    embedding: np.ndarray | None = None):
         """A live LC-BLSTM stream sharing this service's warm weights (and,
         across streams with the same chunk/lookahead/transcript/fill, the
         compiled window program). chunk/lookahead default to the model's
@@ -234,7 +265,10 @@ class InpaintingService:
         incremental greedy decode on the stream object. phase_fill=True
         enables causal hole-phase extrapolation (measured net-negative on
         STOI/PESQ without Griffin-Lim refinement — see
-        infer/streaming.py's module docstring — hence opt-in)."""
+        infer/streaming.py's module docstring — hence opt-in).
+        `embedding` supplies the external 512-d speaker vector that
+        blstm-*-emb models condition on (required for them, rejected
+        otherwise); over HTTP it rides the /stream/open body."""
         from avsi.infer.streaming import StreamingInpainter
 
         # snapshot a coherent (config, stats, params, cache) set under the
@@ -248,7 +282,7 @@ class InpaintingService:
             config, stats, params,
             chunk_frames=chunk_frames, lookahead_frames=lookahead_frames,
             program_cache=cache, transcript=transcript,
-            phase_fill=phase_fill,
+            phase_fill=phase_fill, embedding=embedding,
         )
         if (inp.chunk, inp.look, inp.want_transcript, inp.phase_fill) not in known:
             # fresh (chunk, look, transcript) key: jax.jit is lazy, so the
@@ -382,6 +416,25 @@ def serve(
                 vf = 0 if spec.input_type == "a" else int(
                     service.config["video_feat_dim"]
                 )
+                # blstm-*-emb models condition on an external speaker
+                # vector: the open body carries it as little-endian float32
+                emb = None
+                if raw:
+                    if spec.conditioning != "emb":
+                        raise ValueError(
+                            f"model {service.config['model']} takes no "
+                            "speaker embedding; /stream/open body must be empty"
+                        )
+                    if len(raw) % 4:
+                        raise ValueError(
+                            "embedding body must be little-endian float32"
+                        )
+                    emb = np.frombuffer(raw, "<f4").copy()
+                elif spec.conditioning == "emb":
+                    raise ValueError(
+                        "model needs an external speaker embedding: send it "
+                        "as float32 bytes in the /stream/open body"
+                    )
                 # reserve the slot and insert under ONE lock acquisition
                 # (check-then-insert under separate acquisitions would let
                 # concurrent opens at the limit all pass the check); the
@@ -397,7 +450,7 @@ def serve(
                     return
                 try:
                     inp = service.open_stream(chunk, look, transcript=transcript,
-                                              phase_fill=fill)
+                                              phase_fill=fill, embedding=emb)
                 except Exception:
                     with streams_lock:
                         streams.pop(sid, None)
@@ -525,7 +578,17 @@ def serve(
                 mask = np.frombuffer(raw, np.uint8, t_frames, off)
                 if mask.size and mask.max() > 1:
                     raise ValueError("frame mask bytes must be 0 or 1")
-                enhanced = service.enhance(wave, mask.astype(np.float32))
+                off += t_frames
+                emb = None
+                if service.emb_dim:  # <f4 speaker vector after the mask
+                    if len(raw) - off != 4 * service.emb_dim:
+                        raise ValueError(
+                            f"model {service.config['model']} needs a "
+                            f"{service.emb_dim}-float32 speaker embedding "
+                            "after the mask bytes"
+                        )
+                    emb = np.frombuffer(raw, "<f4", service.emb_dim, off).copy()
+                enhanced = service.enhance(wave, mask.astype(np.float32), emb)
                 self._reply(200, enhanced.astype("<i2").tobytes())
             except (ValueError, struct.error) as e:
                 # malformed request -> 400 with the message
@@ -539,5 +602,23 @@ def serve(
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.service = service  # exposed for tests / embedding callers
+
+    # periodic reaper: without it the TTL is only checked on incoming
+    # /stream requests, so abandoned sessions would pin per-stream device
+    # carries (and max_streams slots) forever once stream traffic stops
+    reap_stop = threading.Event()
+
+    def _reap_loop():
+        while not reap_stop.wait(max(1.0, min(stream_idle_s / 4, 60.0))):
+            _reap_streams()
+
+    threading.Thread(target=_reap_loop, daemon=True, name="avsi-reaper").start()
+    orig_shutdown = server.shutdown
+
+    def _shutdown():
+        reap_stop.set()
+        orig_shutdown()
+
+    server.shutdown = _shutdown
     print(f"avsi inpainting service on http://{host}:{port} (model {service.config['model']})")
     return server  # caller runs serve_forever()

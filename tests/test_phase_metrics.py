@@ -121,6 +121,46 @@ class TestGriffinLim:
         err = np.abs((est2[0, 6] - want + np.pi) % (2 * np.pi) - np.pi)
         assert err.max() < 1e-4, err
 
+    def test_extrapolate_edge_holes_use_the_genuine_boundary(self):
+        """A hole that INCLUDES frame 0 (resp. T-1) has only one genuine
+        boundary; every hole frame must extrapolate from it, not from the
+        synthetic zero-phase anchor the scan starts with on the edgeless
+        side (regression: distance counters started at 0, so the front
+        half of a leading hole took the uninformed left fill, error ~pi)."""
+        t, f = 10, 4
+        hop, n_fft = 192, 512
+        omega = 2 * np.pi * np.arange(f) * hop / n_fft
+        rng = np.random.RandomState(1)
+        base = rng.uniform(-np.pi, np.pi, (1, 1, f))
+        # constant-advance signal so the continuation is exactly linear
+        phase = base + omega * np.arange(t)[None, :, None]
+
+        # leading hole at frames 0..5; first known frame is 6
+        mask = np.ones((1, t, f), np.float32)
+        mask[:, :6] = 0.0
+        est = np.asarray(
+            phase_ops.extrapolate_phase(
+                jnp.asarray(phase * mask, jnp.float32), jnp.asarray(mask), hop, n_fft
+            )
+        )
+        for k in range(6):  # frame 6 - (6-k)*omega, on the circle
+            want = phase[0, 6] - (6 - k) * omega
+            err = np.abs((est[0, k] - want + np.pi) % (2 * np.pi) - np.pi)
+            assert err.max() < 1e-4, (k, err)
+
+        # trailing hole at frames 4..9; last known frame is 3
+        mask2 = np.ones((1, t, f), np.float32)
+        mask2[:, 4:] = 0.0
+        est2 = np.asarray(
+            phase_ops.extrapolate_phase(
+                jnp.asarray(phase * mask2, jnp.float32), jnp.asarray(mask2), hop, n_fft
+            )
+        )
+        for k in range(4, t):
+            want = phase[0, 3] + (k - 3) * omega
+            err = np.abs((est2[0, k] - want + np.pi) % (2 * np.pi) - np.pi)
+            assert err.max() < 1e-4, (k, err)
+
     def test_extrapolate_passes_known_bins_through(self):
         wave = _speechlike(seed=3)[None]
         re, im = stft_ops.stft_real_imag(wave)

@@ -420,6 +420,147 @@ def test_http_streaming(model_dir):
         server.shutdown()
 
 
+@pytest.fixture(scope="module")
+def emb_model_dir(tmp_path_factory):
+    """A tiny trained a-blstm-emb (external 512-d speaker embedding) for
+    the embedding-conditioned streaming surface."""
+    d = str(tmp_path_factory.mktemp("serve_emb"))
+    paths = fixture.make_fixture(
+        d, n_speakers=1, n_samples=4, audio_len_ms=600, gap_ms=150.0,
+        gap_std_ms=20.0, with_embeddings=True,
+    )
+    stats_lib.compute_mean_std_features(
+        paths["training-set"], "target", os.path.join(d, "sn"), "spec",
+        window_size=24, step_size=12,
+    )
+    cfg = {
+        "model": "a-blstm-emb", "audio_feat_dim": 257, "video_feat_dim": 136,
+        "audio_len": 9600, "batch_size": 2, "net_dim": [8, 8],
+        "integration_layer": 0, "dropout_rate": 0.0, "max_n_epochs": 1,
+        "n_earlystop_epochs": 3, "optimizer_type": "adam",
+        "starter_learning_rate": 0.003, "lr_decay": 1.0,
+        "root_folder": paths["tfrecords"], "exp_folder": os.path.join(d, "exp"),
+        "audio_feat_mean": os.path.join(d, "sn_mean.npy"),
+        "audio_feat_std": os.path.join(d, "sn_std.npy"),
+        "tb_media": 0,
+    }
+    cfg_path = os.path.join(d, "c.config")
+    config_lib.save_configfile(cfg, cfg_path)
+    loop.train(cfg_path)
+    return os.path.join(d, "exp", "netmodel")
+
+
+def test_http_streaming_embedding_model(emb_model_dir):
+    """blstm-*-emb models stream over HTTP: the 512-d speaker vector rides
+    the /stream/open body as float32 bytes (regression: open_stream never
+    forwarded an embedding, so every open on an emb model was a 400)."""
+    from avsi.serve import serve
+
+    server = serve(emb_model_dir, port=0, micro_batch=2, phase_recon="none")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body=b""):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    try:
+        # open without the embedding: a clear 400, not a silent crash
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/stream/open?chunk=4&look=6")
+        assert exc.value.code == 400
+
+        emb = np.random.RandomState(5).randn(512).astype("<f4")
+        info = json.loads(post("/stream/open?chunk=4&look=6", emb.tobytes()))
+        sid = info["id"]
+
+        rng = np.random.RandomState(2)
+        wave = (3000 * rng.randn(9600)).astype(np.int16)
+        mask = np.ones(50, np.uint8)
+        mask[15:25] = 0
+        got = b""
+        frames_fed = 0
+        for lo in range(0, 9600, 1920):
+            chunk = wave[lo : lo + 1920]
+            done = lo + len(chunk)
+            n_frames = min(max(0, (done - 384) // 192 + 1), 50)
+            m = mask[frames_fed:n_frames]
+            body = (
+                struct.pack("<ii", len(chunk), len(m))
+                + chunk.tobytes()
+                + m.tobytes()
+            )
+            got += post(f"/stream/{sid}", body)
+            frames_fed = n_frames
+        got += post(f"/stream/{sid}/close")
+        out = np.frombuffer(got, "<i2")
+        assert out.shape == (9600,)
+        assert np.abs(out).max() > 0
+    finally:
+        server.shutdown()
+
+
+def test_open_body_rejected_for_plain_model(model_dir):
+    """Non-emb models must reject an embedding body on /stream/open."""
+    from avsi.serve import serve
+
+    server = serve(model_dir, port=0, micro_batch=2, phase_recon="none")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            base + "/stream/open", data=np.zeros(512, "<f4").tobytes(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_reaper_evicts_abandoned_stream(model_dir):
+    """The background reaper must evict idle streams WITHOUT any further
+    /stream traffic (regression: the TTL was only checked on incoming
+    stream requests, so abandoned sessions leaked device state and
+    max_streams slots forever)."""
+    import time as time_lib
+
+    from avsi.serve import serve
+
+    server = serve(
+        model_dir, port=0, micro_batch=2, phase_recon="none",
+        stream_idle_s=1.0,
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body=b""):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    try:
+        json.loads(post("/stream/open?chunk=4&look=6"))
+        deadline = time_lib.monotonic() + 10.0
+        while time_lib.monotonic() < deadline:
+            with urllib.request.urlopen(base + "/metrics") as r:
+                live = [
+                    ln for ln in r.read().decode().splitlines()
+                    if ln.startswith("avsi_live_streams")
+                ][0]
+            if live.endswith(" 0"):
+                break
+            time_lib.sleep(0.25)
+        assert live.endswith(" 0"), live
+    finally:
+        server.shutdown()
+
+
 def test_service_enhance_data_shards(model_dir):
     """data_shards: the /enhance micro-batch sharded over a 2-device data
     mesh must reproduce the single-device service to 1 int16 LSB (params

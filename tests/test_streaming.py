@@ -252,6 +252,27 @@ def test_long_stream_buffers_bounded(model):
     assert len(out) > 0
 
 
+def test_push_after_flush_raises_until_reset():
+    """flush() runs the terminal short window through the device state
+    (zero-pad rows poison carries/prev frame), so a later push must fail
+    loudly rather than silently emit corrupted audio; reset() reopens, and
+    a second flush() is an idempotent no-op."""
+    config, spec, params, stats, batch = _setup("a-blstm")
+    wave, frame_mask, _ = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=4, lookahead_frames=4
+    )
+    inp.push(wave, frame_mask)
+    out = inp.flush()
+    assert len(out) > 0
+    assert len(inp.flush()) == 0  # idempotent
+    with pytest.raises(RuntimeError):
+        inp.push(wave, frame_mask)
+    inp.reset()
+    inp.push(wave, frame_mask)
+    assert len(inp.flush()) == len(out)
+
+
 def test_mask_underflow_raises():
     config, spec, params, stats, batch = _setup("a-blstm")
     wave, frame_mask, _ = _streaming_inputs(batch)
