@@ -11,8 +11,13 @@ audio-only and AV MTL flagships with the identical convergence recipe,
 plus a fresh ASR judge, then runs the capstone protocol on the held-out
 split.
 
-Usage: python scripts/informative_study.py [dest] [epochs] [speakers]
+Usage: python scripts/informative_study.py [--freeform] [dest] [epochs]
+                                           [speakers]
                                            [train_utts val_utts test_utts]
+--freeform swaps the reference's full-band time gaps for irregular
+free-form T-F holes (same ~27% coverage; data/masks.get_freeform_mask) —
+the anchor for the avsi mask_kind extension on the MAIN 257-bin BLSTM
+family (the unet twins have their own in unet_freeform_r3.json).
 Writes <dest>/informative_study.json and prints INFORMATIVE_SUMMARY.
 """
 
@@ -26,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(dest="/dev/shm/informative", epochs=60, speakers=33,
          utts=(300, 20, 20),
-         models=("a-blstm-ssnn-ctc", "av-blstm-ssnn-ctc")):
+         models=("a-blstm-ssnn-ctc", "av-blstm-ssnn-ctc"),
+         mask_kind="timegap"):
     from avsi import config as config_lib
     from avsi.data import stats as stats_lib
     from avsi.data.fixture import make_fixture
@@ -42,7 +48,7 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
               "===", flush=True)
         make_fixture(dest, n_speakers=speakers, n_samples=tuple(utts),
                      seed=21, gap_ms=800.0, gap_std_ms=100.0,
-                     video_informative=True)
+                     video_informative=True, mask_kind=mask_kind)
         src = os.path.join(dest, "syn", "training-set")
         stats_lib.compute_mean_std_features(
             src, "target", os.path.join(dest, "audio_spec"), feat_type="spec")
@@ -79,7 +85,8 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
         return p
 
     cache: dict = {}
-    out: dict = {"speakers": speakers, "utts": list(utts), "epochs": epochs}
+    out: dict = {"speakers": speakers, "utts": list(utts), "epochs": epochs,
+                 "mask_kind": mask_kind}
 
     asr_ckpt = os.path.join(dest, "exp_asr", "netmodel")
     if os.path.exists(os.path.join(asr_ckpt, "asrnet.npz")):
@@ -158,6 +165,10 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
 
 if __name__ == "__main__":
     a = sys.argv[1:]
+    kind = "timegap"
+    if a and a[0] == "--freeform":
+        kind = "freeform"
+        a = a[1:]
     if len(a) in (4, 5):
         # a partial utts triple would otherwise be silently dropped
         raise SystemExit(
@@ -172,4 +183,5 @@ if __name__ == "__main__":
         tuple(int(x) for x in a[3:6]) if len(a) > 5 else (300, 20, 20),
         tuple(a[6:]) if len(a) > 6 else
         ("a-blstm-ssnn-ctc", "av-blstm-ssnn-ctc"),
+        mask_kind=kind,
     )
