@@ -176,18 +176,3 @@ def expand_batch(batch: dict, audio_feat_dim: int) -> dict:
     if "video_features" in out and out["video_features"].dtype != jnp.float32:
         out["video_features"] = out["video_features"].astype(jnp.float32)
     return out
-
-
-def pad_batch_to(batch: dict, total: int) -> tuple[dict, int]:
-    """Pad a host batch (repeat last sample) so its leading dim == total."""
-    n = len(batch["sequence_lengths"])
-    if n == total:
-        return batch, n
-    out = dict(batch)
-    for k in DEVICE_BATCH_KEYS:
-        if k in batch:
-            v = batch[k]
-            reps = np.concatenate([v, np.repeat(v[-1:], total - n, axis=0)], axis=0)
-            out[k] = reps
-    out["num_real"] = n
-    return out, n

@@ -64,15 +64,17 @@ def _preemption_flag():
     def _on_term(signum, frame):
         flag["hit"] = True
 
+    not_installed = object()  # signal.signal legitimately returns None for
+    # a C-level prior handler — None must not be read as "never installed"
     try:
         prev = signal.signal(signal.SIGTERM, _on_term)
     except ValueError:  # not the main thread
-        prev = None
+        prev = not_installed
     try:
         yield flag
     finally:
-        if prev is not None:
-            signal.signal(signal.SIGTERM, prev)
+        if prev is not not_installed:
+            signal.signal(signal.SIGTERM, prev if prev is not None else signal.SIG_DFL)
 
 
 def _log(logfile, msg):
@@ -253,6 +255,19 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     n_data = int(mesh.shape["data"])
     batch_size = int(config["batch_size"])
     use_mesh = batch_size % n_data == 0 and n_dev > 1
+    if not use_mesh and int(config.get("num_model_shards", 1)) > 1:
+        # an explicitly requested tensor-parallel axis must never be
+        # silently dropped — the model may only FIT sharded
+        raise ValueError(
+            f"num_model_shards={config['num_model_shards']} requires "
+            f"batch_size divisible by the data axis ({n_data}); got "
+            f"{batch_size}"
+        )
+    if n_dev > 1 and not use_mesh:
+        print(
+            f"WARNING: mesh disabled — batch_size {batch_size} not divisible "
+            f"by {n_data} data shards; training runs on one device"
+        )
 
     train_step = jax.jit(make_train_step(model, tx, config, stats), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, config, stats, is_asr))
@@ -260,8 +275,7 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     def place(batch):
         compacted = mesh_lib.compact_batch(batch)
         if use_mesh:
-            sharding = mesh_lib.batch_sharding(mesh)
-            return {k: jax.device_put(v, sharding) for k, v in compacted.items()}
+            return mesh_lib.shard_batch(compacted, mesh)
         return compacted
 
     if use_mesh:
@@ -318,8 +332,10 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             "audio_feat_dim": int(config["audio_feat_dim"]),
             "video_feat_dim": int(config["video_feat_dim"]),
             # cached device arrays carry their placement: a call with a
-            # different data-shard count must not consume them
-            "num_data_shards": int(config.get("num_data_shards", 0)),
+            # different mesh geometry must not consume them (the RESOLVED
+            # data-axis size, not the raw config value — num_data_shards=0
+            # resolves differently under different num_model_shards)
+            "mesh_data_axis": n_data if use_mesh else 1,
         }
         prev = corpus_cache.setdefault("stamp", stamp)
         if prev != stamp:
@@ -346,167 +362,176 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     cache_rng = np.random.default_rng(int(config.get("seed", 0)) + 101)
     media_cache: dict = {}  # device-resident TB media batch + jitted step
     with _preemption_flag() as preempt:
-        for epoch in range(int(config["max_n_epochs"])):
-            t_epoch = time.time()
-            loss_accum = None
-            n_acc = 0
-            from_cache = device_cache and (epoch > 0 or prefilled)
-            if from_cache:
-                train_iter = (cached_train[i] for i in cache_rng.permutation(len(cached_train)))
-            else:
-                train_iter = dm.prefetch_batches(
-                    train_files, batch_size, shuffle=True, drop_remainder=True
-                )
-            for batch in train_iter:
-                rng, step_rng = jax.random.split(rng)
-                if profile_steps and step - start_step == 3:
-                    jax.profiler.start_trace(profile_dir)
-                    trace_active = True
-                placed = batch if from_cache else place(batch)
-                if device_cache and epoch == 0 and not prefilled:
-                    if not use_mesh:  # mesh place() already device_put with sharding
-                        placed = jax.device_put(placed)
-                    cached_train.append(placed)
-                train_state, ldict = train_step(train_state, placed, step_rng)
-                step += 1
-                if trace_active and step - start_step == 3 + profile_steps:
-                    # scalar fetch, not block_until_ready: the latter returns
-                    # immediately under the axon relay (CLAUDE.md gotcha) and
-                    # the trace would stop before the steps actually ran
-                    float(ldict["loss"])
-                    jax.profiler.stop_trace()
-                    trace_active = False
-                    profile_steps = 0
-                    _log(logfile, f"# profiler trace written to {profile_dir}")
-                loss_accum = (
-                    ldict
-                    if loss_accum is None
-                    else jax.tree_util.tree_map(jnp.add, loss_accum, ldict)
-                )
-                n_acc += 1
-                # each host fetch of the device loss is a full tunnel
-                # round-trip, so both the NaN check and the progress print
-                # respect nan_check_every (0 disables the per-step NaN abort
-                # entirely — the progress print still fetches at its own
-                # 200-step cadence but must not turn into a surprise abort;
-                # the end-of-epoch check below still catches NaN runs)
-                do_nan = bool(nan_check_every) and step % nan_check_every == 0
-                if do_nan or step % log_every == 0:
-                    loss = float(ldict["loss"])
-                    if do_nan and not np.isfinite(loss):
-                        raise FloatingPointError(
-                            f"NaN/Inf loss at step {step} — aborting (reference "
-                            "training.py:244-249 semantics)"
-                        )
-                    if step % log_every == 0:
-                        print(
-                            f"epoch {epoch} step {step} "
-                            + " ".join(f"{k}={float(v):.5f}" for k, v in ldict.items()),
-                            flush=True,
-                        )
-                if step % 1000 == 0:
-                    checkpoints.save_checkpoint(
-                        ckpt_dir, "ckpt", jax.device_get(train_state.params),
-                        opt_state=jax.device_get(train_state.opt_state), step=step,
+        try:
+            for epoch in range(int(config["max_n_epochs"])):
+                t_epoch = time.time()
+                loss_accum = None
+                n_acc = 0
+                from_cache = device_cache and (epoch > 0 or prefilled)
+                if from_cache:
+                    train_iter = (cached_train[i] for i in cache_rng.permutation(len(cached_train)))
+                else:
+                    train_iter = dm.prefetch_batches(
+                        train_files, batch_size, shuffle=True, drop_remainder=True
                     )
+                for batch in train_iter:
+                    rng, step_rng = jax.random.split(rng)
+                    if profile_steps and step - start_step == 3:
+                        jax.profiler.start_trace(profile_dir)
+                        trace_active = True
+                    placed = batch if from_cache else place(batch)
+                    if device_cache and epoch == 0 and not prefilled:
+                        if not use_mesh:  # mesh place() already device_put with sharding
+                            placed = jax.device_put(placed)
+                        cached_train.append(placed)
+                    train_state, ldict = train_step(train_state, placed, step_rng)
+                    step += 1
+                    if trace_active and step - start_step == 3 + profile_steps:
+                        # scalar fetch, not block_until_ready: the latter returns
+                        # immediately under the axon relay (CLAUDE.md gotcha) and
+                        # the trace would stop before the steps actually ran
+                        float(ldict["loss"])
+                        jax.profiler.stop_trace()
+                        trace_active = False
+                        profile_steps = 0
+                        _log(logfile, f"# profiler trace written to {profile_dir}")
+                    loss_accum = (
+                        ldict
+                        if loss_accum is None
+                        else jax.tree_util.tree_map(jnp.add, loss_accum, ldict)
+                    )
+                    n_acc += 1
+                    # each host fetch of the device loss is a full tunnel
+                    # round-trip, so both the NaN check and the progress print
+                    # respect nan_check_every (0 disables the per-step NaN abort
+                    # entirely — the progress print still fetches at its own
+                    # 200-step cadence but must not turn into a surprise abort;
+                    # the end-of-epoch check below still catches NaN runs)
+                    do_nan = bool(nan_check_every) and step % nan_check_every == 0
+                    if do_nan or step % log_every == 0:
+                        loss = float(ldict["loss"])
+                        if do_nan and not np.isfinite(loss):
+                            raise FloatingPointError(
+                                f"NaN/Inf loss at step {step} — aborting (reference "
+                                "training.py:244-249 semantics)"
+                            )
+                        if step % log_every == 0:
+                            print(
+                                f"epoch {epoch} step {step} "
+                                + " ".join(f"{k}={float(v):.5f}" for k, v in ldict.items()),
+                                flush=True,
+                            )
+                    if step % 1000 == 0:
+                        checkpoints.save_checkpoint(
+                            ckpt_dir, "ckpt", jax.device_get(train_state.params),
+                            opt_state=jax.device_get(train_state.opt_state), step=step,
+                        )
+                    if preempt["hit"]:
+                        break
                 if preempt["hit"]:
-                    break
-            if preempt["hit"]:
-                break  # skip validation; checkpoint + log after the loop
-            if n_acc == 0 and epoch == 0:
-                _log(
-                    logfile,
-                    f"# WARNING: 0 training steps in epoch 0 — batch_size "
-                    f"({batch_size}) likely exceeds the training corpus "
-                    "(drop_remainder drops the lone short batch)",
-                )
-            train_losses = []
-            if loss_accum is not None:
-                fetched = jax.device_get(loss_accum)
-                final = float(np.asarray(fetched["loss"])) / n_acc
-                if not np.isfinite(final):
-                    raise FloatingPointError(
-                        f"NaN/Inf loss in epoch {epoch} — aborting"
+                    break  # skip validation; checkpoint + log after the loop
+                if n_acc == 0 and epoch == 0:
+                    _log(
+                        logfile,
+                        f"# WARNING: 0 training steps in epoch 0 — batch_size "
+                        f"({batch_size}) likely exceeds the training corpus "
+                        "(drop_remainder drops the lone short batch)",
                     )
-                train_losses = [{k: float(v) / n_acc for k, v in fetched.items()}]
+                tr = {}
+                if loss_accum is not None:
+                    fetched = jax.device_get(loss_accum)
+                    final = float(np.asarray(fetched["loss"])) / n_acc
+                    if not np.isfinite(final):
+                        raise FloatingPointError(
+                            f"NaN/Inf loss in epoch {epoch} — aborting"
+                        )
+                    tr = {k: float(v) / n_acc for k, v in fetched.items()}
 
-            # validation pass; selection metric follows the model's own loss:
-            # mean-all for base blstm/unet (training.py), hole-only for the
-            # ssnn/emb/ctc variants (training_ctc.py:383-389)
-            spec = model.extra.get("spec") if model.extra else None
-            select_hole = bool(spec and spec.loss_on_hole_only)
-            if device_cache and (epoch > 0 or prefilled):
-                pairs = cached_val
-            elif device_cache:
-                cached_val[:] = [
-                    (meta, placed if use_mesh else jax.device_put(placed))
-                    for meta, placed in _val_pairs(dm, val_files, batch_size, place)
-                ]
-                pairs = cached_val
-            else:
-                pairs = _val_pairs(dm, val_files, batch_size, place)
-            val_metric, val_report = _validate(
-                pairs, eval_step, train_state.params, is_asr, select_hole
-            )
-            if device_cache and epoch == 0 and not prefilled and cached_train:
-                # operational visibility: the cache must fit HBM next to params
-                # + optimizer state; report what epoch 0 actually pinned
-                gb = sum(
-                    v.nbytes for b in cached_train for v in jax.tree_util.tree_leaves(b)
-                ) + sum(
-                    v.nbytes for _, b in cached_val
-                    for v in jax.tree_util.tree_leaves(b)
+                # validation pass; selection metric follows the model's own loss:
+                # mean-all for base blstm/unet (training.py), hole-only for the
+                # ssnn/emb/ctc variants (training_ctc.py:383-389)
+                spec = model.extra.get("spec") if model.extra else None
+                select_hole = bool(spec and spec.loss_on_hole_only)
+                if device_cache and (epoch > 0 or prefilled):
+                    pairs = cached_val
+                elif device_cache:
+                    cached_val[:] = [
+                        (meta, placed if use_mesh else jax.device_put(placed))
+                        for meta, placed in _val_pairs(dm, val_files, batch_size, place)
+                    ]
+                    pairs = cached_val
+                else:
+                    pairs = _val_pairs(dm, val_files, batch_size, place)
+                val_metric, val_report = _validate(
+                    pairs, eval_step, train_state.params, is_asr, select_hole
                 )
+                if device_cache and epoch == 0 and not prefilled and cached_train:
+                    # operational visibility: the cache must fit HBM next to params
+                    # + optimizer state; report what epoch 0 actually pinned
+                    gb = sum(
+                        v.nbytes for b in cached_train for v in jax.tree_util.tree_leaves(b)
+                    ) + sum(
+                        v.nbytes for _, b in cached_val
+                        for v in jax.tree_util.tree_leaves(b)
+                    )
+                    _log(
+                        logfile,
+                        f"# corpus cache: {len(cached_train)} train + "
+                        f"{len(cached_val)} val batches, {gb / 2**30:.2f} GB in HBM",
+                    )
+                    if corpus_cache is not None:
+                        # the fill is only trustworthy once epoch 0 streamed the
+                        # whole corpus AND validation cached its batches; a fill
+                        # interrupted earlier is discarded on the next call
+                        corpus_cache["complete"] = True
+                if not val_files:
+                    # no validation split: every epoch "improves", so the best
+                    # checkpoint tracks the latest params instead of never saving
+                    val_metric = -float(epoch)
+
+                dt = time.time() - t_epoch
+                for k, v in tr.items():
+                    tb.scalar(f"train/{k}", v, epoch)
+                tb.scalar("val/metric", val_metric, epoch)
+                tb.scalar("train/epoch_time_s", dt, epoch)
+                if not is_asr and val_files and int(config.get("tb_media", 1)):
+                    _tb_media(
+                        tb, model, config, stats, train_state.params, dm, val_files,
+                        epoch, cache=media_cache,
+                    )
+                tb.flush()
                 _log(
                     logfile,
-                    f"# corpus cache: {len(cached_train)} train + "
-                    f"{len(cached_val)} val batches, {gb / 2**30:.2f} GB in HBM",
+                    f"epoch {epoch}\t"
+                    + "\t".join(f"train_{k}={v:.5f}" for k, v in tr.items())
+                    + "\t"
+                    + val_report
+                    + f"\ttime={dt:.1f}s",
                 )
-                if corpus_cache is not None:
-                    # the fill is only trustworthy once epoch 0 streamed the
-                    # whole corpus AND validation cached its batches; a fill
-                    # interrupted earlier is discarded on the next call
-                    corpus_cache["complete"] = True
-            if not val_files:
-                # no validation split: every epoch "improves", so the best
-                # checkpoint tracks the latest params instead of never saving
-                val_metric = -float(epoch)
 
-            dt = time.time() - t_epoch
-            tr = {k: float(np.mean([d[k] for d in train_losses])) for k in train_losses[0]} if train_losses else {}
-            for k, v in tr.items():
-                tb.scalar(f"train/{k}", v, epoch)
-            tb.scalar("val/metric", val_metric, epoch)
-            tb.scalar("train/epoch_time_s", dt, epoch)
-            if not is_asr and val_files and int(config.get("tb_media", 1)):
-                _tb_media(
-                    tb, model, config, stats, train_state.params, dm, val_files,
-                    epoch, cache=media_cache,
-                )
-            tb.flush()
-            _log(
-                logfile,
-                f"epoch {epoch}\t"
-                + "\t".join(f"train_{k}={v:.5f}" for k, v in tr.items())
-                + "\t"
-                + val_report
-                + f"\ttime={dt:.1f}s",
-            )
-
-            if val_metric < best_val:
-                best_val = val_metric
-                best_epoch = epoch
-                cneg_epochs = 0
-                name = "asrnet" if is_asr else "sinet"
-                checkpoints.save_checkpoint(
-                    ckpt_dir, name, jax.device_get(train_state.params), step=step
-                )
-                _log(logfile, f"# new best val metric {best_val:.5f} -> saved {name}")
-            else:
-                cneg_epochs += 1
-                if cneg_epochs >= int(config["n_earlystop_epochs"]):
-                    _log(logfile, f"# early stop at epoch {epoch} (best epoch {best_epoch})")
-                    break
+                if val_metric < best_val:
+                    best_val = val_metric
+                    best_epoch = epoch
+                    cneg_epochs = 0
+                    name = "asrnet" if is_asr else "sinet"
+                    checkpoints.save_checkpoint(
+                        ckpt_dir, name, jax.device_get(train_state.params), step=step
+                    )
+                    _log(logfile, f"# new best val metric {best_val:.5f} -> saved {name}")
+                else:
+                    cneg_epochs += 1
+                    if cneg_epochs >= int(config["n_earlystop_epochs"]):
+                        _log(logfile, f"# early stop at epoch {epoch} (best epoch {best_epoch})")
+                        break
+        except BaseException:
+            # abnormal exit (NaN abort, device failure, KeyboardInterrupt):
+            # close an active profiler trace (a leaked trace makes the
+            # NEXT train() with profiling die on 'trace already in
+            # progress') and flush TB events before propagating
+            if trace_active:
+                jax.profiler.stop_trace()
+            tb.close()
+            raise
 
     if trace_active:
         # training ended (epoch limit / early stop) before the requested
