@@ -90,16 +90,11 @@ class InpaintingService:
         # blstm-*-emb models take an external per-utterance speaker vector:
         # the batch template carries an embeddings field (zeros for warmup)
         # and /enhance callers must supply one per utterance
-        try:
-            from avsi.models.blstm import parse_model_name
-
-            self.emb_dim = (
-                int(self.config.get("embedding_dim", 512))
-                if parse_model_name(self.config["model"]).conditioning == "emb"
-                else 0
-            )
-        except ValueError:  # unet family: no conditioning
-            self.emb_dim = 0
+        self.emb_dim = (
+            int(self.config.get("embedding_dim", 512))
+            if model.needs_embeddings
+            else 0
+        )
         self._phase_recon = phase_recon
         self._gl_iters = gl_iters
         self._step = jax.jit(
@@ -222,10 +217,22 @@ class InpaintingService:
         embeddings (N, emb_dim) float32, required iff the model is a
         blstm-*-emb variant."""
         n = len(waves)
-        if self.emb_dim and embeddings is None:
+        if self.emb_dim:
+            if embeddings is None:
+                raise ValueError(
+                    f"model {self.config['model']} needs per-utterance speaker "
+                    f"embeddings (N, {self.emb_dim})"
+                )
+            if np.shape(embeddings) != (n, self.emb_dim):
+                raise ValueError(
+                    f"embeddings must be (N={n}, {self.emb_dim}); got "
+                    f"{np.shape(embeddings)}"
+                )
+        elif embeddings is not None:
+            # silently dropping a caller-supplied conditioning vector would
+            # hide a client/server model mismatch
             raise ValueError(
-                f"model {self.config['model']} needs per-utterance speaker "
-                f"embeddings (N, {self.emb_dim})"
+                f"model {self.config['model']} takes no speaker embeddings"
             )
         out = np.empty((n, self.audio_len), np.int16)
         with self._lock:  # one device stream; keep shapes fixed
@@ -430,6 +437,15 @@ def serve(
                             "embedding body must be little-endian float32"
                         )
                     emb = np.frombuffer(raw, "<f4").copy()
+                    if emb.size != service.emb_dim:
+                        # reject now — a wrong-size vector would otherwise
+                        # surface later as an opaque 500 (fresh program:
+                        # trace error at warm-up; cached program: retrace on
+                        # the first push, inside the device lock)
+                        raise ValueError(
+                            f"embedding must be {service.emb_dim} float32 "
+                            f"values; got {emb.size}"
+                        )
                 elif spec.conditioning == "emb":
                     raise ValueError(
                         "model needs an external speaker embedding: send it "
@@ -588,6 +604,13 @@ def serve(
                             "after the mask bytes"
                         )
                     emb = np.frombuffer(raw, "<f4", service.emb_dim, off).copy()
+                elif len(raw) != off:
+                    # trailing bytes on a non-emb model mean the client is
+                    # configured for a different model — reject, don't drop
+                    raise ValueError(
+                        f"model {service.config['model']} takes no speaker "
+                        f"embedding; {len(raw) - off} unexpected trailing bytes"
+                    )
                 enhanced = service.enhance(wave, mask.astype(np.float32), emb)
                 self._reply(200, enhanced.astype("<i2").tobytes())
             except (ValueError, struct.error) as e:

@@ -43,7 +43,21 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
 
     t_all = time.time()
     grouped = os.path.join(dest, "grouped")
-    if not os.path.isdir(grouped):
+    meta_path = os.path.join(dest, "corpus_meta.json")
+    if os.path.isdir(grouped):
+        # a pre-existing corpus is only reusable if it was built with the
+        # SAME mask kind — silently reusing a timegap corpus for --freeform
+        # would mislabel the study output
+        built_kind = "timegap"
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                built_kind = json.load(f).get("mask_kind", "timegap")
+        if built_kind != mask_kind:
+            raise SystemExit(
+                f"{dest} holds a {built_kind!r} corpus but this run wants "
+                f"{mask_kind!r} — use a different dest or delete it"
+            )
+    else:
         print(f"=== corpus: {speakers} speakers x {utts} (informative video) "
               "===", flush=True)
         make_fixture(dest, n_speakers=speakers, n_samples=tuple(utts),
@@ -59,6 +73,8 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
             group_tfrecords(os.path.join(dest, "tfrecords", split),
                             os.path.join(grouped, split), group_size=16,
                             delete_input_dir=True)
+        with open(meta_path, "w") as f:
+            json.dump({"mask_kind": mask_kind}, f)
     print(f"corpus ready ({time.time()-t_all:.0f}s)", flush=True)
 
     spec = os.path.join(dest, "audio_spec")

@@ -502,6 +502,74 @@ def test_http_streaming_embedding_model(emb_model_dir):
         server.shutdown()
 
 
+def test_http_enhance_embedding_protocol(emb_model_dir):
+    """/enhance on an emb model: the 512-float32 speaker vector follows the
+    mask bytes; missing or wrong-size vectors are a 400 (not a deferred
+    opaque 500), and /stream/open validates the vector LENGTH too."""
+    from avsi.serve import serve
+
+    server = serve(emb_model_dir, port=0, micro_batch=2, phase_recon="none")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body=b""):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    rng = np.random.RandomState(3)
+    wave = (3000 * rng.randn(9600)).astype(np.int16)
+    mask = np.ones(50, np.uint8)
+    mask[20:30] = 0
+    head = struct.pack("<ii", 9600, 50) + wave.tobytes() + mask.tobytes()
+    emb = rng.randn(512).astype("<f4")
+    try:
+        out = np.frombuffer(post("/enhance", head + emb.tobytes()), "<i2")
+        assert out.shape == (9600,)
+        assert np.abs(out).max() > 0
+
+        # missing embedding -> 400
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/enhance", head)
+        assert exc.value.code == 400
+        # wrong-size embedding -> 400
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/enhance", head + emb[:256].tobytes())
+        assert exc.value.code == 400
+        # /stream/open with a wrong-size vector -> 400 at open time
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/stream/open?chunk=4&look=6", emb[:256].tobytes())
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_enhance_trailing_bytes_rejected_for_plain_model(model_dir):
+    """A non-emb server must 400 an /enhance body with trailing embedding
+    bytes (a client configured for an emb model), not silently drop them."""
+    from avsi.serve import serve
+
+    server = serve(model_dir, port=0, micro_batch=2, phase_recon="none")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    rng = np.random.RandomState(4)
+    wave = (3000 * rng.randn(9600)).astype(np.int16)
+    mask = np.ones(50, np.uint8)
+    body = (
+        struct.pack("<ii", 9600, 50) + wave.tobytes() + mask.tobytes()
+        + np.zeros(512, "<f4").tobytes()
+    )
+    try:
+        req = urllib.request.Request(base + "/enhance", data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_open_body_rejected_for_plain_model(model_dir):
     """Non-emb models must reject an embedding body on /stream/open."""
     from avsi.serve import serve
