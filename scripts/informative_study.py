@@ -46,20 +46,30 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
     meta_path = os.path.join(dest, "corpus_meta.json")
     if os.path.isdir(grouped):
         # a pre-existing corpus is only reusable if it was built with the
-        # SAME mask kind — silently reusing a timegap corpus for --freeform
-        # would mislabel the study output
-        built_kind = "timegap"
+        # SAME mask kind AND finished building — silently reusing a timegap
+        # (or half-built) corpus for --freeform would mislabel the study
+        meta = {"mask_kind": "timegap", "complete": True}  # pre-stamp corpora
         if os.path.isfile(meta_path):
             with open(meta_path) as f:
-                built_kind = json.load(f).get("mask_kind", "timegap")
+                meta = json.load(f)
+        built_kind = meta.get("mask_kind", "timegap")
         if built_kind != mask_kind:
             raise SystemExit(
                 f"{dest} holds a {built_kind!r} corpus but this run wants "
                 f"{mask_kind!r} — use a different dest or delete it"
             )
+        if not meta.get("complete", False):
+            raise SystemExit(
+                f"{dest} holds an INCOMPLETE {built_kind!r} corpus (a prior "
+                "build crashed mid-way) — delete it and rerun"
+            )
     else:
         print(f"=== corpus: {speakers} speakers x {utts} (informative video) "
               "===", flush=True)
+        # stamp the mask kind BEFORE building so a crash mid-build can never
+        # leave a meta-less corpus a later run mistakes for timegap+complete
+        with open(meta_path, "w") as f:
+            json.dump({"mask_kind": mask_kind, "complete": False}, f)
         make_fixture(dest, n_speakers=speakers, n_samples=tuple(utts),
                      seed=21, gap_ms=800.0, gap_std_ms=100.0,
                      video_informative=True, mask_kind=mask_kind)
@@ -74,7 +84,7 @@ def main(dest="/dev/shm/informative", epochs=60, speakers=33,
                             os.path.join(grouped, split), group_size=16,
                             delete_input_dir=True)
         with open(meta_path, "w") as f:
-            json.dump({"mask_kind": mask_kind}, f)
+            json.dump({"mask_kind": mask_kind, "complete": True}, f)
     print(f"corpus ready ({time.time()-t_all:.0f}s)", flush=True)
 
     spec = os.path.join(dest, "audio_spec")

@@ -60,15 +60,19 @@ def main(dest="/dev/shm/informative_full", exp="exp_av-blstm-ssnn-ctc",
     # subset: first K grouped files (16 utts each), symlinked
     sub = os.path.join(dest, f"phase_study_sub_{n_files}")
     os.makedirs(sub, exist_ok=True)
-    for f in sorted(glob(os.path.join(grouped_test, "*.tfrecord")))[:n_files]:
+    linked = sorted(glob(os.path.join(grouped_test, "*.tfrecord")))[:n_files]
+    for f in linked:
         link = os.path.join(sub, os.path.basename(f))
         if not os.path.exists(link):
             os.symlink(f, link)
 
-    out = {"dest": dest, "exp": exp, "n_utts": 16 * n_files}
+    # count what was actually linked — the glob slice can be shorter than
+    # n_files on a small test split, and the artifact must say so
+    out = {"dest": dest, "exp": exp, "n_utts": 16 * len(linked)}
     for name, iters, opts in VARIANTS:
         prefix = f"ph_{name}"
         t0 = time.time()
+        opts = dict(opts)  # never mutate the module-level VARIANTS entry
         oracle = bool(opts.pop("oracle", False))
         inpaint.infer(
             si_ckpt, sub, test_audio, prefix, norm=True, batch_size=128,

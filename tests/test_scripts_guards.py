@@ -42,3 +42,17 @@ def test_informative_study_meta_less_corpus_defaults_to_timegap(tmp_path):
     (dest / "grouped").mkdir(parents=True)
     with pytest.raises(SystemExit, match="timegap.*freeform"):
         mod.main(dest=str(dest), mask_kind="freeform")
+
+
+def test_informative_study_rejects_incomplete_corpus(tmp_path):
+    # the stamp is written with complete=False BEFORE the build starts; a
+    # crash mid-build leaves it that way and a later run must refuse the
+    # half-built corpus rather than silently training on it
+    mod = _load_informative_study()
+    dest = tmp_path / "corpus"
+    (dest / "grouped").mkdir(parents=True)
+    (dest / "corpus_meta.json").write_text(
+        json.dumps({"mask_kind": "freeform", "complete": False})
+    )
+    with pytest.raises(SystemExit, match="INCOMPLETE"):
+        mod.main(dest=str(dest), mask_kind="freeform")
