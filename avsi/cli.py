@@ -19,6 +19,26 @@ import argparse
 import sys
 
 
+def _add_gap_atten_flags(p):
+    p.add_argument("--gap_atten", type=float, default=1.0,
+                   help="deep-gap amplitude floor in [0,1] (postfilter for "
+                        "the 1600 ms PER inversion, avsi/ops/postfilter.py); "
+                        "1.0 = off (default)")
+    p.add_argument("--gap_atten_trust", type=int, default=34,
+                   help="frames of gap depth fully trusted (34 = an 800 ms "
+                        "single-intrusion hole stays bit-identical)")
+    p.add_argument("--gap_atten_ramp", type=int, default=16,
+                   help="frames over which the gain ramps from 1 to "
+                        "--gap_atten")
+
+
+def _gap_atten_opts(args):
+    if args.gap_atten >= 1.0:
+        return None
+    return {"alpha": args.gap_atten, "trust": args.gap_atten_trust,
+            "ramp": args.gap_atten_ramp}
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(
         prog="avsi",
@@ -143,6 +163,11 @@ def parse_args(argv=None):
     p.add_argument("--data_shards", type=int, default=0,
                    help="shard each inference batch over a data mesh of "
                         "this many devices (0 = single device)")
+    p.add_argument("--passthrough", action="store_const", const=True, default=False,
+                   help="keep original samples on known frames (raised-cosine "
+                        "crossfade at gap boundaries); default = reference-"
+                        "faithful full resynthesis")
+    _add_gap_atten_flags(p)
 
     p = sub.add_parser("inference_asr", description="Inference with trained ASR model.")
     p.add_argument("-d", "--data_dir", required=True)
@@ -170,6 +195,11 @@ def parse_args(argv=None):
     p.add_argument("--gl_iters", type=int, default=50)
     p.add_argument("-bw", "--beam_width", type=int, default=100,
                    help="CTC beam width (reference default 100); 0 = greedy.")
+    p.add_argument("--passthrough", action="store_const", const=True, default=False,
+                   help="keep original samples on known frames (raised-cosine "
+                        "crossfade at gap boundaries); default = reference-"
+                        "faithful full resynthesis")
+    _add_gap_atten_flags(p)
 
     p = sub.add_parser("evaluation", description="Evaluate audio samples with speech metrics.")
     p.add_argument("-ed", "--eval_audio_dir", required=True)
@@ -214,6 +244,10 @@ def parse_args(argv=None):
     p.add_argument("--data_shards", type=int, default=0,
                    help="shard the /enhance micro-batch over a data mesh "
                         "of this many devices (0 = single device)")
+    p.add_argument("--passthrough", action="store_const", const=True, default=False,
+                   help="keep original samples on known frames (raised-cosine "
+                        "crossfade at gap boundaries); default = reference-"
+                        "faithful full resynthesis")
 
     p = sub.add_parser("fixture", description="Generate a synthetic GRID-like corpus (not in reference).")
     p.add_argument("-d", "--dest_dir", required=True)
@@ -346,6 +380,7 @@ def main(argv=None):
             args.model_path, args.data_dir, args.audio_dir, args.out_file_prefix,
             args.norm, args.oracle_phase, args.batch_size, args.phase_recon,
             args.gl_iters, data_shards=args.data_shards,
+            passthrough=args.passthrough, gap_atten=_gap_atten_opts(args),
         )
     elif name == "inference_asr":
         from avsi.infer.asr import infer
@@ -362,6 +397,7 @@ def main(argv=None):
             args.model_path_si, args.model_path_asr, args.data_dir, args.audio_dir,
             args.out_file_prefix, args.dict_file, args.norm, args.oracle_phase,
             args.batch_size, args.phase_recon, args.gl_iters, args.beam_width,
+            passthrough=args.passthrough, gap_atten=_gap_atten_opts(args),
         )
     elif name == "evaluation":
         from avsi.eval.harness import speech_inpainting_eval
@@ -387,6 +423,7 @@ def main(argv=None):
             max_streams=args.max_streams, stream_idle_s=args.stream_idle_s,
             micro_batch=args.micro_batch, phase_recon=args.phase_recon,
             gl_iters=args.gl_iters, data_shards=args.data_shards,
+            passthrough=args.passthrough,
         )
         server.serve_forever()
     elif name == "fixture":

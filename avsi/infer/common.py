@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from avsi.ops import passthrough as passthrough_ops
 from avsi.ops import phase as phase_ops
 
 
@@ -42,6 +43,17 @@ def reconstruct_waveform(
         frame_step=model.frame_step,
         fft_length=model.fft_length,
         **(gl_opts or {}),
+    )
+
+
+def apply_passthrough(model, wav: jax.Array, batch: dict) -> jax.Array:
+    """Opt-in deployment lever (`--passthrough`): keep the original samples
+    on fully-known frames, the model's output inside gaps, raised-cosine
+    crossfade confined to the known region (avsi/ops/passthrough.py — the
+    waveform analogue of the composite prediction at models.py:1012).
+    Reference-faithful full resynthesis stays the default."""
+    return passthrough_ops.known_region_passthrough(
+        wav, batch["target_sources"], batch["masks"], model.frame_step
     )
 
 

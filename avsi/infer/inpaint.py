@@ -25,6 +25,7 @@ from avsi.data import reader as reader_lib, stats as stats_lib
 from avsi.data.tfrecord import list_tfrecord_files
 from avsi.infer import common
 from avsi.models import registry
+from avsi.ops import postfilter as postfilter_ops
 from avsi.parallel import mesh as mesh_lib
 from avsi.train import checkpoints
 from avsi.utils import wav as wavio
@@ -63,17 +64,24 @@ def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False):
 
 
 def make_infer_step(model, config, stats, oracle_phase: bool, phase_recon: str, gl_iters: int,
-                    gl_opts: dict | None = None):
+                    gl_opts: dict | None = None, passthrough: bool = False,
+                    gap_atten: dict | None = None):
     stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
 
     def step(params, batch):
         batch = mesh_lib.expand_batch(batch, int(config["audio_feat_dim"]))
         out = model.forward(params, batch, config, stats_j, train=False)
         loss_ps, hole_ps = common.per_sample_losses(out, batch)
+        if gap_atten:
+            out = postfilter_ops.apply_gap_attenuation(
+                out, batch, stats_j, **gap_atten
+            )
         wav = common.reconstruct_waveform(
             model, out, batch, config, stats_j, oracle_phase, phase_recon, gl_iters,
             gl_opts,
         )
+        if passthrough:
+            wav = common.apply_passthrough(model, wav, batch)
         # int16 on device: the files are int16 anyway and this halves the
         # device->host transfer of the dominant output
         wav_i16 = jnp.clip(wav, -32768, 32767).astype(jnp.int16)
@@ -94,6 +102,8 @@ def infer(
     gl_iters: int = 50,
     gl_opts: dict | None = None,
     data_shards: int = 0,
+    passthrough: bool = False,
+    gap_atten: dict | None = None,
 ) -> dict:
     """data_shards > 1 shards each inference batch over a `data` device
     mesh (params replicated, batch partitioned — utterances are
@@ -122,7 +132,7 @@ def infer(
         raise ValueError(f"no tfrecords under {data_path_test}")
 
     step = jax.jit(make_infer_step(model, config, stats, oracle_phase, phase_recon, gl_iters,
-                                   gl_opts))
+                                   gl_opts, passthrough, gap_atten))
 
     def write_one(args):
         path, data = args

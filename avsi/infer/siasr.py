@@ -31,6 +31,7 @@ from avsi.infer import common
 from avsi.infer.inpaint import load_model_bundle
 from avsi.models import asr as asr_model
 from avsi.ops import ctc as ctc_ops
+from avsi.ops import postfilter as postfilter_ops
 from avsi.parallel import mesh as mesh_lib
 from avsi.utils import wav as wavio
 
@@ -38,6 +39,7 @@ from avsi.utils import wav as wavio
 def make_siasr_step(
     si_model, si_config, si_stats, asr_config, asr_stats,
     oracle_phase: bool, phase_recon: str, gl_iters: int, use_beam: bool,
+    passthrough: bool = False, gap_atten: dict | None = None,
 ):
     si_stats_j = (jnp.asarray(si_stats[0]), jnp.asarray(si_stats[1]))
     asr_stats_j = (jnp.asarray(asr_stats[0]), jnp.asarray(asr_stats[1]))
@@ -46,10 +48,17 @@ def make_siasr_step(
         batch = mesh_lib.expand_batch(batch, int(si_config["audio_feat_dim"]))
         out = si_model.forward(si_params, batch, si_config, si_stats_j, train=False)
         loss_ps, hole_ps = common.per_sample_losses(out, batch)
+        if gap_atten:
+            out = postfilter_ops.apply_gap_attenuation(
+                out, batch, si_stats_j, **gap_atten
+            )
         wav = common.reconstruct_waveform(
             si_model, out, batch, si_config, si_stats_j, oracle_phase,
             phase_recon, gl_iters,
         )
+        if passthrough:
+            # the judge hears what would be deployed
+            wav = common.apply_passthrough(si_model, wav, batch)
         # feed the enhanced waveform straight into the ASR front-end
         asr_out = asr_model.forward(
             asr_params, batch, asr_config, asr_stats_j, audio_sources=wav
@@ -79,6 +88,8 @@ def infer(
     phase_recon: str = "gl",
     gl_iters: int = 50,
     beam_width: int = 100,  # reference ASR-judge default (models_asr.py:135)
+    passthrough: bool = False,
+    gap_atten: dict | None = None,
 ) -> dict:
     batch_size = batch_size or 1
     si_config, si_stats, si_model, si_params = load_model_bundle(model_path_si, norm)
@@ -99,6 +110,7 @@ def infer(
         make_siasr_step(
             si_model, si_config, si_stats, asr_config, asr_stats,
             oracle_phase, phase_recon, gl_iters, use_beam=beam_width > 0,
+            passthrough=passthrough, gap_atten=gap_atten,
         )
     )
 

@@ -69,6 +69,7 @@ import jax.numpy as jnp
 
 from avsi.models import blstm as blstm_lib
 from avsi.models import core
+from avsi.ops import passthrough as passthrough_ops
 from avsi.ops import stft as stft_ops
 from avsi.ops.phase import _princarg
 
@@ -457,6 +458,7 @@ class StreamingInpainter:
         program_cache: dict | None = None,
         transcript: bool = False,
         phase_fill: bool = False,
+        passthrough: bool = False,
     ):
         """chunk_frames/lookahead_frames default (None) to the model's
         TRAINED window when the config carries lc_chunk/lc_lookahead —
@@ -473,7 +475,13 @@ class StreamingInpainter:
         transcript=True (CTC models only) additionally runs the ASR head
         over every emitted chunk and maintains an incremental greedy
         decode; read it via the `transcript` attribute (collapsed label
-        ids so far)."""
+        ids so far).
+
+        passthrough=True keeps the ORIGINAL pushed samples on fully-known
+        frames with a raised-cosine crossfade confined to the known side of
+        each gap boundary (ops/passthrough.py) — a pure host-side blend per
+        emitted chunk, causal (one frame of mask context each side), and
+        sample-identical to the offline `--passthrough` path."""
         self.spec = blstm_lib.parse_model_name(config["model"])
         self.want_transcript = bool(transcript)
         if self.want_transcript and not self.spec.ctc:
@@ -508,6 +516,7 @@ class StreamingInpainter:
         ]
         self._ctc_blank = ctc_blank_id(params) if self.spec.ctc else -1
         self.phase_fill = bool(phase_fill)
+        self.passthrough = bool(passthrough)
         key = (self.chunk, self.look, self.want_transcript, self.phase_fill)
         if program_cache is not None and key in program_cache:
             self._step = program_cache[key]
@@ -575,6 +584,11 @@ class StreamingInpainter:
         self._buf_base = 0  # absolute frame index of mask/video/masked row 0
         self.transcript: list[int] = []  # collapsed CTC label ids so far
         self._ctc_prev = self._ctc_blank  # collapse state across chunks
+        # passthrough state: raw pushed samples not yet emitted (+ absolute
+        # sample index of row 0) and the last emitted frame's known flag
+        self._orig = np.zeros((0,), np.float32)
+        self._orig_base = 0
+        self._pt_prev_known = 1.0
 
     # ------------------------------------------------------------------- api
 
@@ -608,6 +622,8 @@ class StreamingInpainter:
         ):
             raise ValueError("not enough video feature rows supplied")
         self._mask_buf = np.concatenate([self._mask_buf, frame_masks])
+        if self.passthrough:
+            self._orig = np.concatenate([self._orig, wave])
         if self.spec.input_type != "a" and video is not None:
             self._video_buf = np.concatenate([self._video_buf, video])
         if n_frames:
@@ -815,8 +831,38 @@ class StreamingInpainter:
                 ids_h[0, :n_emit], self._ctc_blank,
                 self._ctc_prev, self.transcript,
             )
+        if self.passthrough:
+            out = self._passthrough_blend(out, n_emit)
         self._trim_buffers()
         return out
+
+    def _passthrough_blend(self, out, n_emit):
+        """Host-side known-region passthrough on one emitted chunk.  The
+        blend weight's dependence radius is exactly one frame
+        (2*xfade = frame_step samples), so [prev frame, emitted frames,
+        next frame] of mask context reproduces the whole-utterance weight
+        (ops/passthrough.passthrough_weight_np)."""
+        if n_emit <= 0 or len(out) == 0:
+            return out
+        f0 = self._frames_out - n_emit  # first emitted frame (absolute)
+        lo = f0 - self._buf_base
+        m = self._mask_buf[lo : lo + n_emit + 1]  # emitted (+next if pushed)
+        ctx = np.ones(n_emit + 2, np.float32)  # pad_end / unseen: known
+        ctx[0] = self._pt_prev_known
+        ctx[1 : 1 + len(m)] = m
+        w = passthrough_ops.passthrough_weight_np(
+            ctx, FRAME_STEP, (n_emit + 2) * FRAME_STEP
+        )[FRAME_STEP : FRAME_STEP + len(out)]
+        s0 = f0 * FRAME_STEP - self._orig_base
+        orig = self._orig[s0 : s0 + len(out)]
+        if len(orig) < len(out):  # flush zero-padding past the pushed tail
+            orig = np.pad(orig, (0, len(out) - len(orig)))
+        self._pt_prev_known = float(m[n_emit - 1])
+        cut = s0 + len(out)
+        if cut > 0:
+            self._orig = self._orig[cut:]
+            self._orig_base += cut
+        return (orig * (1.0 - w) + out * w).astype(np.float32)
 
     def _trim_buffers(self):
         """Bound memory on long-lived streams: drop mask/video/masked rows
@@ -903,6 +949,7 @@ def stream_utterances_lockstep(
     transcript: bool = False,
     mesh=None,
     phase_fill: bool = False,
+    passthrough: bool = False,
 ):
     """Serve B streams in lockstep: each window is ONE fused device
     dispatch covering every stream (the multi-tenant serving shape), and
@@ -1089,6 +1136,19 @@ def stream_utterances_lockstep(
         if transcript:
             id_chunks.append(np.asarray(ids))
     wav_out = np.concatenate(outs, axis=1)[:, : t_frames * FRAME_STEP]
+    if passthrough:
+        # whole-utterance blend == the class's incremental per-chunk blend
+        # (the weight's dependence radius is one frame; test_passthrough.py
+        # asserts the equality)
+        num = wav_out.shape[1]
+        w = np.stack([
+            passthrough_ops.passthrough_weight_np(fm[i], FRAME_STEP, num)
+            for i in range(b_sz)
+        ])
+        orig = np.zeros((b_sz, num), np.float32)
+        n_copy = min(num, n_samples)
+        orig[:, :n_copy] = waves[:, :n_copy]
+        wav_out = (orig * (1.0 - w) + wav_out * w).astype(np.float32)
     if not transcript:
         return wav_out
     # per-stream greedy collapse over the first t_frames emitted ids —

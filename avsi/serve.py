@@ -55,6 +55,7 @@ class InpaintingService:
         gl_iters: int = 30,
         norm: bool = True,
         data_shards: int = 0,
+        passthrough: bool = False,
     ):
         """data_shards > 1 shards the /enhance micro-batch over a `data`
         mesh (params replicated, batch partitioned — zero collectives,
@@ -97,8 +98,10 @@ class InpaintingService:
         )
         self._phase_recon = phase_recon
         self._gl_iters = gl_iters
+        self._passthrough = bool(passthrough)
         self._step = jax.jit(
-            make_infer_step(model, self.config, stats, False, phase_recon, gl_iters)
+            make_infer_step(model, self.config, stats, False, phase_recon, gl_iters,
+                            passthrough=self._passthrough)
         )
         self._stream_programs: dict = {}
         self._lock = threading.Lock()
@@ -166,7 +169,8 @@ class InpaintingService:
         if rebuild:
             new_step = jax.jit(
                 make_infer_step(
-                    model, cfg, stats, False, self._phase_recon, self._gl_iters
+                    model, cfg, stats, False, self._phase_recon, self._gl_iters,
+                    passthrough=self._passthrough,
                 )
             )
             # compile + warm OUTSIDE the serving lock so in-flight requests
@@ -290,6 +294,7 @@ class InpaintingService:
             chunk_frames=chunk_frames, lookahead_frames=lookahead_frames,
             program_cache=cache, transcript=transcript,
             phase_fill=phase_fill, embedding=embedding,
+            passthrough=self._passthrough,
         )
         if (inp.chunk, inp.look, inp.want_transcript, inp.phase_fill) not in known:
             # fresh (chunk, look, transcript) key: jax.jit is lazy, so the

@@ -1,0 +1,131 @@
+"""Gap-attenuation postfilter (`--gap_atten`, avsi/ops/postfilter.py).
+
+Contract: gain depends only on the frame's distance to the nearest known
+frame — 1.0 up to `trust` frames deep (every gap <= 2*trust frames is
+bit-identical, i.e. the whole <=800 ms reference protocol), linear ramp to
+`alpha` over `ramp` frames; the magnitude scale is applied on GAP bins
+only, in normalized log-magnitude space.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from avsi.ops import postfilter as pf
+
+from helpers import identity_stats, synth_batch, tiny_config
+
+
+def _depth_np(fk):
+    t = len(fk)
+    big = 10**6
+    d = np.full(t, big)
+    for i in range(t):
+        for j in range(t):
+            if fk[j] > 0.5:
+                d[i] = min(d[i], abs(i - j))
+    return d
+
+
+def test_gap_depth_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    fk = (rng.random((3, 40)) > 0.4).astype(np.float32)
+    fk[1, :] = 1.0          # no gaps
+    fk[2, :] = 0.0          # all gap: depth saturates large
+    got = np.asarray(pf.gap_depth(jnp.asarray(fk)))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], _depth_np(fk[b]))
+    assert np.all(got[2] >= 10**5)
+
+
+def test_gain_plateau_ramp_floor():
+    fk = np.ones(120, np.float32)
+    fk[10:110] = 0.0  # 100-frame gap, depth up to 50
+    g = np.asarray(pf.gap_attenuation_gain(
+        jnp.asarray(fk)[None], alpha=0.25, trust=34, ramp=16))[0]
+    depth = _depth_np(fk)
+    np.testing.assert_array_equal(g[depth <= 34], 1.0)
+    np.testing.assert_allclose(g[depth >= 50], 0.25, atol=1e-6)
+    mid = (depth > 34) & (depth < 50)
+    assert np.all((g[mid] > 0.25) & (g[mid] < 1.0))
+    # monotone in depth
+    order = np.argsort(depth)
+    assert np.all(np.diff(g[order]) <= 1e-6)
+
+
+def test_short_gaps_bit_identical():
+    """An 800 ms single hole (67 frames -> max depth 33) is untouched at
+    the default trust=34 — the <=800 ms protocol cannot change."""
+    fk = np.ones(250, np.float32)
+    fk[50:117] = 0.0
+    g = np.asarray(pf.gap_attenuation_gain(
+        jnp.asarray(fk)[None], alpha=0.0, trust=34, ramp=16))[0]
+    np.testing.assert_array_equal(g, np.ones_like(g))
+
+
+def test_apply_confined_to_gap_bins():
+    config = tiny_config(model="a-blstm", audio_len=4800, net_dim=(8, 8))
+    batch = synth_batch(config, batch_size=1, seed=1, gap=(2, 23))  # 21 deep-ish
+    masks = np.asarray(batch["masks"])
+    f = masks.shape[-1]
+    rng = np.random.default_rng(2)
+    pred = rng.normal(size=(1, masks.shape[1], f)).astype(np.float32)
+    stats = identity_stats()
+    stats_j = (jnp.asarray(stats[0][:f]), jnp.asarray(stats[1][:f]))
+    out = pf.apply_gap_attenuation(
+        {"prediction": jnp.asarray(pred)}, batch, stats_j,
+        alpha=0.1, trust=2, ramp=3,
+    )
+    got = np.asarray(out["prediction"])
+    known = masks > 0.5
+    np.testing.assert_array_equal(got[known], pred[known])
+    # deep gap bins: magnitude scaled by exactly alpha (identity stats:
+    # std == 1, so the log shift is log(alpha))
+    fk = masks.min(-1)[0]
+    depth = _depth_np(fk)
+    deep = (depth >= 5) & (fk < 0.5)
+    np.testing.assert_allclose(
+        got[0][deep], pred[0][deep] + np.log(0.1), atol=1e-5
+    )
+
+
+def test_infer_step_gap_atten_wiring():
+    """make_infer_step(gap_atten=...): a short gap is bit-identical to the
+    unfiltered step; a deep gap changes."""
+    from avsi.infer.inpaint import make_infer_step
+    from avsi.models import blstm as blstm_lib, registry
+
+    config = tiny_config(model="a-blstm", audio_len=4800, net_dim=(16, 16))
+    spec = blstm_lib.parse_model_name("a-blstm")
+    params = blstm_lib.init(jax.random.PRNGKey(3), config, spec)
+    # large log-mean so the denormalized magnitude lands at int16 scale
+    # (random params predict ~0 in normalized space; with identity stats the
+    # waveform would be O(1) and the step's int16 output all-zero)
+    stats = (np.full(257, np.log(2e4), np.float32), np.ones(257, np.float32))
+    model = registry.get_model(config["model"])
+    ga = {"alpha": 0.1, "trust": 3, "ramp": 2}
+    plain = jax.jit(make_infer_step(model, config, stats, False, "none", 0))
+    filt = jax.jit(make_infer_step(model, config, stats, False, "none", 0,
+                                   gap_atten=ga))
+    def _b(gap):  # int16-scale so the step's int16 output is non-vacuous
+        b = synth_batch(config, batch_size=1, seed=5, gap=gap)
+        return dict(b, target_sources=b["target_sources"] * jnp.float32(2e4))
+
+    short = _b((10, 15))  # depth <= 2
+    deep = _b((5, 22))    # depth up to 8
+    np.testing.assert_array_equal(
+        np.asarray(plain(params, short)[0]), np.asarray(filt(params, short)[0])
+    )
+    assert not np.array_equal(
+        np.asarray(plain(params, deep)[0]), np.asarray(filt(params, deep)[0])
+    )
+
+
+def test_cli_gap_atten_default_off():
+    from avsi.cli import _gap_atten_opts, parse_args
+
+    base = ["inference", "-d", "d", "-ad", "a", "-ef", "p", "-m", "m"]
+    assert _gap_atten_opts(parse_args(base)) is None
+    got = _gap_atten_opts(parse_args(base + ["--gap_atten", "0.25"]))
+    assert got == {"alpha": 0.25, "trust": 34, "ramp": 16}
