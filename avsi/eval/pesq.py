@@ -28,12 +28,17 @@ full pipeline of the standard:
 Deliberate deviations from the ITU reference code (documented per the
 reference-bug policy, SURVEY.md §7.3 #5): the Bark band edges/widths and
 absolute hearing thresholds are derived analytically (Traunmüller warping,
-Terhardt threshold curve) instead of copying the ITU lookup tables, and the
-variable per-utterance delay machinery (split_align / bad-interval
-re-decoding) is reduced to a single global delay — exact for this corpus,
-where enhanced/masked outputs are sample-aligned to the target.  Scores are
-therefore not bit-exact with the ITU binary but preserve its anchors
-(identity -> 4.5, monotone in distortion; tests/test_pesq.py).
+Terhardt threshold curve) instead of copying the ITU lookup tables.  Time
+alignment follows the binary's utterance-based structure: global
+crude-envelope + fine-correlation delay, then per-speech-section residual
+delays with recursive splitting of low-confidence sections (the
+split_align stage, `_align_sections`).  A residual delay is only APPLIED
+when its normalized correlation is confident and meaningfully better than
+no-shift — so sample-aligned material (this corpus) and unalignable
+content (holes, hallucinated fill) keep the plain global alignment
+bit-identically.  Scores are therefore not bit-exact with the ITU binary
+but preserve its anchors (identity -> 4.5, monotone in distortion,
+variable-delay recovery; tests/test_pesq.py, tests/test_pesq_golden.py).
 """
 
 from __future__ import annotations
@@ -138,11 +143,25 @@ def _fix_power_level(x, fs=16000):
 
 
 # ---------------------------------------------------------------------------
-# stage 3: time alignment (global delay; see module docstring)
+# stage 3: time alignment (global delay + per-section split_align)
 # ---------------------------------------------------------------------------
 
+_UNIT = 64  # 4 ms envelope unit at 16 kHz
+_ACT_THRESH = _TARGET_POWER * 1e-2  # speech-active unit power (-20 dB nominal)
+_MIN_SEC = 75   # minimum alignable section, envelope units (300 ms)
+_CONF_APPLY = 0.55   # residual delay applied only above this confidence...
+_CONF_MARGIN = 0.10  # ...and only if it beats the no-shift confidence by this
+_MAX_RESID = 4000    # residual delay search span, samples (250 ms)
+
 def _estimate_delay(ref, deg, fs=16000, max_delay_s=0.5):
-    """Delay of `deg` relative to `ref` in samples (envelope + fine xcorr)."""
+    """Delay of `deg` relative to `ref` in samples (envelope + fine xcorr).
+
+    The crude 4 ms-envelope correlation is ambiguous at multiples of the
+    syllable rate (speech envelopes are quasi-periodic), so the top few
+    DISTINCT crude peaks are each refined at full sample rate with a
+    normalized correlation — waveform fine structure only lines up at the
+    true delay, which resolves the envelope aliasing (the same crude->fine
+    candidate structure as the ITU binary's utterance delay estimation)."""
     unit = fs // 250  # 4 ms
     n = min(len(ref), len(deg)) // unit
     if n < 8:
@@ -154,26 +173,159 @@ def _estimate_delay(ref, deg, fs=16000, max_delay_s=0.5):
     max_lag = min(n - 1, int(max_delay_s * 250))
     corr = np.correlate(ed, er, mode="full")  # index n-1 <-> lag 0
     lags = np.arange(-max_lag, max_lag + 1)
-    crude = int(lags[np.argmax(corr[n - 1 - max_lag : n - 1 + max_lag + 1])]) * unit
-    # refine at full rate within +/- one envelope unit
-    span = unit
-    lo = max(crude - span, -(len(deg) - 1))
-    hi = min(crude + span, len(ref) - 1)
-    best, best_v = crude, -np.inf
+    win = corr[n - 1 - max_lag : n - 1 + max_lag + 1]
+    cands = []  # top well-separated crude peaks, best first (spread them
+    # out: a spurious envelope ridge is broad, so nearby lags are the
+    # same hypothesis)
+    for i in np.argsort(win)[::-1]:
+        lag = int(lags[i])
+        if all(abs(lag - c) > 8 for c in cands):
+            cands.append(lag)
+        if len(cands) >= 8:
+            break
+    best, best_v = 0, -np.inf
     rn = min(len(ref), len(deg), 4 * fs)  # cap the fine search window
     r = ref[:rn]
-    for d in range(lo, hi + 1):
-        if d >= 0:
-            a, b = r[: rn - d], deg[d : d + rn - d]
-        else:
-            a, b = r[-d:rn], deg[: rn + d]
-        m = min(len(a), len(b))
-        if m < fs // 10:
-            continue
-        v = float(np.dot(a[:m], b[:m]))
-        if v > best_v:
-            best_v, best = v, d
+    for crude_lag in cands:
+        crude = crude_lag * unit
+        lo = max(crude - unit, -(len(deg) - 1))
+        hi = min(crude + unit, len(ref) - 1)
+        for d in range(lo, hi + 1):
+            if d >= 0:
+                a, b = r[: rn - d], deg[d : d + rn - d]
+            else:
+                a, b = r[-d:rn], deg[: rn + d]
+            m = min(len(a), len(b))
+            if m < fs // 10:
+                continue
+            a, b = a[:m], b[:m]
+            den = np.sqrt(float(np.dot(a, a)) * float(np.dot(b, b)))
+            v = float(np.dot(a, b)) / den if den > 0.0 else 0.0
+            if v > best_v:
+                best_v, best = v, d
     return best
+
+
+def _shifted_section(deg, s, e, d):
+    """deg[s+d : e+d] into an (e-s) buffer, zeros where out of range."""
+    seg = np.zeros(e - s)
+    lo, hi = s + d, e + d
+    clo, chi = max(lo, 0), min(hi, len(deg))
+    if chi > clo:
+        seg[clo - lo : chi - lo] = deg[clo:chi]
+    return seg
+
+
+def _section_conf(ref, deg, s, e, d):
+    """Normalized correlation of ref[s:e] vs deg shifted by d."""
+    a = ref[s:e]
+    b = _shifted_section(deg, s, e, d)
+    den = np.sqrt(float(np.dot(a, a)) * float(np.dot(b, b)))
+    return float(np.dot(a, b)) / den if den > 0.0 else 0.0
+
+
+def _residual_delay(ref, deg, s, e):
+    """Best residual delay of `deg` vs `ref` over section [s, e): crude
+    4 ms-envelope cross-correlation over +-_MAX_RESID, refined +-one unit
+    at full rate.  Returns (delay, conf_at_delay, conf_at_zero)."""
+    win_lo, win_hi = s - _MAX_RESID, e + _MAX_RESID
+    dseg = _shifted_section(deg, win_lo, win_hi, 0)
+    nu_r = (e - s) // _UNIT
+    nu_d = len(dseg) // _UNIT
+    er = np.log(np.mean(ref[s : s + nu_r * _UNIT].reshape(nu_r, _UNIT) ** 2, 1) + 1e4)
+    ed = np.log(np.mean(dseg[: nu_d * _UNIT].reshape(nu_d, _UNIT) ** 2, 1) + 1e4)
+    er = er - er.mean()
+    ed = ed - ed.mean()
+    corr = np.correlate(ed, er, mode="valid")  # offset p <-> residual p*unit - max
+    crude = int(np.argmax(corr)) * _UNIT - _MAX_RESID
+    conf0 = _section_conf(ref, deg, s, e, 0)
+    best_d, best_c = 0, conf0
+    for d in range(crude - _UNIT, crude + _UNIT + 1):
+        if d == 0:
+            continue
+        c = _section_conf(ref, deg, s, e, d)
+        if c > best_c:
+            best_c, best_d = c, d
+    return best_d, best_c, conf0
+
+
+def _speech_sections(power_units, active):
+    """Active-unit runs merged across silences < 200 ms (50 units)."""
+    secs = []
+    n = len(active)
+    i = 0
+    while i < n:
+        if not active[i]:
+            i += 1
+            continue
+        j = i
+        k = i
+        gap = 0
+        while k < n:
+            if active[k]:
+                j = k
+                gap = 0
+            else:
+                gap += 1
+                if gap > 50:
+                    break
+            k += 1
+        secs.append((i, j + 1))
+        i = k
+    return secs
+
+
+def _align_sections(ref, deg):
+    """split_align: per-speech-section residual delays on the globally
+    aligned pair.  A section's residual is APPLIED only when its
+    normalized correlation is confident (>= _CONF_APPLY) and meaningfully
+    better than no-shift (by _CONF_MARGIN) — sample-aligned material and
+    unalignable content (holes, hallucinated fill) stay bit-identical.  A
+    low-confidence section long enough to halve is split at its
+    weakest-energy unit (middle half) and each half re-aligned — the
+    recursive split of the ITU binary's utterance_split/bad-interval
+    machinery (`eval_metrics.py:77-96` shells out to exactly this)."""
+    n_units = len(ref) // _UNIT
+    if n_units < _MIN_SEC:
+        return deg
+    power = np.mean(ref[: n_units * _UNIT].reshape(n_units, _UNIT) ** 2, 1)
+    active = power > _ACT_THRESH
+    stack = [
+        (s * _UNIT, e * _UNIT)
+        for (s, e) in _speech_sections(power, active)
+        if e - s >= _MIN_SEC
+    ]
+    out = deg
+    copied = False
+    while stack:
+        s, e = stack.pop()
+        d, conf_d, conf0 = _residual_delay(ref, deg, s, e)
+        apply_d = d if (
+            d != 0 and conf_d >= _CONF_APPLY and conf_d > conf0 + _CONF_MARGIN
+        ) else 0
+        if e - s >= 2 * _MIN_SEC * _UNIT:
+            # a section whose best alignment is still one-sided (one half
+            # confident, the other not — a delay CHANGE inside it) must be
+            # split even when the section-average confidence looks fine
+            mid = s + ((e - s) // (2 * _UNIT)) * _UNIT
+            half_conf = min(
+                _section_conf(ref, deg, s, mid, apply_d),
+                _section_conf(ref, deg, mid, e, apply_d),
+            )
+            if half_conf < _CONF_APPLY:
+                su, eu = s // _UNIT, e // _UNIT
+                mid_lo = su + (eu - su) // 4
+                mid_hi = eu - (eu - su) // 4
+                cut = (mid_lo + int(np.argmin(power[mid_lo:mid_hi]))) * _UNIT
+                stack.append((s, cut))
+                stack.append((cut, e))
+                continue
+        if apply_d:
+            if not copied:
+                out = deg.copy()
+                copied = True
+            out[s:e] = _shifted_section(deg, s, e, apply_d)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +410,7 @@ def pesq_measure(ref, deg, fs=16000, mode="nb"):
     ref, deg = ref[:n], deg[:n]
     if n < _NFFT * 2:
         return float("nan"), float("nan")
+    deg = _align_sections(ref, deg)
 
     pp_ref = _pitch_pow_dens(ref)
     pp_deg = _pitch_pow_dens(deg)

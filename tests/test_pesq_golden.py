@@ -6,17 +6,22 @@ not available here, so absolute-MOS agreement cannot be asserted against
 it.  What CAN be pinned is the implementation itself: `_pesq_independent`
 below is a deliberately literal, loop-based second transcription of the
 exact perceptual model `avsi/eval/pesq.py` documents (P.862 pipeline with
-the two documented deviations: analytic Traunmüller/Terhardt Bark layout
-and a single global delay).  The production implementation (vectorized)
-must agree to float tolerance on every probe — including variable-delay
-and MNRU-style degradations — so a refactor that silently drifts MOS by
-more than ~1e-4 (let alone the 0.05 the round-2 verdict worried about)
-fails here.
+the documented deviation: analytic Traunmüller/Terhardt Bark layout; the
+independent transcription keeps a single global delay, which production's
+split_align reduces to bit-identically on constant-delay material).  The
+production implementation (vectorized) must agree to float tolerance on
+every constant-delay probe — including shifted and MNRU-style
+degradations — so a refactor that silently drifts MOS by more than ~1e-4
+(let alone the 0.05 the round-2 verdict worried about) fails here.
+Piecewise-delay probes (delay CHANGES mid-utterance) additionally pin the
+split_align stage: production must recover most of the MOS the
+global-only transcription loses.
 
 Validity scope (also stated in BASELINE.md): within-protocol deltas
 (PESQi) and cross-model comparisons are meaningful; absolute MOS values
 are calibrated to published P.862 narrowband behavior via one fitted gain
-(pesq.py:_SL_16K) and are NOT exchangeable with ITU-binary scores.
+(pesq.py:_SL_16K); absolute calibration vs the ITU binary is unverified
+(binary unavailable here).
 """
 
 import numpy as np
@@ -334,16 +339,83 @@ def test_production_matches_independent(name, ref, deg):
 
 def test_delay_invariance():
     """The global-delay estimator must recover a pure shift: scores with
-    and without a 777-sample delay agree closely (split_align bound: for
-    CONSTANT delay the single global delay is exact; utterances with
-    delay CHANGES mid-stream are outside this implementation's scope —
-    documented in pesq.py and BASELINE.md)."""
+    and without a 777-sample delay agree closely (for CONSTANT delay the
+    global delay is exact and split_align applies no residuals)."""
     _, clean, deg = next(p for p in PROBES if p[0] == "awgn_20dB")
     raw0, _ = pesq_mod.pesq_measure(clean, deg, FS, mode="nb")
     rawd, _ = pesq_mod.pesq_measure(
         clean, np.concatenate([np.zeros(777), deg]), FS, mode="nb"
     )
     assert abs(raw0 - rawd) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# piecewise (variable) delay: the split_align stage
+# ---------------------------------------------------------------------------
+
+def _burst_train(seed=3, dur=3.0):
+    """Aperiodic speech-like probe: syllabic bursts with distinct f0s and
+    random gaps.  Unlike `_speechlike` (single f0, near-periodic at both
+    the pitch and the AM scale — hostile to any correlation aligner, real
+    or ITU), its envelope and fine structure are informative, which is
+    what the alignment stage actually keys on for real speech."""
+    rng = np.random.default_rng(seed)
+    n = int(FS * dur)
+    x = np.zeros(n)
+    pos = 0
+    while pos < n - FS // 4:
+        blen = int(rng.uniform(0.12, 0.3) * FS)
+        f0 = rng.uniform(90, 250)
+        t = np.arange(blen) / FS
+        s = np.zeros(blen)
+        for k in range(1, 12):
+            f = k * f0
+            if f > 7000:
+                break
+            amp = np.exp(-((f - rng.uniform(400, 900)) ** 2) / (2 * 700.0**2))
+            s += amp * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        x[pos : pos + blen] += s * np.hanning(blen)
+        pos += blen + int(rng.uniform(0.02, 0.12) * FS)
+    return (x / np.max(np.abs(x)) * 9000.0).astype(np.float64)
+
+
+@pytest.mark.parametrize("shift,min_gain", [(577, 0.1), (1200, 0.3), (2500, 0.5)])
+def test_piecewise_delay_recovery(shift, min_gain):
+    """A delay CHANGE mid-utterance (zeros inserted at the midpoint, so
+    the two halves carry different delays) must be substantially repaired
+    by split_align: production scores well above a global-only aligner,
+    and never above the constant-delay score (no hallucinated quality)."""
+    rng = np.random.default_rng(11)
+    clean = _burst_train()
+    noise = rng.normal(size=len(clean))
+    noise *= np.sqrt(np.mean(clean**2) / 1e2 / np.mean(noise**2))  # 20 dB
+    deg = clean + noise
+    m = len(deg) // 2
+    piece = np.concatenate([deg[:m], np.zeros(shift), deg[m:]])
+
+    raw_const, _ = pesq_mod.pesq_measure(clean, deg, FS, mode="nb")
+    raw_split, _ = pesq_mod.pesq_measure(clean, piece, FS, mode="nb")
+    orig = pesq_mod._align_sections
+    pesq_mod._align_sections = lambda r, d: d
+    try:
+        raw_global, _ = pesq_mod.pesq_measure(clean, piece, FS, mode="nb")
+    finally:
+        pesq_mod._align_sections = orig
+
+    assert raw_split >= raw_global + min_gain, (raw_split, raw_global)
+    assert raw_split <= raw_const + 0.05, (raw_split, raw_const)
+
+
+def test_split_align_identity_on_aligned_material():
+    """Sample-aligned pairs (this corpus) must pass through split_align
+    bit-identically — no residual is confident enough to beat no-shift."""
+    clean = _burst_train(seed=5)
+    rng = np.random.default_rng(6)
+    noise = rng.normal(size=len(clean))
+    noise *= np.sqrt(np.mean(clean**2) / 1e2 / np.mean(noise**2))
+    deg = clean + noise
+    out = pesq_mod._align_sections(clean, deg)
+    assert out is deg  # no copy made -> no section was shifted
 
 
 def test_mnru_monotone():
