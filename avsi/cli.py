@@ -39,6 +39,31 @@ def _gap_atten_opts(args):
             "ramp": args.gap_atten_ramp}
 
 
+def _add_distributed_args(p):
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(jax.distributed); run the same command on every "
+                        "host with its own --process_id")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host with cluster auto-detection (TPU pod "
+                        "metadata / cluster env) — jax.distributed."
+                        "initialize() with no explicit coordinator")
+
+
+def _maybe_init_distributed(args):
+    """Wire `avsi training` into jax.distributed BEFORE any jax use: per-
+    host input sharding, global batch assembly and main-host-only writes
+    then happen inside train() (avsi/train/loop.py; SURVEY §2.4)."""
+    if args.coordinator or args.distributed or args.num_processes:
+        from avsi.parallel import distributed
+
+        distributed.initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(
         prog="avsi",
@@ -118,9 +143,11 @@ def parse_args(argv=None):
 
     p = sub.add_parser("training", description="Train a speech inpainting model.")
     p.add_argument("--config", required=True, type=str)
+    _add_distributed_args(p)
 
     p = sub.add_parser("training_asr", description="Train an ASR model.")
     p.add_argument("--config", required=True, type=str)
+    _add_distributed_args(p)
 
     p = sub.add_parser("inference_model_generation", description="Save inference model.")
     p.add_argument("--config", required=True, type=str, default="")
@@ -326,10 +353,12 @@ def main(argv=None):
             args.batch_size, args.feat_mean, args.feat_std,
         )
     elif name == "training":
+        _maybe_init_distributed(args)
         from avsi.train.loop import train
 
         train(args.config)
     elif name == "training_asr":
+        _maybe_init_distributed(args)
         from avsi.train.loop import train
 
         train(args.config, is_asr=True)

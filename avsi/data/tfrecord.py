@@ -333,6 +333,25 @@ def read_raw_records(path: str) -> Iterator[bytes]:
         pos += 16 + length
 
 
+def count_records(path: str) -> int:
+    """Record count by frame-walking the length headers only (seek past
+    payloads — no decode, no CRC).  Cheap enough to run at every training
+    start; multi-host training uses it to agree on steps-per-epoch before
+    any collective runs (avsi/train/loop.py)."""
+    n = 0
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(8)
+            if not head:
+                break
+            if len(head) < 8:
+                raise ValueError(f"truncated TFRecord header in {path}")
+            (length,) = struct.unpack("<Q", head)
+            f.seek(4 + length + 4, 1)
+            n += 1
+    return n
+
+
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
     """Yield record payloads; one frame-walker (read_raw_records) serves
     both the payload and the verbatim-frame paths."""

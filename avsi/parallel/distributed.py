@@ -14,8 +14,84 @@ few-M-param models) there is nothing else to coordinate.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def active() -> bool:
+    """True when running under a multi-process jax.distributed job."""
+    return jax.process_count() > 1
+
+
+def is_main() -> bool:
+    """True on the process that owns file writes (checkpoints, logs, TB)."""
+    return jax.process_index() == 0
+
+
+def host_rows(global_array) -> np.ndarray:
+    """This host's rows of a batch-sharded global array, in local row order.
+
+    The inverse of `global_batch` for per-sample results: a jitted eval
+    step over the global mesh returns arrays sharded along the batch axis;
+    each host's addressable shards are exactly the rows it fed in (
+    `make_array_from_process_local_data` places local data on local
+    devices), so concatenating them by global row offset recovers the
+    host-local batch this host can pair with its host-only metadata
+    (labels, num_real)."""
+    if not isinstance(global_array, jax.Array) or global_array.is_fully_addressable:
+        return np.asarray(global_array)  # single-process: all rows are ours
+    shards = sorted(
+        global_array.addressable_shards,
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    seen = set()
+    parts = []
+    for s in shards:
+        start = (s.index[0].start or 0) if s.index else 0
+        if start in seen:  # replicas over a model axis duplicate rows
+            continue
+        seen.add(start)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def gather_hosts(values) -> np.ndarray:
+    """Stack a small host-side float vector across processes: returns
+    (process_count, len(values)), identical on every host.  Single-process:
+    shape (1, len(values)).  The building block for cross-host metric
+    reductions (sum/min/max) that must agree bitwise everywhere so that
+    best-checkpoint and early-stop decisions stay in lockstep."""
+    vec = np.asarray(values, dtype=np.float64).reshape(-1)
+    if not active():
+        return vec[None, :]
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(vec), dtype=np.float64)
+
+
+def allreduce_sum(values) -> np.ndarray:
+    """Sum a small host-side float vector across processes (identical
+    result on every host).  Single-process: identity."""
+    return gather_hosts(values).sum(axis=0)
+
+
+def assert_uniform(tag: str, payload: str) -> None:
+    """Fail fast (everywhere) if `payload` differs across hosts — e.g. a
+    batch compaction signature, so one host silently shipping a different
+    dtype can never hang the collective that assembles the global batch."""
+    if not active():
+        return
+    from jax.experimental import multihost_utils
+
+    # int32 lanes: int64 would be silently truncated under jax_enable_x64=0
+    digest = np.frombuffer(
+        __import__("hashlib").sha256(payload.encode()).digest()[:8], np.int32
+    )
+    multihost_utils.assert_equal(
+        digest, f"{tag} differs across hosts: {payload!r} (this host)"
+    )
 
 
 def initialize(

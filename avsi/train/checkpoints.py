@@ -19,16 +19,41 @@ import numpy as np
 import jax
 
 
+def _materialize(leaf) -> np.ndarray:
+    """Leaf -> host numpy, multi-host safe.
+
+    On a multi-process mesh a tensor-parallel shard may live on ANOTHER
+    host's devices (`np.asarray` would throw on the non-addressable array);
+    gather it collectively instead.  Every process must therefore reach
+    this call — save_tree runs the flatten on all hosts and gates only the
+    file write on process 0."""
+    if (
+        isinstance(leaf, jax.Array)
+        and not leaf.is_fully_addressable
+        and not leaf.is_fully_replicated
+    ):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
 def _flatten(tree) -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(str(p).strip("[].'") for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = _materialize(leaf)
     return flat
 
 
 def save_tree(path: str, tree, extra: dict | None = None) -> None:
+    """Multi-host: all processes participate in the (collective) gather of
+    non-addressable leaves; only process 0 writes the archive — callers on
+    every host call save_tree unconditionally and point at a path that is
+    shared (or process-0-local)."""
     flat = _flatten(tree)
+    if jax.process_index() != 0:
+        return
     if extra:
         flat.update({f"__extra__/{k}": np.asarray(v) for k, v in extra.items()})
     np.savez(path, **flat)

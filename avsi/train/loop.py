@@ -38,11 +38,12 @@ import optax
 from avsi import config as config_lib
 from avsi.data import reader as reader_lib
 from avsi.data import stats as stats_lib
-from avsi.data.tfrecord import list_tfrecord_files
+from avsi.data.tfrecord import count_records, list_tfrecord_files
 from avsi.infer.common import per_sample_losses as _per_sample_l1
 from avsi.models import asr as asr_model
 from avsi.models import registry
 from avsi.ops import ctc as ctc_ops
+from avsi.parallel import distributed as dist_lib
 from avsi.parallel import mesh as mesh_lib
 from avsi.train import checkpoints, state as state_lib
 from avsi.train.tb import SummaryWriter
@@ -82,6 +83,17 @@ def _log(logfile, msg):
     if logfile:
         with open(logfile, "a") as f:
             f.write(msg + "\n")
+
+
+class _NullTB:
+    """TB sink for non-main hosts: every host computes the same metrics but
+    only process 0 owns the event files."""
+
+    def scalar(self, *a, **k): pass
+    def image(self, *a, **k): pass
+    def audio(self, *a, **k): pass
+    def flush(self): pass
+    def close(self): pass
 
 
 def exit_if_preempted(summary: dict, code: int = 143) -> None:
@@ -189,13 +201,28 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     os.makedirs(ckpt_dir, exist_ok=True)
     logfile = os.path.join(exp_folder, "training_log.txt")
 
+    # multi-host (jax.distributed already initialized by the caller — CLI
+    # --coordinator flags or a cluster launcher): every host runs this same
+    # function; file writes (bundle, logs, TB, checkpoints) belong to
+    # process 0, data is sharded per host, and metric reductions go through
+    # gather_hosts so every host takes identical best-val/early-stop
+    # branches.  Checkpoint/resume paths must be on a filesystem all hosts
+    # can read (shared FS, or one machine in the 2-process test).
+    multihost = dist_lib.active()
+    main_host = dist_lib.is_main()
+
     # inpainting stats must match the model's spectrogram bins (the unet
     # family models the first 128 of 129 STFT bins); ASR stats are 80-bin
     # log-mel, independent of audio_feat_dim — never sliced
     feat_dim = None if is_asr else int(config["audio_feat_dim"])
-    # self-contained checkpoint dir: config + stats (training.py:121-127)
-    stats = checkpoints.write_bundle(ckpt_dir, config_file, config, feat_dim=feat_dim)
-    checkpoints.write_meta(ckpt_dir, config)
+    if main_host:
+        # self-contained checkpoint dir: config + stats (training.py:121-127)
+        stats = checkpoints.write_bundle(ckpt_dir, config_file, config, feat_dim=feat_dim)
+        checkpoints.write_meta(ckpt_dir, config)
+    else:
+        stats = stats_lib.load_stats(
+            config["audio_feat_mean"], config["audio_feat_std"], feat_dim=feat_dim
+        )
 
     model = (
         registry.get_asr_model(model_name) if is_asr else registry.get_model(model_name)
@@ -212,6 +239,39 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     val_files = list_tfrecord_files(os.path.join(config["root_folder"], "validation-set"))
     if not train_files:
         raise ValueError(f"no training tfrecords under {config['root_folder']}")
+    # per-host input sharding (SURVEY §2.4): each process reads only its own
+    # file shard; the global batch is assembled below.  Hosts must agree on
+    # steps-per-epoch BEFORE any collective runs (a host with more local
+    # batches would hang in the gradient all-reduce), so each counts its
+    # shard's records (cheap frame-walk, no decode) and all take min/max.
+    steps_per_epoch = None
+    val_batches_global = None
+    if multihost:
+        pc = jax.process_count()
+        if int(config["batch_size"]) % pc:
+            raise ValueError(
+                f"batch_size {config['batch_size']} (global) must divide over "
+                f"{pc} processes"
+            )
+        train_files = dist_lib.shard_files(train_files)
+        if val_files:
+            val_files = dist_lib.shard_files(val_files)
+        local_bs = int(config["batch_size"]) // pc
+        n_train_local = sum(count_records(f) for f in train_files)
+        n_val_local = sum(count_records(f) for f in val_files)
+        counts = dist_lib.gather_hosts(
+            [n_train_local // local_bs, -(-n_val_local // local_bs)]
+        )
+        steps_per_epoch = int(counts[:, 0].min())  # drop_remainder semantics
+        val_batches_global = int(counts[:, 1].max())  # pad short hosts
+        if steps_per_epoch == 0:
+            raise ValueError(
+                "a host's training shard holds fewer samples than its "
+                f"local batch ({local_bs}) — regroup the corpus or shrink "
+                "batch_size"
+            )
+    else:
+        local_bs = int(config["batch_size"])
 
     rng = jax.random.PRNGKey(config.get("seed", 0))
     rng, init_rng = jax.random.split(rng)
@@ -263,6 +323,11 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             f"batch_size divisible by the data axis ({n_data}); got "
             f"{batch_size}"
         )
+    if multihost and not use_mesh:
+        raise ValueError(
+            f"multi-host training needs the global batch ({batch_size}) "
+            f"divisible by the data axis ({n_data})"
+        )
     if n_dev > 1 and not use_mesh:
         print(
             f"WARNING: mesh disabled — batch_size {batch_size} not divisible "
@@ -272,8 +337,23 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     train_step = jax.jit(make_train_step(model, tx, config, stats), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, config, stats, is_asr))
 
+    compact_sig_checked = [False]
+
     def place(batch):
         compacted = mesh_lib.compact_batch(batch)
+        if multihost:
+            # compact_batch falls back silently per-batch; a host shipping a
+            # different key/dtype set would hang the global-batch assembly,
+            # so pin the signature across hosts once
+            if not compact_sig_checked[0]:
+                sig = ",".join(
+                    f"{k}:{np.asarray(v).dtype}" for k, v in sorted(compacted.items())
+                )
+                dist_lib.assert_uniform("batch compaction signature", sig)
+                compact_sig_checked[0] = True
+            # compact_batch output is already device-only keys (+ the
+            # compaction's own mask_frames)
+            return dist_lib.global_batch(compacted, mesh, tuple(compacted.keys()))
         if use_mesh:
             return mesh_lib.shard_batch(compacted, mesh)
         return compacted
@@ -281,13 +361,18 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     if use_mesh:
         train_state = mesh_lib.shard_state(train_state, mesh)
 
-    tb = SummaryWriter(os.path.join(exp_folder, "tb"))
+    tb = SummaryWriter(os.path.join(exp_folder, "tb")) if main_host else _NullTB()
+    if not main_host:
+        logfile = None  # non-main hosts compute but never write
     header = " | ".join(f"{k}={config[k]}" for k in (
         "model", "net_dim", "batch_size", "optimizer_type", "starter_learning_rate",
         "dropout_rate", "max_n_epochs", "n_earlystop_epochs",
     ))
-    _log(logfile, f"# {header}")
-    _log(logfile, f"# devices={n_dev} mesh={'on' if use_mesh else 'off'}")
+    if main_host:
+        _log(logfile, f"# {header}")
+        _log(logfile, f"# devices={n_dev} mesh={'on' if use_mesh else 'off'}"
+             + (f" processes={jax.process_count()} steps/epoch={steps_per_epoch}"
+                if multihost else ""))
 
     best_val = math.inf
     best_epoch = -1
@@ -372,10 +457,24 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                     train_iter = (cached_train[i] for i in cache_rng.permutation(len(cached_train)))
                 else:
                     train_iter = dm.prefetch_batches(
-                        train_files, batch_size, shuffle=True, drop_remainder=True
+                        train_files, local_bs, shuffle=True, drop_remainder=True
                     )
+                    if steps_per_epoch is not None:
+                        # multi-host: every host must run the SAME number of
+                        # steps (min over hosts) or the grad all-reduce hangs;
+                        # the cached path inherits the truncation from epoch 0
+                        import itertools
+
+                        train_iter = itertools.islice(train_iter, steps_per_epoch)
                 for batch in train_iter:
                     rng, step_rng = jax.random.split(rng)
+                    if multihost:
+                        # every host derives the identical key (same seed,
+                        # same split sequence); commit it to the global mesh
+                        # so the jitted step sees only global arrays
+                        step_rng = jax.device_put(
+                            step_rng, mesh_lib.replicated(mesh)
+                        )
                     if profile_steps and step - start_step == 3:
                         jax.profiler.start_trace(profile_dir)
                         trace_active = True
@@ -422,9 +521,12 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                                 flush=True,
                             )
                     if step % 1000 == 0:
+                        # save_tree materializes leaves itself (multi-
+                        # host allgather where needed) and writes on the
+                        # main process only
                         checkpoints.save_checkpoint(
-                            ckpt_dir, "ckpt", jax.device_get(train_state.params),
-                            opt_state=jax.device_get(train_state.opt_state), step=step,
+                            ckpt_dir, "ckpt", train_state.params,
+                            opt_state=train_state.opt_state, step=step,
                         )
                     if preempt["hit"]:
                         break
@@ -457,13 +559,18 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                 elif device_cache:
                     cached_val[:] = [
                         (meta, placed if use_mesh else jax.device_put(placed))
-                        for meta, placed in _val_pairs(dm, val_files, batch_size, place)
+                        for meta, placed in _val_pairs(
+                            dm, val_files, local_bs, place, pad_to=val_batches_global
+                        )
                     ]
                     pairs = cached_val
                 else:
-                    pairs = _val_pairs(dm, val_files, batch_size, place)
+                    pairs = _val_pairs(
+                        dm, val_files, local_bs, place, pad_to=val_batches_global
+                    )
                 val_metric, val_report = _validate(
-                    pairs, eval_step, train_state.params, is_asr, select_hole
+                    pairs, eval_step, train_state.params, is_asr, select_hole,
+                    multihost=multihost,
                 )
                 if device_cache and epoch == 0 and not prefilled and cached_train:
                     # operational visibility: the cache must fit HBM next to params
@@ -494,7 +601,10 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                     tb.scalar(f"train/{k}", v, epoch)
                 tb.scalar("val/metric", val_metric, epoch)
                 tb.scalar("train/epoch_time_s", dt, epoch)
-                if not is_asr and val_files and int(config.get("tb_media", 1)):
+                if (not is_asr and val_files and int(config.get("tb_media", 1))
+                        and not multihost):  # media jits a host-local batch;
+                    # under multi-controller execution that per-process
+                    # computation is skipped (metrics/TB scalars still flow)
                     _tb_media(
                         tb, model, config, stats, train_state.params, dm, val_files,
                         epoch, cache=media_cache,
@@ -515,7 +625,7 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                     cneg_epochs = 0
                     name = "asrnet" if is_asr else "sinet"
                     checkpoints.save_checkpoint(
-                        ckpt_dir, name, jax.device_get(train_state.params), step=step
+                        ckpt_dir, name, train_state.params, step=step
                     )
                     _log(logfile, f"# new best val metric {best_val:.5f} -> saved {name}")
                 else:
@@ -548,8 +658,8 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
         # sidecar layout the periodic 1000-step checkpoint uses.  Resume
         # by setting `model_ckp = <ckpt_dir>/ckpt` in the config.
         checkpoints.save_checkpoint(
-            ckpt_dir, "ckpt", jax.device_get(train_state.params),
-            opt_state=jax.device_get(train_state.opt_state), step=step,
+            ckpt_dir, "ckpt", train_state.params,
+            opt_state=train_state.opt_state, step=step,
         )
         _log(
             logfile,
@@ -608,15 +718,34 @@ def _tb_media(tb, model, config, stats, params, dm, val_files, epoch, cache, n_s
 _HOST_META_KEYS = ("labels", "labels_lengths", "sequence_lengths")
 
 
-def _val_pairs(dm, val_files, batch_size, place):
-    """(host_meta, placed_device_batch) pairs for one validation pass."""
+def _val_pairs(dm, val_files, batch_size, place, pad_to=None):
+    """(host_meta, placed_device_batch) pairs for one validation pass.
+
+    pad_to (multi-host): every host must submit the same number of eval
+    steps or the collective hangs, so hosts with fewer local batches
+    re-submit their last batch with num_real=0 — counted by no metric —
+    until all hosts reach the global max."""
+    n = 0
+    last = None
     for batch in dm.batches(val_files, batch_size, pad_final=True):
         meta = {k: np.asarray(batch[k]) for k in _HOST_META_KEYS if k in batch}
         meta["num_real"] = batch.get("num_real", batch_size)
-        yield meta, place(batch)
+        last = (meta, place(batch))
+        n += 1
+        yield last
+    if pad_to is not None and n < pad_to:
+        if last is None:
+            raise ValueError(
+                "a host's validation shard is empty but other hosts have "
+                "batches — regroup the validation split over the hosts"
+            )
+        filler = (dict(last[0], num_real=0), last[1])
+        for _ in range(pad_to - n):
+            yield filler
 
 
-def _validate(val_pairs, eval_step, params, is_asr, select_hole=True):
+def _validate(val_pairs, eval_step, params, is_asr, select_hole=True,
+              multihost=False):
     """Per-epoch validation over (host_meta, placed) pairs.
 
     Keeps a window of batches in flight: jit dispatch is async, so the
@@ -624,6 +753,12 @@ def _validate(val_pairs, eval_step, params, is_asr, select_hole=True):
     results (each fetch is a ~34 ms-floor tunnel round-trip on the relay),
     instead of serializing submit->fetch per batch.  The window bounds how
     many un-freed input batches sit in HBM at once on the non-cached path.
+
+    Multi-host: per-sample results come back as GLOBAL arrays; each host
+    pairs its own rows (dist.host_rows) with its host-local metadata, then
+    the scalar sums are allreduced so every host computes the identical
+    metric (and takes the identical best-checkpoint / early-stop branch).
+    The single-process reduction path is kept bit-identical to before.
     Returns (selection_metric, report_string)."""
     def _pipelined(depth=8):
         from collections import deque
@@ -636,14 +771,26 @@ def _validate(val_pairs, eval_step, params, is_asr, select_hole=True):
         while window:
             yield window.popleft()
 
+    def rows(arr):
+        return dist_lib.host_rows(arr) if multihost else np.asarray(arr)
+
     submitted = _pipelined()
     if is_asr:
         losses, pers, weights = [], [], []
         for meta, res in submitted:
             n = meta["num_real"]
-            losses.extend(np.asarray(res["loss_ps"])[:n].tolist())
-            pers.append(_host_per(np.asarray(res["decoded"]), meta) * n)
-            weights.append(n)
+            if n:
+                losses.extend(rows(res["loss_ps"])[:n].tolist())
+                pers.append(_host_per(rows(res["decoded"]), meta) * n)
+                weights.append(n)
+        if multihost:
+            s = dist_lib.allreduce_sum(
+                [np.sum(losses), len(losses), np.sum(pers), np.sum(weights)]
+            )
+            if s[3] == 0:
+                return math.inf, "val=none"
+            per = float(s[2] / s[3])
+            return per, f"val_loss={s[0] / s[1]:.5f}\tval_per={per:.5f}"
         if not weights:
             return math.inf, "val=none"
         per = float(np.sum(pers) / np.sum(weights))
@@ -652,14 +799,28 @@ def _validate(val_pairs, eval_step, params, is_asr, select_hole=True):
     tot, hole, ctcs, ctc_w, pers = [], [], [], [], []
     for meta, res in submitted:
         n = meta["num_real"]
-        tot.extend(np.asarray(res["loss_ps"])[:n].tolist())
-        hole.extend(np.asarray(res["loss_hole_ps"])[:n].tolist())
+        if not n:
+            continue
+        tot.extend(rows(res["loss_ps"])[:n].tolist())
+        hole.extend(rows(res["loss_hole_ps"])[:n].tolist())
         if "ctc_loss" in res:
             # batch means weighted by real count (padded duplicates bias
             # the final batch's mean only by their own weight)
             ctcs.append(float(res["ctc_loss"]) * n)
             ctc_w.append(n)
-            pers.append(_host_per(np.asarray(res["decoded"]), meta) * n)
+            pers.append(_host_per(rows(res["decoded"]), meta) * n)
+    if multihost:
+        s = dist_lib.allreduce_sum([
+            np.sum(tot), len(tot), np.sum(hole),
+            np.sum(ctcs), np.sum(ctc_w), np.sum(pers),
+        ])
+        if s[1] == 0:
+            return math.inf, "val=none"
+        report = f"val_loss={s[0] / s[1]:.5f}\tval_loss_hole={s[2] / s[1]:.5f}"
+        if s[4] > 0:
+            report += f"\tval_ctc={s[3] / s[4]:.5f}\tval_per={s[5] / s[4]:.5f}"
+        metric = float(s[2] / s[1]) if select_hole else float(s[0] / s[1])
+        return metric, report
     if not tot:
         return math.inf, "val=none"
     report = f"val_loss={np.mean(tot):.5f}\tval_loss_hole={np.mean(hole):.5f}"
