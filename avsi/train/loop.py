@@ -328,6 +328,18 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
             f"multi-host training needs the global batch ({batch_size}) "
             f"divisible by the data axis ({n_data})"
         )
+    if multihost and int(config.get("num_model_shards", 1)) > 1:
+        # per-host batch feeding assumes each process owns WHOLE data-axis
+        # rows (model axis inside a host, riding the fast local links);
+        # a model group straddling hosts would need replicated input rows
+        # fed identically by several processes — unsupported by design
+        m = int(config["num_model_shards"])
+        if len(jax.local_devices()) % m:
+            raise ValueError(
+                f"num_model_shards={m} must divide the local device count "
+                f"({len(jax.local_devices())}) so tensor-parallel groups "
+                "never straddle hosts"
+            )
     if n_dev > 1 and not use_mesh:
         print(
             f"WARNING: mesh disabled — batch_size {batch_size} not divisible "
