@@ -153,6 +153,27 @@ _CONF_APPLY = 0.55   # residual delay applied only above this confidence...
 _CONF_MARGIN = 0.10  # ...and only if it beats the no-shift confidence by this
 _MAX_RESID = 4000    # residual delay search span, samples (250 ms)
 
+def _next_fast_len(n):
+    try:
+        from scipy.fft import next_fast_len
+
+        return next_fast_len(n)
+    except ImportError:  # pragma: no cover - scipy ships with jax
+        return 1 << (n - 1).bit_length()
+
+
+def _xcorr(a, v, lo, hi):
+    """c[j] = sum_i v[i] * a[i + lo + j] for j in 0..hi-lo (a zero-padded
+    outside its support) — ONE circular FFT at a 5-smooth size instead of
+    per-lag dot products.  nfft >= max(len) + span guarantees the needed
+    lags are wrap-free, so values match the direct sums to float rounding."""
+    a = np.asarray(a, np.float64)
+    v = np.asarray(v, np.float64)
+    nfft = _next_fast_len(max(len(a), len(v)) + max(hi, 0) + max(-lo, 0) + 1)
+    cc = np.fft.irfft(np.fft.rfft(a, nfft) * np.conj(np.fft.rfft(v, nfft)), nfft)
+    return cc[np.arange(lo, hi + 1) % nfft]
+
+
 def _estimate_delay(ref, deg, fs=16000, max_delay_s=0.5):
     """Delay of `deg` relative to `ref` in samples (envelope + fine xcorr).
 
@@ -186,23 +207,33 @@ def _estimate_delay(ref, deg, fs=16000, max_delay_s=0.5):
     best, best_v = 0, -np.inf
     rn = min(len(ref), len(deg), 4 * fs)  # cap the fine search window
     r = ref[:rn]
+    g = deg[:rn]
+    # all fine lags at once: one FFT cross-correlation replaces the
+    # per-lag dot-product loops (identical integer argmax up to float
+    # rounding; the alignment stage was 40% of pesq_measure wall)
+    span = min(max_lag * unit + unit, rn - 1)
+    cc = _xcorr(g, r, -span, span)  # cc[d + span] = sum_i r[i] * g[i + d]
+    pr = np.concatenate(([0.0], np.cumsum(r.astype(np.float64) ** 2)))
+    pg = np.concatenate(([0.0], np.cumsum(g.astype(np.float64) ** 2)))
     for crude_lag in cands:
         crude = crude_lag * unit
-        lo = max(crude - unit, -(len(deg) - 1))
-        hi = min(crude + unit, len(ref) - 1)
-        for d in range(lo, hi + 1):
-            if d >= 0:
-                a, b = r[: rn - d], deg[d : d + rn - d]
-            else:
-                a, b = r[-d:rn], deg[: rn + d]
-            m = min(len(a), len(b))
-            if m < fs // 10:
-                continue
-            a, b = a[:m], b[:m]
-            den = np.sqrt(float(np.dot(a, a)) * float(np.dot(b, b)))
-            v = float(np.dot(a, b)) / den if den > 0.0 else 0.0
-            if v > best_v:
-                best_v, best = v, d
+        lo = max(crude - unit, -span)
+        hi = min(crude + unit, span)
+        if hi < lo:
+            continue
+        d = np.arange(lo, hi + 1)
+        m = rn - np.abs(d)
+        num = cc[d + span]
+        na2 = np.where(d >= 0, pr[m], pr[rn] - pr[np.abs(d)])
+        nb2 = np.where(d >= 0, pg[rn] - pg[np.abs(d)], pg[m])
+        den = np.sqrt(na2 * nb2)
+        # exact scalar-loop semantics: too-short overlaps are SKIPPED
+        # (never compete), zero-energy lags compete with v = 0
+        v = np.where(den > 0.0, num / np.maximum(den, 1e-30), 0.0)
+        v = np.where(m >= fs // 10, v, -np.inf)
+        i = int(np.argmax(v))
+        if float(v[i]) > best_v:
+            best_v, best = float(v[i]), int(d[i])
     return best
 
 
@@ -239,13 +270,22 @@ def _residual_delay(ref, deg, s, e):
     corr = np.correlate(ed, er, mode="valid")  # offset p <-> residual p*unit - max
     crude = int(np.argmax(corr)) * _UNIT - _MAX_RESID
     conf0 = _section_conf(ref, deg, s, e, 0)
+    # all fine lags at once (FFT xcorr + prefix-sum norms), same argmax
+    # semantics as the per-lag _section_conf loop it replaces
+    a = np.asarray(ref[s:e], np.float64)
+    lo, hi = crude - _UNIT, crude + _UNIT
+    w = _shifted_section(deg, s + lo, e + hi, 0)  # deg window, zero-padded
+    num = _xcorr(w, a, 0, hi - lo)
+    pw = np.concatenate(([0.0], np.cumsum(np.asarray(w, np.float64) ** 2)))
+    nb2 = pw[np.arange(hi - lo + 1) + len(a)] - pw[np.arange(hi - lo + 1)]
+    den = np.sqrt(float(np.dot(a, a)) * nb2)
+    c = np.where(den > 0.0, num / np.maximum(den, 1e-30), 0.0)
+    d_all = np.arange(lo, hi + 1)
+    c = np.where(d_all == 0, -np.inf, c)  # d = 0 is the conf0 baseline
     best_d, best_c = 0, conf0
-    for d in range(crude - _UNIT, crude + _UNIT + 1):
-        if d == 0:
-            continue
-        c = _section_conf(ref, deg, s, e, d)
-        if c > best_c:
-            best_c, best_d = c, d
+    i = int(np.argmax(c))
+    if float(c[i]) > best_c:
+        best_c, best_d = float(c[i]), int(d_all[i])
     return best_d, best_c, conf0
 
 
