@@ -103,3 +103,47 @@ def test_metrics_pesq_eval_native_dispatch(clean, tmp_path):
     # missing file degrades to NaN, like the reference's failed subprocess
     mos, lqo = metrics.pesq_eval(str(ref), str(tmp_path / "nope.wav"), None, "nb")
     assert np.isnan(mos) and np.isnan(lqo)
+
+
+def test_xcorr_matches_direct_sums():
+    """_xcorr (lag-bounded circular FFT) must equal the direct correlation
+    sums it replaced, for every lag in range, incl. negative lags and
+    zero-padding outside the support."""
+    import numpy as np
+
+    from avsi.eval import pesq as P
+
+    rng = np.random.default_rng(3)
+    for la, lv, lo, hi in ((300, 300, -80, 80), (500, 120, 0, 128),
+                           (120, 500, -40, 10), (64, 64, -63, 63)):
+        a = rng.standard_normal(la)
+        v = rng.standard_normal(lv)
+        got = P._xcorr(a, v, lo, hi)
+        want = []
+        for d in range(lo, hi + 1):
+            s = 0.0
+            for i in range(lv):
+                j = i + d
+                if 0 <= j < la:
+                    s += v[i] * a[j]
+            want.append(s)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=0, atol=1e-9)
+
+
+def test_estimate_delay_short_overlap_lags_never_compete():
+    """Lags whose overlap is under 100 ms were SKIPPED by the original
+    scalar search; the vectorized search must preserve that (a zero-energy
+    long-overlap lag still competes at v=0)."""
+    import numpy as np
+
+    from avsi.eval import pesq as P
+
+    fs = 16000
+    rng = np.random.default_rng(5)
+    t = np.arange(2 * fs) / fs
+    x = (np.sin(2 * np.pi * 170 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+         + 0.1 * rng.standard_normal(2 * fs)) * 3000
+    d = P._estimate_delay(x, np.roll(x, 1234))
+    assert d == 1234
+    d = P._estimate_delay(x, np.roll(x, -2345))
+    assert d == -2345
