@@ -1,0 +1,177 @@
+"""Demo-parity pipeline (round-3 verdict item #7).
+
+Reproduces the reference's published demo grid — `docs/_site/files/
+{800ms,1600ms}/ex{1,2}` with BOTH headline models per example
+(`ao_mtl` = audio-only MTL, `av_mtl` = audio-visual MTL; reference
+index.html + per-example transcriptions.txt) — on the synthetic
+informative-video corpus:
+
+1. builds / reuses the 1600 ms informative anchor corpus
+   (scripts/twosteps_anchor.ensure_corpus);
+2. optionally runs the twosteps passthrough anchor on the SAME in-process
+   corpus upload (one device cache shared across every train() call);
+3. trains the ASR judge + `a-blstm-ssnn-ctc` + `av-blstm-ssnn-ctc`;
+4. builds two held-out demo samples at each gap size (800 / 1600 ms)
+   from speaker-1 test utterances via the offline generator
+   (avsi/data/generator.py — the reference dataset_generator.py path);
+5. masks, inpaints (both models) and transcribes (judge beam-100) each
+   sample — siasr writes `enhanced/<model>.wav` +
+   `transcriptions/<model>.lbl`, matching the reference layout;
+6. renders docs/ via make_demo.build_grid.
+
+Usage: python scripts/demo_grid.py [corpus_base] [epochs] [out_dir]
+                                   [--no-twosteps]
+Writes <out_dir>/index.html + files/{800ms,1600ms}/ex{1,2}/... and
+<corpus_base>/demo_grid.json (model summaries + demo PERs).
+"""
+
+import json
+import os
+import sys
+from glob import glob
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root (avsi package)
+sys.path.insert(0, _HERE)  # sibling study scripts
+
+import twosteps_anchor  # noqa: E402
+
+GAPS = (("800ms", 800.0), ("1600ms", 1600.0))
+
+
+def main(base="/dev/shm/av_inf", epochs=20, out_dir="docs",
+         with_twosteps=True):
+    import make_demo
+    from avsi import config as config_lib
+    from avsi.data import phonemes as ph_lib
+    from avsi.data import stats as stats_lib
+    from avsi.data.generator import create_syn_dataset, create_tfrecords_training
+    from avsi.infer import asr as asr_infer, masking, siasr
+    from avsi.train import loop
+
+    twosteps_anchor.ensure_corpus(base)
+    cache: dict = {}
+    out: dict = {"epochs": int(epochs)}
+    if with_twosteps:
+        out["twosteps_anchor"] = twosteps_anchor.main(
+            base, epochs, corpus_cache=cache
+        )
+
+    spec = os.path.join(base, "spec")
+    fbanks = os.path.join(base, "fbanks")
+    if not os.path.isfile(fbanks + "_mean.npy"):
+        stats_lib.compute_mean_std_features(
+            os.path.join(base, "syn", "training-set"), "target", fbanks,
+            feat_type="fbanks",
+        )
+    dict_file = os.path.join(base, "dictionary.txt")
+
+    def cfg(model, exp, mean, std, n_epochs, **kw):
+        c = {
+            "model": model, "audio_feat_dim": 257, "video_feat_dim": 136,
+            "audio_len": 48000, "batch_size": 100, "net_dim": [250, 250, 250],
+            "integration_layer": 0, "dropout_rate": 0.0,
+            "max_n_epochs": int(n_epochs), "n_earlystop_epochs": int(n_epochs),
+            "optimizer_type": "adam", "starter_learning_rate": 0.001,
+            "lr_decay": 1.0, "num_asr_labels": 33, "ctc_loss": 0.001,
+            "compute_dtype": "bfloat16", "device_cache_corpus": 1,
+            "tb_media": 0, "root_folder": os.path.join(base, "tfrecords"),
+            "exp_folder": os.path.join(base, exp),
+            "audio_feat_mean": mean, "audio_feat_std": std,
+        }
+        c.update(kw)
+        p = os.path.join(base, exp + ".config")
+        config_lib.save_configfile(c, p)
+        return p
+
+    judge_ckpt = os.path.join(base, "exp_asr", "netmodel")
+    if os.path.exists(os.path.join(judge_ckpt, "asrnet.npz")):
+        print("=== reusing trained ASR judge", flush=True)
+    else:
+        print("=== training ASR judge", flush=True)
+        jsum = loop.train_or_exit(
+            cfg("a-blstm", "exp_asr", fbanks + "_mean.npy",
+                fbanks + "_std.npy", 8, net_dim=[250, 250], frame_stack=3),
+            is_asr=True, corpus_cache=cache,
+        )
+        out["judge_best_val"] = float(jsum["best_val"])
+
+    model_ckpts = {}
+    for tag, model in (("ao_mtl", "a-blstm-ssnn-ctc"),
+                       ("av_mtl", "av-blstm-ssnn-ctc")):
+        exp = "exp_" + tag
+        ckpt = os.path.join(base, exp, "netmodel")
+        model_ckpts[tag] = ckpt
+        if os.path.exists(os.path.join(ckpt, "sinet.npz")):
+            print(f"=== reusing trained {model}", flush=True)
+            continue
+        print(f"=== training {model} ({epochs} epochs)", flush=True)
+        summ = loop.train_or_exit(
+            cfg(model, exp, spec + "_mean.npy", spec + "_std.npy", epochs),
+            corpus_cache=cache,
+        )
+        out[tag + "_best_val"] = float(summ["best_val"])
+
+    # two held-out utterances: speaker 1's test split (sample dirs are named
+    # s<k>_<utt>_<gapms>_<nintr>, generator.py:95)
+    test_names = sorted(
+        os.path.basename(d)
+        for d in glob(os.path.join(base, "syn", "test-set", "s1_*"))
+        if os.path.isdir(d)
+    )
+    demo_utts = sorted({n.split("_")[1] for n in test_names})[:2]
+    if len(demo_utts) < 2:
+        raise SystemExit("need two speaker-1 test utterances for the demo")
+    print("demo utterances:", demo_utts, flush=True)
+
+    ph_dict = ph_lib.load_dictionary(dict_file)
+    examples = []
+    for gap_name, cov_ms in GAPS:
+        demo_syn = os.path.join(base, "demo", gap_name, "syn")
+        demo_tfr = os.path.join(base, "demo", gap_name, "tfr")
+        if not os.path.isdir(demo_tfr):
+            create_syn_dataset(
+                os.path.join(base, "raw"), demo_syn, speakers=[1],
+                n_samples=0, cov_mean=cov_ms, cov_std=50.0,
+                seed=97 + int(cov_ms), utterance_names=demo_utts,
+            )
+            create_tfrecords_training(demo_syn, demo_tfr, ph_dict)
+        masking.mask_app(
+            demo_tfr, demo_syn, oracle_phase=False, num_audio_samples=48000,
+            batch_size=2, feat_mean_file=spec + "_mean.npy",
+            feat_std_file=spec + "_std.npy",
+        )
+        res_m = asr_infer.infer(
+            judge_ckpt, demo_tfr, demo_syn, "masked", dict_file,
+            apply_mask=True, norm=True, batch_size=2,
+        )
+        out.setdefault("demo_per", {})[gap_name] = {"masked": res_m["per"]}
+        for tag, ckpt in model_ckpts.items():
+            res = siasr.infer(
+                ckpt, judge_ckpt, demo_tfr, demo_syn, tag, dict_file,
+                norm=True, batch_size=2, gl_iters=50,
+            )
+            out["demo_per"][gap_name][tag] = res["per"]
+        dirs = sorted(
+            d for d in glob(os.path.join(demo_syn, "*")) if os.path.isdir(d)
+        )
+        examples += [
+            {"gap": gap_name, "ex": f"ex{i + 1}", "sample_dir": d}
+            for i, d in enumerate(dirs)
+        ]
+
+    make_demo.build_grid(examples, out_dir)
+    with open(os.path.join(base, "demo_grid.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("DEMO_SUMMARY " + json.dumps(out.get("demo_per", {})), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    a = [x for x in sys.argv[1:] if x != "--no-twosteps"]
+    main(
+        a[0] if a else "/dev/shm/av_inf",
+        int(a[1]) if len(a) > 1 else 20,
+        a[2] if len(a) > 2 else "docs",
+        with_twosteps="--no-twosteps" not in sys.argv[1:],
+    )

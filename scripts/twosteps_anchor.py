@@ -1,4 +1,6 @@
-"""Fair quality anchor for `av-blstm-twosteps` (round-2 verdict item #5).
+"""Fair quality anchor for `av-blstm-twosteps` (round-2 verdict item #5),
+round-4 extension: the known-region waveform **passthrough** leg
+(round-3 verdict item #2).
 
 The round-2 anchor measured the two-steps composition on envelope-only
 video, where its v-net input carries no phonetic content and the model
@@ -7,14 +9,26 @@ cannot win by design.  This study evaluates it where it is on-design: the
 the regime where the v-net's prediction actually carries the missing
 content (reference StackedBLSTM2StepsModel, models.py:240-317).
 
+Round 4 adds a second inference/eval leg with `passthrough=True`
+(avsi/ops/passthrough.py): original waveform samples outside gap frames,
+model output inside, raised-cosine crossfade confined to the known side.
+Expected per the r3 verdict: PESQ improvement flips positive (the plain
+twosteps semantics resynthesize the WHOLE utterance through GL phase,
+which PESQ punishes; see BASELINE.md), STOI essentially unchanged.
+Reference-faithful full resynthesis stays the default leg.
+
 Recipe: train the plain v-blstm vnet, then the frozen-vnet composition
 (training.py:115-166 workflow), sharing ONE device-cached corpus upload;
-infer on the held-out test set; evaluate STOI/PESQ/L1 vs the masked
-baseline (PER-free schema — the corpus ships no ASR judge).
+infer on the held-out test set twice (default / passthrough); evaluate
+STOI/PESQ/L1 vs the masked baseline for both legs (PER-free schema — the
+corpus ships no ASR judge; demo_grid.py trains one on the same corpus).
+
+The corpus is built in-place when missing (round 4 — tmpfs does not
+survive across rounds): 8 speakers x (250, 20, 60) utterances/split,
+informative video, 1600 +- 100 ms gaps — the round-3 protocol's shape.
 
 Usage: python scripts/twosteps_anchor.py [corpus_base] [epochs]
-corpus_base defaults to /dev/shm/av_inf (the round-2 video_informative
-corpus: 8 speakers x 250 train / 320 held-out test, 1600 ms gaps).
+corpus_base defaults to /dev/shm/av_inf.
 Writes <corpus_base>/twosteps_anchor.json.
 """
 
@@ -22,13 +36,40 @@ import json
 import os
 import sys
 
+SPEAKERS = 8
+UTTS = (250, 20, 60)  # per speaker per split -> 2000 / 160 / 480 utterances
+GAP_MS, GAP_STD_MS = 1600.0, 100.0
 
-def main(base="/dev/shm/av_inf", epochs=20):
+
+def ensure_corpus(base):
+    """Build the informative 1600 ms anchor corpus + spec stats if absent."""
+    from avsi.data import stats as stats_lib
+    from avsi.data.fixture import make_fixture
+
+    if not os.path.isdir(os.path.join(base, "tfrecords", "test-set")):
+        print(
+            f"=== corpus: {SPEAKERS} speakers x {UTTS} "
+            f"(informative video, {GAP_MS:.0f} ms gaps)", flush=True
+        )
+        make_fixture(
+            base, n_speakers=SPEAKERS, n_samples=UTTS, seed=13,
+            gap_ms=GAP_MS, gap_std_ms=GAP_STD_MS, video_informative=True,
+        )
+    if not os.path.isfile(os.path.join(base, "spec_mean.npy")):
+        stats_lib.compute_mean_std_features(
+            os.path.join(base, "syn", "training-set"), "target",
+            os.path.join(base, "spec"), feat_type="spec",
+        )
+    print("corpus ready", flush=True)
+
+
+def main(base="/dev/shm/av_inf", epochs=20, corpus_cache=None):
     from avsi import config as config_lib
     from avsi.eval import harness
-    from avsi.infer import inpaint
+    from avsi.infer import inpaint, masking
     from avsi.train import loop
 
+    ensure_corpus(base)
     common = {
         "audio_feat_dim": 257, "video_feat_dim": 136, "audio_len": 48000,
         "batch_size": 100, "net_dim": [250, 250, 250],
@@ -41,50 +82,73 @@ def main(base="/dev/shm/av_inf", epochs=20):
         "audio_feat_mean": os.path.join(base, "spec_mean.npy"),
         "audio_feat_std": os.path.join(base, "spec_std.npy"),
     }
-    cache = {}
-    vcfg = dict(common, model="v-blstm", exp_folder=os.path.join(base, "exp_v_plain"))
-    vp = os.path.join(base, "exp_v_plain.config")
-    config_lib.save_configfile(vcfg, vp)
-    print("=== training vnet (v-blstm)", flush=True)
-    vsum = loop.train_or_exit(vp, corpus_cache=cache)
-    print("vnet best_val", vsum["best_val"], flush=True)
+    cache = corpus_cache if corpus_cache is not None else {}
+    vnet_ckpt = os.path.join(base, "exp_v_plain", "netmodel", "sinet")
+    if os.path.exists(vnet_ckpt + ".npz"):
+        print("=== reusing trained vnet", flush=True)
+        vsum = {"best_val": float("nan")}
+    else:
+        vcfg = dict(common, model="v-blstm",
+                    exp_folder=os.path.join(base, "exp_v_plain"))
+        vp = os.path.join(base, "exp_v_plain.config")
+        config_lib.save_configfile(vcfg, vp)
+        print("=== training vnet (v-blstm)", flush=True)
+        vsum = loop.train_or_exit(vp, corpus_cache=cache)
+        print("vnet best_val", vsum["best_val"], flush=True)
 
-    tcfg = dict(
-        common, model="av-blstm-twosteps",
-        exp_folder=os.path.join(base, "exp_2steps"),
-        model_ckp_vnet=os.path.join(base, "exp_v_plain", "netmodel", "sinet"),
-    )
-    tp = os.path.join(base, "exp_2steps.config")
-    config_lib.save_configfile(tcfg, tp)
-    print("=== training av-blstm-twosteps (frozen vnet)", flush=True)
-    tsum = loop.train_or_exit(tp, corpus_cache=cache)
-    print("twosteps best_val", tsum["best_val"], flush=True)
+    exp2 = os.path.join(base, "exp_2steps")
+    if os.path.exists(os.path.join(exp2, "netmodel", "sinet.npz")):
+        print("=== reusing trained av-blstm-twosteps", flush=True)
+        tsum = {"best_val": float("nan")}
+    else:
+        tcfg = dict(common, model="av-blstm-twosteps", exp_folder=exp2,
+                    model_ckp_vnet=vnet_ckpt)
+        tp = os.path.join(base, "exp_2steps.config")
+        config_lib.save_configfile(tcfg, tp)
+        print("=== training av-blstm-twosteps (frozen vnet)", flush=True)
+        tsum = loop.train_or_exit(tp, corpus_cache=cache)
+        print("twosteps best_val", tsum["best_val"], flush=True)
 
-    print("=== inference on held-out test set", flush=True)
-    res = inpaint.infer(
-        os.path.join(base, "exp_2steps", "netmodel"),
-        os.path.join(base, "tfrecords", "test-set"),
-        os.path.join(base, "syn", "test-set"),
-        "twosteps_fair", norm=True, batch_size=32,
-        phase_recon="gl", gl_iters=50,
-    )
-    print("infer:", res, flush=True)
+    test_tfr = os.path.join(base, "tfrecords", "test-set")
+    test_audio = os.path.join(base, "syn", "test-set")
 
-    print("=== evaluation (enhanced vs masked)", flush=True)
-    summary = harness.speech_enhancement_eval(
-        os.path.join(base, "syn", "test-set"), "twosteps_fair",
-        os.path.join(base, "eval_twosteps_fair"),
-        masked_eval=True, window_size=24, step_size=12, num_workers=4,
+    print("=== masked baseline wavs", flush=True)
+    masking.mask_app(
+        test_tfr, test_audio, oracle_phase=False, num_audio_samples=48000,
+        batch_size=32, feat_mean_file=os.path.join(base, "spec_mean.npy"),
+        feat_std_file=os.path.join(base, "spec_std.npy"),
     )
+
     out = {
-        "study": "twosteps fair anchor (video_informative, 1600 ms gaps)",
+        "study": "twosteps fair anchor (video_informative, 1600 ms gaps)"
+                 " + r4 passthrough leg",
+        "corpus": {"speakers": SPEAKERS, "utts_per_speaker": list(UTTS),
+                   "gap_ms": GAP_MS, "gap_std_ms": GAP_STD_MS, "seed": 13},
         "vnet_best_val": float(vsum["best_val"]),
         "twosteps_best_val": float(tsum["best_val"]),
-        "eval": {k: list(map(float, v)) for k, v in summary.items()},
     }
-    with open(os.path.join(base, "twosteps_anchor.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    legs = (
+        ("eval", "twosteps_fair", {}),            # reference-faithful default
+        ("eval_passthrough", "twosteps_pt", {"passthrough": True}),
+    )
+    for key, prefix, kw in legs:
+        print(f"=== inference ({key})", flush=True)
+        res = inpaint.infer(
+            os.path.join(exp2, "netmodel"), test_tfr, test_audio,
+            prefix, norm=True, batch_size=32,
+            phase_recon="gl", gl_iters=50, **kw,
+        )
+        print("infer:", res, flush=True)
+        print(f"=== evaluation ({key}: enhanced vs masked)", flush=True)
+        summary = harness.speech_enhancement_eval(
+            test_audio, prefix, os.path.join(base, "eval_" + prefix),
+            masked_eval=True, window_size=24, step_size=12, num_workers=4,
+        )
+        out[key] = {k: list(map(float, v)) for k, v in summary.items()}
+        with open(os.path.join(base, "twosteps_anchor.json"), "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1), flush=True)
+    return out
 
 
 if __name__ == "__main__":

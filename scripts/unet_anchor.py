@@ -21,6 +21,14 @@ al. 2018), giving the `unet-pconv` twin an ON-DESIGN anchor the reference
 task never exercises.  Everything downstream (models, masked baseline,
 GL known-phase clamp, eval) is already per-(frame, bin), so only the mask
 sampling changes.
+
+Round 4 adds a **passthrough** inference/eval leg per twin (r3 verdict
+item #2; avsi/ops/passthrough.py): original samples outside gap frames,
+model output inside.  The unet semantics resynthesize the whole utterance
+through GL phase (reference models.py:537-608), which caps PESQ; the
+passthrough leg measures the deployment lever at the family's own 16/8 ms
+geometry.  When the raw GRID-drill wav set is absent (tmpfs does not
+survive rounds) an equivalent fixture raw tree is synthesized in place.
 """
 
 import glob
@@ -37,6 +45,23 @@ SPEAKERS = 8
 TRAIN_PER_SPK = 150
 VAL_PER_SPK = 25
 TEST_PER_SPK = 25
+
+
+def ensure_raw(raw_src, scratch):
+    """Return a usable raw wav tree, synthesizing a fixture one if absent.
+
+    The r3 anchor consumed the GRID-drill raw set; only `raw/s<k>/...wav`
+    is read here, and 150+25+25 utterances per speaker are needed, so an
+    8-speaker fixture with 204 utterances/speaker is an equivalent source.
+    """
+    if glob.glob(os.path.join(raw_src, "s*")):
+        return raw_src
+    from avsi.data.fixture import make_fixture
+
+    print("=== raw source missing; synthesizing fixture raw set", flush=True)
+    out = make_fixture(scratch, n_speakers=SPEAKERS, n_samples=(200, 2, 2),
+                       seed=5)
+    return out["raw"]
 
 
 def build_corpus(workdir, raw_src, mask_kind="timegap"):
@@ -110,6 +135,7 @@ def main(workdir="/dev/shm/unet_drill", raw_src="/dev/shm/grid_drill/raw",
     from avsi.train import loop
 
     if not os.path.isdir(os.path.join(workdir, "tfrecords", "test-set")):
+        raw_src = ensure_raw(raw_src, workdir + "_rawsrc")
         build_corpus(workdir, raw_src, mask_kind)
 
     mean_p = os.path.join(workdir, "spec_mean.npy")
@@ -151,14 +177,16 @@ def main(workdir="/dev/shm/unet_drill", raw_src="/dev/shm/grid_drill/raw",
         print(model, "best_val", summ["best_val"], flush=True)
         out[model + "_best_val"] = float(summ["best_val"])
 
-        print("=== inference", model, flush=True)
-        res = inpaint.infer(
-            os.path.join(exp, "netmodel"),
-            os.path.join(workdir, "tfrecords", "test-set"),
-            os.path.join(workdir, "syn", "test-set"),
-            model, norm=True, batch_size=32, phase_recon="gl", gl_iters=50,
-        )
-        print("infer:", res, flush=True)
+        for prefix, kw in ((model, {}), (model + "_pt", {"passthrough": True})):
+            print("=== inference", prefix, flush=True)
+            res = inpaint.infer(
+                os.path.join(exp, "netmodel"),
+                os.path.join(workdir, "tfrecords", "test-set"),
+                os.path.join(workdir, "syn", "test-set"),
+                prefix, norm=True, batch_size=32, phase_recon="gl",
+                gl_iters=50, **kw,
+            )
+            print("infer:", res, flush=True)
 
     print("=== masked baseline at the unet geometry", flush=True)
     masking.mask_app(
@@ -170,14 +198,16 @@ def main(workdir="/dev/shm/unet_drill", raw_src="/dev/shm/grid_drill/raw",
     )
 
     for model in ("unet", "unet-pconv"):
-        print("=== evaluation", model, flush=True)
-        summary = harness.speech_enhancement_eval(
-            os.path.join(workdir, "syn", "test-set"), model,
-            os.path.join(workdir, "eval_" + model),
-            masked_eval=True, n_fft=256, window_size=16, step_size=8,
-            num_workers=4,
-        )
-        out[model] = {k: list(map(float, v)) for k, v in summary.items()}
+        for key, prefix in ((model, model),
+                            (model + "_passthrough", model + "_pt")):
+            print("=== evaluation", prefix, flush=True)
+            summary = harness.speech_enhancement_eval(
+                os.path.join(workdir, "syn", "test-set"), prefix,
+                os.path.join(workdir, "eval_" + prefix),
+                masked_eval=True, n_fft=256, window_size=16, step_size=8,
+                num_workers=4,
+            )
+            out[key] = {k: list(map(float, v)) for k, v in summary.items()}
     with open(os.path.join(workdir, "unet_anchor.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1), flush=True)
