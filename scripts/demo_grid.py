@@ -84,6 +84,11 @@ def main(base="/dev/shm/av_inf", epochs=20, out_dir="docs",
         config_lib.save_configfile(c, p)
         return p
 
+    # the judge needs optimizer STEPS, not epochs: this corpus is 2,000
+    # utterances (20 steps/epoch at bs=100), so 8 epochs — enough at the
+    # 29k informative scale — leaves CTC in blank-collapse (PER ~0.96).
+    # Epochs cost ~0.2 s from the device cache; train until ~1,200 steps.
+    judge_epochs = max(int(epochs), 60)
     judge_ckpt = os.path.join(base, "exp_asr", "netmodel")
     if os.path.exists(os.path.join(judge_ckpt, "asrnet.npz")):
         print("=== reusing trained ASR judge", flush=True)
@@ -91,7 +96,8 @@ def main(base="/dev/shm/av_inf", epochs=20, out_dir="docs",
         print("=== training ASR judge", flush=True)
         jsum = loop.train_or_exit(
             cfg("a-blstm", "exp_asr", fbanks + "_mean.npy",
-                fbanks + "_std.npy", 8, net_dim=[250, 250], frame_stack=3),
+                fbanks + "_std.npy", judge_epochs, net_dim=[250, 250],
+                frame_stack=3),
             is_asr=True, corpus_cache=cache,
         )
         out["judge_best_val"] = float(jsum["best_val"])

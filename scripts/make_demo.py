@@ -23,6 +23,8 @@ import shutil
 import sys
 from glob import glob
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from avsi.ops import stft as stft_ops

@@ -9,13 +9,14 @@ cannot win by design.  This study evaluates it where it is on-design: the
 the regime where the v-net's prediction actually carries the missing
 content (reference StackedBLSTM2StepsModel, models.py:240-317).
 
-Round 4 adds a second inference/eval leg with `passthrough=True`
-(avsi/ops/passthrough.py): original waveform samples outside gap frames,
-model output inside, raised-cosine crossfade confined to the known side.
-Expected per the r3 verdict: PESQ improvement flips positive (the plain
-twosteps semantics resynthesize the WHOLE utterance through GL phase,
-which PESQ punishes; see BASELINE.md), STOI essentially unchanged.
-Reference-faithful full resynthesis stays the default leg.
+Round 4 adds two further inference/eval legs: `passthrough=True`
+(avsi/ops/passthrough.py — original waveform samples outside gap frames,
+model output inside, raised-cosine crossfade confined to the known side)
+and passthrough combined with `--gap_atten 0.5` (avsi/ops/postfilter.py —
+the atten_ladder_r4 PESQ winner; hallucinated deep-gap content scores
+below silence under P.862).  The plain twosteps semantics resynthesize
+the WHOLE utterance through GL phase, which PESQ punishes; see
+BASELINE.md.  Reference-faithful full resynthesis stays the default leg.
 
 Recipe: train the plain v-blstm vnet, then the frozen-vnet composition
 (training.py:115-166 workflow), sharing ONE device-cached corpus upload;
@@ -35,6 +36,8 @@ Writes <corpus_base>/twosteps_anchor.json.
 import json
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SPEAKERS = 8
 UTTS = (250, 20, 60)  # per speaker per split -> 2000 / 160 / 480 utterances
@@ -130,6 +133,12 @@ def main(base="/dev/shm/av_inf", epochs=20, corpus_cache=None):
     legs = (
         ("eval", "twosteps_fair", {}),            # reference-faithful default
         ("eval_passthrough", "twosteps_pt", {"passthrough": True}),
+        # deployment combo: passthrough + deep-gap attenuation (the
+        # atten_ladder_r4 PESQ winner) — hallucinated deep-gap content
+        # scores below silence under P.862, so the floor lifts PESQ
+        ("eval_passthrough_atten", "twosteps_pta",
+         {"passthrough": True,
+          "gap_atten": {"alpha": 0.5, "trust": 34, "ramp": 16}}),
     )
     for key, prefix, kw in legs:
         print(f"=== inference ({key})", flush=True)

@@ -36,6 +36,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 N_SAMPLES = 16384  # 128 frames x 128 hop
