@@ -89,7 +89,7 @@ def main(base="/dev/shm/av_inf", epochs=20, corpus_cache=None):
     vnet_ckpt = os.path.join(base, "exp_v_plain", "netmodel", "sinet")
     if os.path.exists(vnet_ckpt + ".npz"):
         print("=== reusing trained vnet", flush=True)
-        vsum = {"best_val": float("nan")}
+        vsum = {"best_val": None}  # None, not NaN: keep the JSON strict
     else:
         vcfg = dict(common, model="v-blstm",
                     exp_folder=os.path.join(base, "exp_v_plain"))
@@ -102,7 +102,7 @@ def main(base="/dev/shm/av_inf", epochs=20, corpus_cache=None):
     exp2 = os.path.join(base, "exp_2steps")
     if os.path.exists(os.path.join(exp2, "netmodel", "sinet.npz")):
         print("=== reusing trained av-blstm-twosteps", flush=True)
-        tsum = {"best_val": float("nan")}
+        tsum = {"best_val": None}
     else:
         tcfg = dict(common, model="av-blstm-twosteps", exp_folder=exp2,
                     model_ckp_vnet=vnet_ckpt)
@@ -127,8 +127,10 @@ def main(base="/dev/shm/av_inf", epochs=20, corpus_cache=None):
                  " + r4 passthrough leg",
         "corpus": {"speakers": SPEAKERS, "utts_per_speaker": list(UTTS),
                    "gap_ms": GAP_MS, "gap_std_ms": GAP_STD_MS, "seed": 13},
-        "vnet_best_val": float(vsum["best_val"]),
-        "twosteps_best_val": float(tsum["best_val"]),
+        "vnet_best_val": None if vsum["best_val"] is None
+        else float(vsum["best_val"]),
+        "twosteps_best_val": None if tsum["best_val"] is None
+        else float(tsum["best_val"]),
     }
     legs = (
         ("eval", "twosteps_fair", {}),            # reference-faithful default
