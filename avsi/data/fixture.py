@@ -44,8 +44,15 @@ def make_fixture(
     mask_hop_ms: int = 12,
     mask_frame_dim: int = 257,
     mask_kind: str = "timegap",
+    raw_only: bool = False,
 ) -> dict:
     """Build raw corpus + masked sample dirs + tfrecords. Returns paths.
+
+    raw_only=True stops after the raw wav/landmark/align tree (no masked
+    sample dirs, no tfrecords) for consumers that re-mask the raw set
+    themselves (e.g. scripts/unet_anchor.py's ensure_raw); the raw tree is
+    bit-identical to the full build's (the rng draws happen in the same
+    order) and the returned dict then has only `raw` and `dictionary`.
 
     video_informative=True gives each phoneme a distinct mouth-landmark
     configuration so visual features carry phoneme identity (needed for
@@ -151,6 +158,8 @@ def make_fixture(
     # masked sample dirs per split (disjoint utterances, distinct mask
     # seeds), then tfrecords
     out = {"raw": raw, "dictionary": dict_file}
+    if raw_only:
+        return out
     for k, split in enumerate(splits):
         split_dir = os.path.join(dest_dir, "syn", split)
         generator.create_syn_dataset(

@@ -289,7 +289,7 @@ def _residual_delay(ref, deg, s, e):
     return best_d, best_c, conf0
 
 
-def _speech_sections(power_units, active):
+def _speech_sections(active):
     """Active-unit runs merged across silences < 200 ms (50 units)."""
     secs = []
     n = len(active)
@@ -332,7 +332,7 @@ def _align_sections(ref, deg):
     active = power > _ACT_THRESH
     stack = [
         (s * _UNIT, e * _UNIT)
-        for (s, e) in _speech_sections(power, active)
+        for (s, e) in _speech_sections(active)
         if e - s >= _MIN_SEC
     ]
     out = deg

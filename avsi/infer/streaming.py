@@ -481,7 +481,18 @@ class StreamingInpainter:
         frames with a raised-cosine crossfade confined to the known side of
         each gap boundary (ops/passthrough.py) — a pure host-side blend per
         emitted chunk, causal (one frame of mask context each side), and
-        sample-identical to the offline `--passthrough` path."""
+        sample-identical to the offline `--passthrough` path whenever the
+        next frame's mask is in the buffer at emit time.  That is always
+        true for lookahead >= 1, and at lookahead 0 for any push coarser
+        than one hop (a frame's mask arrives with the samples that complete
+        its 384-sample window, which already cover the next frame's hop).
+        Only strictly frame-granular pushes at lookahead 0 can leave the
+        next mask unseen when a gap starts EXACTLY at a chunk boundary;
+        then the pre-gap crossfade ramp — which lives in the last emitted
+        frame but depends on that unseen mask — is causally unavailable:
+        those known samples stay 100 % original and the gap stays 100 %
+        model output (a hard splice instead of a fade —
+        tests/test_passthrough.py pins both behaviors)."""
         self.spec = blstm_lib.parse_model_name(config["model"])
         self.want_transcript = bool(transcript)
         if self.want_transcript and not self.spec.ctc:
@@ -841,7 +852,12 @@ class StreamingInpainter:
         blend weight's dependence radius is exactly one frame
         (2*xfade = frame_step samples), so [prev frame, emitted frames,
         next frame] of mask context reproduces the whole-utterance weight
-        (ops/passthrough.passthrough_weight_np)."""
+        (ops/passthrough.passthrough_weight_np).  When the next frame is
+        not yet pushed (frame-granular pushes at lookahead 0, or end of
+        stream) it is treated as KNOWN: at end of stream that is exact
+        (pad_end semantics); mid-stream it causally truncates the pre-gap
+        ramp of a gap starting at the boundary — see the class
+        docstring."""
         if n_emit <= 0 or len(out) == 0:
             return out
         f0 = self._frames_out - n_emit  # first emitted frame (absolute)

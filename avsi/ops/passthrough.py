@@ -37,7 +37,9 @@ def passthrough_weight(
     frame_known: (B, T) float, 1.0 where the frame is fully known.
     Returns (B, num_samples).
     """
-    xfade = int(xfade) if xfade else frame_step // 2
+    # None -> default half-frame crossfade; an explicit 0 means hard cut
+    # (`if xfade else` would swallow 0 into the default)
+    xfade = frame_step // 2 if xfade is None else int(xfade)
     gap = 1.0 - frame_known.astype(jnp.float32)  # (B, T)
     w = jnp.repeat(gap, frame_step, axis=1)  # (B, T*hop)
     n = w.shape[1]
@@ -88,7 +90,7 @@ def passthrough_weight_np(
     +-2*xfade = +-frame_step samples, so one frame of mask context on each
     side of an emitted chunk reproduces the whole-utterance weight exactly
     (asserted in tests/test_passthrough.py)."""
-    xfade = int(xfade) if xfade else frame_step // 2
+    xfade = frame_step // 2 if xfade is None else int(xfade)
     gap = 1.0 - np.asarray(frame_known, np.float32).reshape(-1)
     w = np.repeat(gap, frame_step)
     if len(w) >= num_samples:

@@ -39,11 +39,18 @@ def _materialize(leaf) -> np.ndarray:
 
 
 def _flatten(tree) -> dict[str, np.ndarray]:
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(str(p).strip("[].'") for p in path)
-        flat[key] = _materialize(leaf)
-    return flat
+    pairs = [
+        ("/".join(str(p).strip("[].'") for p in path), leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    ]
+    # start every addressable device->host copy before the first blocking
+    # np.asarray: per-leaf synchronous fetches would pay the host-transfer
+    # round-trip floor once PER LEAF (hundreds of leaves in params+opt
+    # trees; the tunnel floor is ~34 ms — see CLAUDE.md)
+    for _, leaf in pairs:
+        if isinstance(leaf, jax.Array) and leaf.is_fully_addressable:
+            leaf.copy_to_host_async()
+    return {key: _materialize(leaf) for key, leaf in pairs}
 
 
 def save_tree(path: str, tree, extra: dict | None = None) -> None:

@@ -162,7 +162,13 @@ def make_eval_step(model, config, stats, is_asr=False):
         total, hole = _per_sample_l1(out, batch)
         res = {"loss_ps": total, "loss_hole_ps": hole}
         if "ctc_loss" in l:
-            res["ctc_loss"] = l["ctc_loss"]
+            # per-sequence CTC so the host drops pad_final duplicates and
+            # multi-host filler rows exactly like loss_ps — a global-batch
+            # scalar mean would count other hosts' num_real=0 filler
+            res["ctc_ps"] = ctc_ops.ctc_loss_per_seq(
+                out["asr_logits"], batch["sequence_lengths"],
+                batch["labels"], batch["labels_lengths"],
+            )
             res["decoded"] = ctc_ops.greedy_decode(
                 out["asr_logits"], batch["sequence_lengths"]
             )
@@ -349,20 +355,21 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
     train_step = jax.jit(make_train_step(model, tx, config, stats), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, config, stats, is_asr))
 
-    compact_sig_checked = [False]
-
     def place(batch):
         compacted = mesh_lib.compact_batch(batch)
         if multihost:
-            # compact_batch falls back silently per-batch; a host shipping a
-            # different key/dtype set would hang the global-batch assembly,
-            # so pin the signature across hosts once
-            if not compact_sig_checked[0]:
-                sig = ",".join(
-                    f"{k}:{np.asarray(v).dtype}" for k, v in sorted(compacted.items())
-                )
-                dist_lib.assert_uniform("batch compaction signature", sig)
-                compact_sig_checked[0] = True
+            # compact_batch falls back PER BATCH on data properties (soft
+            # masks, non-int16 waveforms): one host compacting a batch the
+            # others don't would assemble divergent global pytrees and hang
+            # the job mid-epoch with no diagnostic.  Check the signature on
+            # EVERY batch — a one-shot check at batch 0 cannot see a later
+            # fallback; the per-batch assert is one small host collective on
+            # a path that already pays a global-batch assembly per step, and
+            # on mismatch it fails fast everywhere with the payload
+            sig = ",".join(
+                f"{k}:{np.asarray(v).dtype}" for k, v in sorted(compacted.items())
+            )
+            dist_lib.assert_uniform("batch compaction signature", sig)
             # compact_batch output is already device-only keys (+ the
             # compaction's own mask_frames)
             return dist_lib.global_batch(compacted, mesh, tuple(compacted.keys()))
@@ -540,8 +547,29 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
                             ckpt_dir, "ckpt", train_state.params,
                             opt_state=train_state.opt_state, step=step,
                         )
+                    if multihost:
+                        # act only on a CROSS-HOST-AGREED flag at a fixed
+                        # step cadence: SIGTERM lands at different steps on
+                        # different hosts, and a host-local break would
+                        # leave the others blocked in the next step's
+                        # gradient all-reduce exactly when the preemption
+                        # checkpoint (itself a collective) must be written
+                        if step % 10 == 0:
+                            preempt["hit"] = bool(
+                                dist_lib.gather_hosts(
+                                    [float(preempt["hit"])]
+                                ).max()
+                            )
+                        else:
+                            continue  # defer the break to the next cadence
                     if preempt["hit"]:
                         break
+                if multihost:
+                    # a flag raised after the last cadence point inside the
+                    # epoch must not diverge the epoch-level break either
+                    preempt["hit"] = bool(
+                        dist_lib.gather_hosts([float(preempt["hit"])]).max()
+                    )
                 if preempt["hit"]:
                     break  # skip validation; checkpoint + log after the loop
                 if n_acc == 0 and epoch == 0:
@@ -815,10 +843,10 @@ def _validate(val_pairs, eval_step, params, is_asr, select_hole=True,
             continue
         tot.extend(rows(res["loss_ps"])[:n].tolist())
         hole.extend(rows(res["loss_hole_ps"])[:n].tolist())
-        if "ctc_loss" in res:
-            # batch means weighted by real count (padded duplicates bias
-            # the final batch's mean only by their own weight)
-            ctcs.append(float(res["ctc_loss"]) * n)
+        if "ctc_ps" in res:
+            # exact sum over this host's real rows (padded duplicates and
+            # other hosts' filler rows excluded, like loss_ps)
+            ctcs.append(float(np.sum(rows(res["ctc_ps"])[:n])))
             ctc_w.append(n)
             pers.append(_host_per(rows(res["decoded"]), meta) * n)
     if multihost:

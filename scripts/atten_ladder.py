@@ -56,7 +56,8 @@ def main(alphas=(0.5, 0.25, 0.1, 0.0)):
             gap_atten={"alpha": float(alpha), "trust": 34, "ramp": 16},
         )
         ev = harness.speech_inpainting_eval(
-            SYN, tag, f"{tag}_eval", masked_eval=False, num_workers=8
+            SYN, tag, os.path.join(D, f"{tag}_eval"), masked_eval=False,
+            num_workers=8,
         )
         out[f"alpha_{alpha:g}"] = {
             "per_enhanced": enh["per"],

@@ -62,7 +62,7 @@ def ensure_raw(raw_src, scratch):
 
     print("=== raw source missing; synthesizing fixture raw set", flush=True)
     out = make_fixture(scratch, n_speakers=SPEAKERS, n_samples=(200, 2, 2),
-                       seed=5)
+                       seed=5, raw_only=True)
     return out["raw"]
 
 

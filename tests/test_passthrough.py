@@ -209,6 +209,54 @@ def test_streaming_passthrough_gap_at_edges():
     np.testing.assert_array_equal(got[mid], wave[mid])
 
 
+def test_streaming_passthrough_lookahead0_boundary_gap():
+    """A gap starting EXACTLY at a chunk boundary with lookahead=0 — the
+    one geometry where the pre-gap crossfade ramp (which lives in the last
+    emitted frame but depends on the NEXT frame's mask) can be causally
+    unavailable.  Whether it is depends only on push granularity: a frame's
+    mask is pushed once its full 384-sample window has arrived
+    (stream_utterance), so any push coarser than one hop delivers frame
+    f+1's mask together with the samples that complete frame f, and the
+    blend is sample-identical to the offline weight even at lookahead 0.
+    Only strictly frame-granular pushes (192 samples) leave the next mask
+    unseen at emit time; then the unseen frame is treated as known — the
+    known samples before the boundary stay 100 % original and gap samples
+    stay 100 % model output (a hard splice instead of a fade; documented
+    in the StreamingInpainter docstring)."""
+    config, spec, params, stats, batch = _setup("a-blstm")
+    masks = np.array(batch["masks"])
+    masks[0] = 1.0
+    masks[0, 8:14] = 0.0  # gap start == the chunk_frames=4 boundary
+    batch = dict(batch, masks=jnp.asarray(masks))
+
+    # default 1536-sample pushes: the next frame's mask is always buffered
+    # at emit time -> exact identity even at lookahead 0
+    for la in (2, 0):
+        plain, wave, frame_mask = _stream(config, stats, params, batch,
+                                          False, chunk_frames=4,
+                                          lookahead_frames=la)
+        got, _, _ = _stream(config, stats, params, batch, True,
+                            chunk_frames=4, lookahead_frames=la)
+        w = pt.passthrough_weight_np(frame_mask, HOP, len(plain))
+        orig = np.zeros(len(plain), np.float32)
+        orig[: len(wave)] = wave[: len(plain)]
+        np.testing.assert_allclose(got, orig * (1.0 - w) + plain * w,
+                                   atol=1e-5, rtol=0)
+
+    # frame-granular pushes + lookahead 0: chunk [4..7] emits on the push
+    # whose newest mask is frame 7's, so frame 8's gap is unseen — gap is
+    # still 100 % model output, but the last known frame before the
+    # boundary is 100 % original (the offline ramp is causally unavailable)
+    plain0, _, _ = _stream(config, stats, params, batch, False, push=HOP,
+                           chunk_frames=4, lookahead_frames=0)
+    got0, _, _ = _stream(config, stats, params, batch, True, push=HOP,
+                         chunk_frames=4, lookahead_frames=0)
+    np.testing.assert_allclose(got0[8 * HOP:14 * HOP],
+                               plain0[8 * HOP:14 * HOP], atol=1e-6, rtol=0)
+    np.testing.assert_array_equal(got0[7 * HOP:8 * HOP],
+                                  orig[7 * HOP:8 * HOP])
+
+
 def test_lockstep_passthrough_matches_single_stream():
     config, spec, params, stats, _ = _setup("av-blstm-ssnn-ctc")
     b = synth_batch(config, batch_size=3, seed=9, gap=(4, 11))
