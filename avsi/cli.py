@@ -19,6 +19,14 @@ import argparse
 import sys
 
 
+def _add_lstm_impl_flag(p):
+    p.add_argument("--lstm_impl", default="auto",
+                   choices=["auto", "scan", "pallas"],
+                   help="BLSTM recurrence for this forward-only run: auto "
+                        "(default) = fused Pallas kernel on an unsharded "
+                        "TPU, lax.scan everywhere else")
+
+
 def _add_gap_atten_flags(p):
     p.add_argument("--gap_atten", type=float, default=1.0,
                    help="deep-gap amplitude floor in [0,1] (postfilter for "
@@ -195,6 +203,7 @@ def parse_args(argv=None):
                         "crossfade at gap boundaries); default = reference-"
                         "faithful full resynthesis")
     _add_gap_atten_flags(p)
+    _add_lstm_impl_flag(p)
 
     p = sub.add_parser("inference_asr", description="Inference with trained ASR model.")
     p.add_argument("-d", "--data_dir", required=True)
@@ -207,6 +216,7 @@ def parse_args(argv=None):
     p.add_argument("-df", "--dict_file", required=True)
     p.add_argument("-bw", "--beam_width", type=int, default=100,
                    help="CTC beam width (reference default 100); 0 = greedy.")
+    _add_lstm_impl_flag(p)
 
     p = sub.add_parser("inference_siasr", description="Inpainting + ASR inference.")
     p.add_argument("-d", "--data_dir", required=True)
@@ -227,6 +237,7 @@ def parse_args(argv=None):
                         "crossfade at gap boundaries); default = reference-"
                         "faithful full resynthesis")
     _add_gap_atten_flags(p)
+    _add_lstm_impl_flag(p)
 
     p = sub.add_parser("evaluation", description="Evaluate audio samples with speech metrics.")
     p.add_argument("-ed", "--eval_audio_dir", required=True)
@@ -275,6 +286,7 @@ def parse_args(argv=None):
                    help="keep original samples on known frames (raised-cosine "
                         "crossfade at gap boundaries); default = reference-"
                         "faithful full resynthesis")
+    _add_lstm_impl_flag(p)
 
     p = sub.add_parser("fixture", description="Generate a synthetic GRID-like corpus (not in reference).")
     p.add_argument("-d", "--dest_dir", required=True)
@@ -410,6 +422,7 @@ def main(argv=None):
             args.norm, args.oracle_phase, args.batch_size, args.phase_recon,
             args.gl_iters, data_shards=args.data_shards,
             passthrough=args.passthrough, gap_atten=_gap_atten_opts(args),
+            lstm_impl=args.lstm_impl,
         )
     elif name == "inference_asr":
         from avsi.infer.asr import infer
@@ -417,7 +430,7 @@ def main(argv=None):
         infer(
             args.model_path, args.data_dir, args.audio_dir, args.out_file_prefix,
             args.dict_file, args.apply_mask, args.norm, args.batch_size,
-            args.beam_width,
+            args.beam_width, lstm_impl=args.lstm_impl,
         )
     elif name == "inference_siasr":
         from avsi.infer.siasr import infer
@@ -427,6 +440,7 @@ def main(argv=None):
             args.out_file_prefix, args.dict_file, args.norm, args.oracle_phase,
             args.batch_size, args.phase_recon, args.gl_iters, args.beam_width,
             passthrough=args.passthrough, gap_atten=_gap_atten_opts(args),
+            lstm_impl=args.lstm_impl,
         )
     elif name == "evaluation":
         from avsi.eval.harness import speech_inpainting_eval
@@ -452,7 +466,7 @@ def main(argv=None):
             max_streams=args.max_streams, stream_idle_s=args.stream_idle_s,
             micro_batch=args.micro_batch, phase_recon=args.phase_recon,
             gl_iters=args.gl_iters, data_shards=args.data_shards,
-            passthrough=args.passthrough,
+            passthrough=args.passthrough, lstm_impl=args.lstm_impl,
         )
         server.serve_forever()
     elif name == "fixture":

@@ -55,9 +55,12 @@ def infer(
     norm: bool = True,
     batch_size: int = 1,
     beam_width: int = 100,
+    lstm_impl: str = "auto",
 ) -> dict:
     batch_size = batch_size or 1
-    config, stats, model, params = load_model_bundle(model_path, norm, is_asr=True)
+    config, stats, model, params = load_model_bundle(
+        model_path, norm, is_asr=True, lstm_impl=lstm_impl
+    )
     dictionary = ph_lib.load_dictionary(dictionary_file)
     dm = reader_lib.DataManager(
         num_audio_samples=config["audio_len"],

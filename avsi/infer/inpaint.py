@@ -32,14 +32,24 @@ from avsi.utils import wav as wavio
 
 
 
-def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False):
-    """Load (config, stats, model, params) from a self-contained ckpt dir."""
+def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False,
+                      lstm_impl: str = "auto", sharded: bool = False):
+    """Load (config, stats, model, params) from a self-contained ckpt dir.
+
+    `lstm_impl` selects the BLSTM recurrence for this forward-only bundle:
+    "auto" (default) resolves to the fused Pallas kernel on an unsharded
+    TPU backend and the lax.scan everywhere else (ops/pallas_lstm.py,
+    measured +24% end-to-end on the flagship in bf16); "scan"/"pallas"
+    force it.  Training never goes through this loader and always scans
+    (the kernel is forward-only)."""
+    from avsi.ops import pallas_lstm
     from avsi.utils import cache as _cache
 
     _cache.enable()  # inference scripts re-jit identical programs across runs
     config = config_lib.check_trainconfiguration(
         config_lib.load_configfile(os.path.join(model_path, "config.txt"))
     )
+    config["lstm_impl"] = pallas_lstm.resolve_impl(lstm_impl, sharded=sharded)
     if norm:
         stats = stats_lib.load_stats(
             os.path.join(model_path, "audio_features_mean.npy"),
@@ -104,6 +114,7 @@ def infer(
     data_shards: int = 0,
     passthrough: bool = False,
     gap_atten: dict | None = None,
+    lstm_impl: str = "auto",
 ) -> dict:
     """data_shards > 1 shards each inference batch over a `data` device
     mesh (params replicated, batch partitioned — utterances are
@@ -111,7 +122,10 @@ def infer(
     twin of `avsi serve --data_shards` / the training mesh.  Sharded ==
     single-device output is asserted in tests/test_parallel.py."""
     batch_size = batch_size or 1
-    config, stats, model, params = load_model_bundle(model_path, norm)
+    config, stats, model, params = load_model_bundle(
+        model_path, norm, lstm_impl=lstm_impl,
+        sharded=bool(data_shards and int(data_shards) > 1),
+    )
     mesh = shard = None
     if data_shards and int(data_shards) > 1:
         if batch_size % int(data_shards):

@@ -90,11 +90,14 @@ def infer(
     beam_width: int = 100,  # reference ASR-judge default (models_asr.py:135)
     passthrough: bool = False,
     gap_atten: dict | None = None,
+    lstm_impl: str = "auto",
 ) -> dict:
     batch_size = batch_size or 1
-    si_config, si_stats, si_model, si_params = load_model_bundle(model_path_si, norm)
+    si_config, si_stats, si_model, si_params = load_model_bundle(
+        model_path_si, norm, lstm_impl=lstm_impl
+    )
     asr_config, asr_stats, _asr_def, asr_params = load_model_bundle(
-        model_path_asr, norm, is_asr=True
+        model_path_asr, norm, is_asr=True, lstm_impl=lstm_impl
     )
     dictionary = ph_lib.load_dictionary(dictionary_file)
     dm = reader_lib.DataManager(

@@ -260,6 +260,9 @@ def forward(
     """Full forward pass. Returns feats + prediction (+ asr logits)."""
     spec = spec or parse_model_name(config["model"])
     compute_dtype, gate_dtype = _dtypes(config)
+    # lstm_impl="pallas" (inference-only config key, set by the forward-only
+    # entry points on TPU): fused Pallas recurrence instead of the scan
+    impl = str(config.get("lstm_impl", "scan") or "scan")
     # latency-controlled training (lc_chunk/lc_lookahead config keys): the
     # BLSTM backward context is truncated EXACTLY like the streaming
     # serving path, so the trained function == the served function
@@ -309,17 +312,21 @@ def forward(
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm"], jnp.concatenate([net_in, tiled], axis=2), compute_dtype,
-            gate_dtype,
+            gate_dtype, impl=impl,
         )
     elif emb is not None:
-        mid = core.blstm_stack(params["blstm1"], net_in, compute_dtype, gate_dtype)
+        mid = core.blstm_stack(
+            params["blstm1"], net_in, compute_dtype, gate_dtype, impl=impl
+        )
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm2"], jnp.concatenate([mid, tiled], axis=2), compute_dtype,
-            gate_dtype,
+            gate_dtype, impl=impl,
         )
     else:
-        rnn_out = core.blstm_stack(params["blstm"], net_in, compute_dtype, gate_dtype)
+        rnn_out = core.blstm_stack(
+            params["blstm"], net_in, compute_dtype, gate_dtype, impl=impl
+        )
 
     rnn_out = core.dropout(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train

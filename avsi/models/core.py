@@ -76,14 +76,29 @@ def _lstm_cell(carry, xw_t, wh, gate_dtype=jnp.float32):
 
 
 def bilstm_layer(
-    params: dict, x: jax.Array, compute_dtype=jnp.float32, gate_dtype=None
+    params: dict,
+    x: jax.Array,
+    compute_dtype=jnp.float32,
+    gate_dtype=None,
+    impl: str = "scan",
 ) -> jax.Array:
     """Bidirectional LSTM layer: (B, T, D) -> (B, T, 2H).
 
     gate_dtype=None follows compute_dtype (so bfloat16 compute gets
     bfloat16 gate transcendentals and a bfloat16 pre-projection stream —
     the fastest measured bf16 layout; float32 compute is bit-identical to
-    the original fp32-everything path)."""
+    the original fp32-everything path).
+
+    impl="pallas" replaces the scan with the fused Pallas kernel
+    (ops/pallas_lstm.py) — forward-only (no VJP) and single-device, so it
+    is opt-in via the `lstm_impl` config key on inference paths; training
+    and sharded paths keep the scan."""
+    if impl == "pallas":
+        from avsi.ops import pallas_lstm
+
+        return pallas_lstm.bilstm_layer_pallas(
+            params, x, compute_dtype, gate_dtype
+        )
     b_sz, t_len, _ = x.shape
     hidden = params["wh"].shape[1]
     if gate_dtype is None:
@@ -351,6 +366,7 @@ def blstm_stack(
     compute_dtype=jnp.float32,
     gate_dtype=None,
     lc: tuple[int, int] | None = None,
+    impl: str = "scan",
 ) -> jax.Array:
     """Stacked bidirectional LSTM: (B, T, D) -> (B, T, 2*H_last).
 
@@ -367,7 +383,7 @@ def blstm_stack(
         )
     out = x
     for layer in layers:
-        out = bilstm_layer(layer, out, compute_dtype, gate_dtype)
+        out = bilstm_layer(layer, out, compute_dtype, gate_dtype, impl=impl)
     return out
 
 

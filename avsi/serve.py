@@ -56,6 +56,7 @@ class InpaintingService:
         norm: bool = True,
         data_shards: int = 0,
         passthrough: bool = False,
+        lstm_impl: str = "auto",
     ):
         """data_shards > 1 shards the /enhance micro-batch over a `data`
         mesh (params replicated, batch partitioned — zero collectives,
@@ -65,7 +66,11 @@ class InpaintingService:
         `streaming.stream_utterances_lockstep(mesh=...)` instead."""
         from avsi.infer.inpaint import load_model_bundle, make_infer_step
 
-        self.config, stats, model, self.params = load_model_bundle(model_path, norm)
+        self._lstm_impl = lstm_impl
+        self._sharded = bool(data_shards and int(data_shards) > 1)
+        self.config, stats, model, self.params = load_model_bundle(
+            model_path, norm, lstm_impl=lstm_impl, sharded=self._sharded
+        )
         self._shard = self._repl = None
         if data_shards and int(data_shards) > 1:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -136,7 +141,10 @@ class InpaintingService:
         """
         from avsi.infer.inpaint import load_model_bundle, make_infer_step
 
-        cfg, stats, model, params = load_model_bundle(model_path or self._model_path, self._norm)
+        cfg, stats, model, params = load_model_bundle(
+            model_path or self._model_path, self._norm,
+            lstm_impl=self._lstm_impl, sharded=self._sharded,
+        )
         for key in ("model", "audio_len", "audio_feat_dim", "video_feat_dim",
                     "net_dim", "integration_layer"):
             if cfg.get(key) != self.config.get(key):

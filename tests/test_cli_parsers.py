@@ -33,6 +33,18 @@ def test_subcommand_parses(name):
     assert args.subparser_name == name
 
 
+@pytest.mark.parametrize(
+    "name", ["inference", "inference_asr", "inference_siasr", "serve"]
+)
+def test_lstm_impl_flag(name):
+    args = parse_args([name] + CASES[name])
+    assert args.lstm_impl == "auto"
+    args = parse_args([name] + CASES[name] + ["--lstm_impl", "pallas"])
+    assert args.lstm_impl == "pallas"
+    with pytest.raises(SystemExit):
+        parse_args([name] + CASES[name] + ["--lstm_impl", "cudnn"])
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_missing_required_args_exit(name):
     required = {

@@ -1,0 +1,142 @@
+"""Equivalence of the fused Pallas BLSTM kernel vs the lax.scan layer.
+
+Runs in interpret mode off-TPU (conftest forces CPU), so these tests pin
+the kernel's semantics — fp32 and bf16-gate paths, the padded gate layout,
+block-steps divisors, and the stacked-layer composition — against
+models/core.bilstm_layer, the single source of truth for the recurrence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsi.models import core
+from avsi.ops import pallas_lstm
+
+
+def _layer_params(rng, in_dim, hidden):
+    return core.lstm_layer_init(rng, in_dim, hidden)
+
+
+@pytest.mark.parametrize("hidden", [250, 128])
+def test_matches_scan_fp32(hidden):
+    rng = jax.random.PRNGKey(0)
+    params = _layer_params(rng, 70, hidden)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 20, 70), jnp.float32)
+    ref = core.bilstm_layer(params, x, jnp.float32)
+    got = pallas_lstm.bilstm_layer_pallas(
+        params, x, jnp.float32, block_steps=5, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_matches_scan_bf16_gates():
+    rng = jax.random.PRNGKey(2)
+    params = _layer_params(rng, 64, 250)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 12, 64), jnp.float32)
+    ref = core.bilstm_layer(params, x, jnp.bfloat16)
+    got = pallas_lstm.bilstm_layer_pallas(
+        params, x, jnp.bfloat16, block_steps=4, interpret=True
+    )
+    # both paths run bf16 matmuls/gates; identical math modulo the padded
+    # gate layout's zero columns, so agreement is bf16-tight
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_block_steps_one_matches_block_steps_five():
+    rng = jax.random.PRNGKey(4)
+    params = _layer_params(rng, 32, 128)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 10, 32), jnp.float32)
+    a = pallas_lstm.bilstm_layer_pallas(
+        params, x, jnp.float32, block_steps=1, interpret=True
+    )
+    b = pallas_lstm.bilstm_layer_pallas(
+        params, x, jnp.float32, block_steps=5, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pick_block_steps():
+    assert pallas_lstm.pick_block_steps(250) == 5
+    assert pallas_lstm.pick_block_steps(250, 10) == 10
+    assert pallas_lstm.pick_block_steps(256, 5) == 4
+    assert pallas_lstm.pick_block_steps(7, 5) == 1
+
+
+def test_pad_gate_params_zero_pad_rows():
+    rng = jax.random.PRNGKey(6)
+    params = _layer_params(rng, 16, 250)
+    pp, hp = pallas_lstm.pad_gate_params(params, jnp.float32)
+    assert hp == 256
+    assert pp["wx"].shape == (2, 16, 4 * 256)
+    assert pp["wh"].shape == (2, 256, 4 * 256)
+    # pad rows of wh are zero: garbage pad lanes of h cannot leak into
+    # real gate lanes through the recurrent matmul
+    np.testing.assert_array_equal(np.asarray(pp["wh"][:, 250:, :]), 0.0)
+    # gate g's real columns live at g*256:g*256+250
+    for g in range(4):
+        np.testing.assert_allclose(
+            np.asarray(pp["wx"][:, :, g * 256 : g * 256 + 250]),
+            np.asarray(params["wx"][:, :, g * 250 : (g + 1) * 250]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pp["wx"][:, :, g * 256 + 250 : (g + 1) * 256]), 0.0
+        )
+
+
+def test_resolve_impl():
+    # conftest forces CPU: auto must resolve to the scan off-TPU
+    assert pallas_lstm.resolve_impl("auto") == "scan"
+    assert pallas_lstm.resolve_impl(None) == "scan"
+    assert pallas_lstm.resolve_impl("scan") == "scan"
+    # explicit pallas is honored (the caller owns the backend choice)...
+    assert pallas_lstm.resolve_impl("pallas") == "pallas"
+    # ...except under sharding, where the single-device kernel is refused
+    with pytest.raises(ValueError, match="does not\n?\\s*partition"):
+        pallas_lstm.resolve_impl("pallas", sharded=True)
+    with pytest.raises(ValueError, match="unknown lstm_impl"):
+        pallas_lstm.resolve_impl("cudnn")
+    assert pallas_lstm.resolve_impl("auto", sharded=True) == "scan"
+
+
+def test_auto_block_steps_budget():
+    # flagship shapes: bf16 keeps the measured-optimal k=5, fp32's larger
+    # stream drops to k=2, and a 4x batch drops further — never exceeding
+    # the VMEM stream budget that made k=10 fp32 / k=25 bf16 fail to
+    # compile on v5e
+    assert pallas_lstm.auto_block_steps(
+        250, 128, 256, jnp.bfloat16, jnp.float32) == 5
+    assert pallas_lstm.auto_block_steps(
+        250, 128, 256, jnp.float32, jnp.float32) == 2
+    k512 = pallas_lstm.auto_block_steps(
+        250, 512, 256, jnp.bfloat16, jnp.float32)
+    step = 2 * 512 * 4 * 256 * 2 + 2 * 512 * 256 * 4
+    assert 2 * k512 * step <= pallas_lstm._VMEM_STREAM_BUDGET
+    assert k512 >= 1
+
+
+def test_core_stack_impl_plumbing():
+    # core.blstm_stack(impl="pallas") must equal the scan stack — this is
+    # the exact seam the models' `lstm_impl` config key goes through
+    rng = jax.random.PRNGKey(9)
+    layers = core.blstm_stack_init(rng, 40, [96])
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 10, 40), jnp.float32)
+    ref = core.blstm_stack(layers, x, jnp.float32)
+    got = core.blstm_stack(layers, x, jnp.float32, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_stacked_layers_match_scan_stack():
+    rng = jax.random.PRNGKey(7)
+    layers = core.blstm_stack_init(rng, 48, [128, 128])
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 15, 48), jnp.float32)
+    ref = core.blstm_stack(layers, x, jnp.float32)
+    out = x
+    for layer in layers:
+        out = pallas_lstm.bilstm_layer_pallas(
+            layer, out, jnp.float32, block_steps=5, interpret=True
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
