@@ -40,8 +40,8 @@ def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False,
     "auto" (default) resolves to the fused Pallas kernel on an unsharded
     TPU backend and the lax.scan everywhere else (ops/pallas_lstm.py,
     measured +24% end-to-end on the flagship in bf16); "scan"/"pallas"
-    force it.  Training never goes through this loader and always scans
-    (the kernel is forward-only)."""
+    force it.  (Training resolves its own `lstm_impl` in train/loop.py —
+    the kernel is differentiable via a custom VJP.)"""
     from avsi.ops import pallas_lstm
     from avsi.utils import cache as _cache
 

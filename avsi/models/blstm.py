@@ -260,8 +260,8 @@ def forward(
     """Full forward pass. Returns feats + prediction (+ asr logits)."""
     spec = spec or parse_model_name(config["model"])
     compute_dtype, gate_dtype = _dtypes(config)
-    # lstm_impl="pallas" (inference-only config key, set by the forward-only
-    # entry points on TPU): fused Pallas recurrence instead of the scan
+    # lstm_impl="pallas" (set by the inference entry points and the training
+    # loop on an unsharded TPU): fused Pallas recurrence instead of the scan
     impl = str(config.get("lstm_impl", "scan") or "scan")
     # latency-controlled training (lc_chunk/lc_lookahead config keys): the
     # BLSTM backward context is truncated EXACTLY like the streaming

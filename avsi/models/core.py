@@ -90,9 +90,9 @@ def bilstm_layer(
     the original fp32-everything path).
 
     impl="pallas" replaces the scan with the fused Pallas kernel
-    (ops/pallas_lstm.py) — forward-only (no VJP) and single-device, so it
-    is opt-in via the `lstm_impl` config key on inference paths; training
-    and sharded paths keep the scan."""
+    (ops/pallas_lstm.py) — differentiable (custom VJP) but single-device,
+    selected via the `lstm_impl` config key on inference paths and the
+    training loop; sharded/off-TPU paths keep the scan."""
     if impl == "pallas":
         from avsi.ops import pallas_lstm
 

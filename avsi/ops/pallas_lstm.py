@@ -35,8 +35,19 @@ matched the scan.  This design removes the remaining overheads:
 Numerics mirror `core._lstm_cell` exactly: f32 gate accumulation, gate
 nonlinearities evaluated in `gate_dtype`, carries kept f32.  Equivalence
 vs the scan is asserted in tests/test_pallas_lstm.py (interpret mode off
-TPU).  Forward-only (no custom VJP): used on inference/serving paths;
-training keeps the scan, whose backward XLA derives automatically.
+TPU).
+
+Training support (custom VJP): `bilstm_layer_pallas` is differentiable.
+Under `jax.grad` the forward runs a kernel variant that additionally
+writes the cell-state stream (the only residual the backward cannot
+cheaply recompute), and the backward pass is a second fused kernel that
+walks the grid in reverse, recomputing gate pre-activations from the
+saved xw/h streams (remat-style, one extra recurrent matmul — the same
+trade the scan's `jax.checkpoint` makes) while keeping the dh/dc carries
+and the dWh accumulator VMEM-resident.  dWx / dbias / dx fall out of
+whole-sequence MXU matmuls on the dgates stream outside the kernel,
+mirroring the hoisted input projection of the forward.  Gradients match
+`jax.grad` of the scan layer to f32 roundoff (tests/test_pallas_lstm.py).
 """
 
 from __future__ import annotations
@@ -134,6 +145,34 @@ def _kernel(xw_ref, wh_ref, out_f_ref, out_b_ref, h_scr, c_scr, *, k_steps):
     c_scr[1] = cb
 
 
+def _kernel_train(xw_ref, wh_ref, out_f_ref, out_b_ref, c_f_ref, c_b_ref,
+                  h_scr, c_scr, *, k_steps):
+    """Forward kernel for the differentiated path: identical recurrence to
+    `_kernel`, plus the cell-state stream written out per direction (same
+    original-time-order layout as the h outputs) — the one residual the
+    backward kernel cannot recompute without re-running the recurrence."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    wh_f = wh_ref[0]
+    wh_b = wh_ref[1]
+    hf, cf = h_scr[0], c_scr[0]
+    hb, cb = h_scr[1], c_scr[1]
+    for k in range(k_steps):
+        hf, cf = _cell(xw_ref[k, 0].astype(jnp.float32), hf, cf, wh_f)
+        hb, cb = _cell(xw_ref[k, 1].astype(jnp.float32), hb, cb, wh_b)
+        out_f_ref[k] = hf.astype(out_f_ref.dtype)
+        out_b_ref[k_steps - 1 - k] = hb.astype(out_b_ref.dtype)
+        c_f_ref[k] = cf
+        c_b_ref[k_steps - 1 - k] = cb
+    h_scr[0] = hf
+    c_scr[0] = cf
+    h_scr[1] = hb
+    c_scr[1] = cb
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -205,6 +244,247 @@ def bilstm_recurrence(
     return out_f, out_b
 
 
+@functools.partial(
+    jax.jit, static_argnames=("block_steps", "out_dtype", "interpret")
+)
+def bilstm_recurrence_train(
+    xw: jax.Array,
+    wh: jax.Array,
+    block_steps: int = 5,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """`bilstm_recurrence` + the f32 cell-state streams (c_f, c_b), laid
+    out exactly like (out_f, out_b) — original time order per direction."""
+    t_len, ndir, b_sz, four_hp = xw.shape
+    assert ndir == 2 and four_hp % (4 * _LANE) == 0, (ndir, four_hp)
+    hp = four_hp // 4
+    assert t_len % block_steps == 0, (t_len, block_steps)
+    nblk = t_len // block_steps
+    if interpret is None:
+        interpret = _use_interpret()
+    k = block_steps
+    fwd_map = lambda t: (t, 0, 0)
+    bwd_map = lambda t, _n=nblk: (_n - 1 - t, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_kernel_train, k_steps=k),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((k, 2, b_sz, four_hp), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, four_hp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, b_sz, hp), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), bwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), bwd_map, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b_sz, hp), jnp.float32),
+            pltpu.VMEM((2, b_sz, hp), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b_sz, hp), out_dtype),
+            jax.ShapeDtypeStruct((t_len, b_sz, hp), out_dtype),
+            jax.ShapeDtypeStruct((t_len, b_sz, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b_sz, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xw, wh)
+
+
+def _bwd_dir(xw_j, dh_in, dh_rec, dc, h_prev, c_prev, c_t, wh_d):
+    """One direction, one reverse step.  dh/dc carries, h_prev, c_* are
+    f32 (B, Hp/4Hp); wh_d is compute dtype.  Gate pre-activations are
+    recomputed exactly as `_cell` built them (same casts), so the
+    backward sees the forward's gates bit-for-bit in fp32."""
+    gates = xw_j + jnp.dot(
+        h_prev.astype(wh_d.dtype), wh_d, preferred_element_type=jnp.float32
+    )
+    hp = gates.shape[-1] // 4
+    i = jax.nn.sigmoid(gates[:, :hp])
+    f = jax.nn.sigmoid(gates[:, hp : 2 * hp])
+    g = jnp.tanh(gates[:, 2 * hp : 3 * hp])
+    o = jax.nn.sigmoid(gates[:, 3 * hp :])
+    tc = jnp.tanh(c_t)
+    dh = dh_in + dh_rec
+    do = dh * tc * o * (1.0 - o)
+    dc = dc + dh * o * (1.0 - tc * tc)
+    di = dc * g * i * (1.0 - i)
+    df = dc * c_prev * f * (1.0 - f)
+    dg = dc * i * (1.0 - g * g)
+    dgates = jnp.concatenate([di, df, dg, do], axis=-1)  # (B, 4Hp) f32
+    dgates_c = dgates.astype(wh_d.dtype)
+    # dh flowing to step t-1: dgates @ wh^T (contract the gate axis)
+    dh_rec_new = jax.lax.dot_general(
+        dgates_c, wh_d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dc_new = dc * f
+    # dWh contribution: h_prev^T @ dgates (contract the batch axis)
+    dwh_inc = jax.lax.dot_general(
+        h_prev.astype(wh_d.dtype), dgates_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dgates, dh_rec_new, dc_new, dwh_inc
+
+
+def _bwd_kernel(xw_ref, wh_ref, hf_ref, hb_ref, cf_ref, cb_ref,
+                hbnd_ref, cbnd_ref, df_ref, db_ref,
+                dxw_ref, dwh_ref,
+                dh_scr, dc_scr, dwh_scr, *, k_steps):
+    """Reverse walk.  Grid step t processes kernel-time block
+    b = nblk-1-t, local steps j = k-1 .. 0 (global kernel time
+    descending).  Per-ref layouts (kernel time s = b*k + j):
+
+      xw_ref / dxw_ref  (k,2,B,4Hp)  block nblk-1-t, row j
+      hf/cf/df_ref      (k,B,Hp)     block nblk-1-t, row j       (dir 0)
+      hb/cb/db_ref      (k,B,Hp)     ORIGINAL time order, so
+                                     block t, row k-1-j          (dir 1)
+      hbnd/cbnd_ref     (1,2,B,Hp)   h/c at kernel time b*k-1
+                                     (zeros for b=0)
+      dwh_ref           (2,Hp,4Hp)   written once, at the last grid step
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+        dwh_scr[...] = jnp.zeros_like(dwh_scr)
+
+    wh_f = wh_ref[0]
+    wh_b = wh_ref[1]
+    dh_f, dc_f = dh_scr[0], dc_scr[0]
+    dh_b, dc_b = dh_scr[1], dc_scr[1]
+    dwh_f = dwh_scr[0]
+    dwh_b = dwh_scr[1]
+    for j in range(k_steps - 1, -1, -1):
+        if j > 0:
+            hprev_f = hf_ref[j - 1].astype(jnp.float32)
+            cprev_f = cf_ref[j - 1]
+            hprev_b = hb_ref[k_steps - j].astype(jnp.float32)
+            cprev_b = cb_ref[k_steps - j]
+        else:
+            hprev_f = hbnd_ref[0, 0].astype(jnp.float32)
+            cprev_f = cbnd_ref[0, 0]
+            hprev_b = hbnd_ref[0, 1].astype(jnp.float32)
+            cprev_b = cbnd_ref[0, 1]
+        dg_f, dh_f, dc_f, dwf = _bwd_dir(
+            xw_ref[j, 0].astype(jnp.float32), df_ref[j].astype(jnp.float32),
+            dh_f, dc_f, hprev_f, cprev_f, cf_ref[j], wh_f)
+        dg_b, dh_b, dc_b, dwb = _bwd_dir(
+            xw_ref[j, 1].astype(jnp.float32),
+            db_ref[k_steps - 1 - j].astype(jnp.float32),
+            dh_b, dc_b, hprev_b, cprev_b, cb_ref[k_steps - 1 - j], wh_b)
+        dwh_f = dwh_f + dwf
+        dwh_b = dwh_b + dwb
+        dxw_ref[j, 0] = dg_f.astype(dxw_ref.dtype)
+        dxw_ref[j, 1] = dg_b.astype(dxw_ref.dtype)
+    dh_scr[0], dc_scr[0] = dh_f, dc_f
+    dh_scr[1], dc_scr[1] = dh_b, dc_b
+    dwh_scr[0] = dwh_f
+    dwh_scr[1] = dwh_b
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        dwh_ref[...] = dwh_scr[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_steps", "interpret")
+)
+def bilstm_recurrence_bwd(
+    xw: jax.Array,
+    wh: jax.Array,
+    out_f: jax.Array,
+    out_b: jax.Array,
+    c_f: jax.Array,
+    c_b: jax.Array,
+    dout_f: jax.Array,
+    dout_b: jax.Array,
+    block_steps: int,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Reverse pass over the recurrence.  dout_* are the upstream h grads
+    in the same layout as out_* (original time order per direction).
+    Returns (dxw (T,2,B,4Hp) in xw's dtype + kernel-time layout,
+    dwh (2,Hp,4Hp) f32)."""
+    t_len, ndir, b_sz, four_hp = xw.shape
+    hp = four_hp // 4
+    k = block_steps
+    assert t_len % k == 0, (t_len, k)
+    nblk = t_len // k
+    if interpret is None:
+        interpret = _use_interpret()
+
+    # boundary h/c at kernel time b*k - 1 for each block b (zeros at b=0):
+    # the one cross-block datum the reverse walk needs, since block b-1 is
+    # visited AFTER block b.  dir-0 streams are kernel-time already; dir-1
+    # streams are stored in original order (out_b[t0] = h at kernel time
+    # T-1-t0), so kernel time b*k-1 lives at original index T-b*k.
+    zrow = jnp.zeros((1, b_sz, hp), out_f.dtype)
+    zrowc = jnp.zeros((1, b_sz, hp), jnp.float32)
+    if nblk > 1:
+        bnd_f = jnp.concatenate([zrow, out_f[k - 1::k][: nblk - 1]], axis=0)
+        bnd_cf = jnp.concatenate([zrowc, c_f[k - 1::k][: nblk - 1]], axis=0)
+        bnd_b = jnp.concatenate([zrow, jnp.flip(out_b[k::k], axis=0)], axis=0)
+        bnd_cb = jnp.concatenate([zrowc, jnp.flip(c_b[k::k], axis=0)], axis=0)
+    else:
+        bnd_f, bnd_cf, bnd_b, bnd_cb = zrow, zrowc, zrow, zrowc
+    h_bnd = jnp.stack(
+        [bnd_f.astype(jnp.float32), bnd_b.astype(jnp.float32)], axis=1
+    )  # (nblk, 2, B, Hp)
+    c_bnd = jnp.stack([bnd_cf, bnd_cb], axis=1)
+
+    rev_map3 = lambda t, _n=nblk: (_n - 1 - t, 0, 0)
+    fwd_map3 = lambda t: (t, 0, 0)
+    rev_map4 = lambda t, _n=nblk: (_n - 1 - t, 0, 0, 0)
+    dxw, dwh = pl.pallas_call(
+        functools.partial(_bwd_kernel, k_steps=k),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((k, 2, b_sz, four_hp), rev_map4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, four_hp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), rev_map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), fwd_map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), rev_map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), fwd_map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, b_sz, hp), rev_map4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, b_sz, hp), rev_map4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), rev_map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), fwd_map3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, 2, b_sz, four_hp), rev_map4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, four_hp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b_sz, hp), jnp.float32),
+            pltpu.VMEM((2, b_sz, hp), jnp.float32),
+            pltpu.VMEM((2, hp, four_hp), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, 2, b_sz, four_hp), xw.dtype),
+            jax.ShapeDtypeStruct((2, hp, four_hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xw, wh, out_f, out_b, c_f, c_b, h_bnd, c_bnd, dout_f, dout_b)
+    return dxw, dwh
+
+
 def resolve_impl(
     requested: str | None,
     sharded: bool = False,
@@ -212,15 +492,17 @@ def resolve_impl(
 ) -> str:
     """Resolve an `lstm_impl` request to "scan" or "pallas".
 
-    "auto" (the forward-only entry points' default) picks the fused kernel
-    exactly where it is known to win: a real TPU backend, an unsharded
-    batch (the kernel is a single-device program — under a data mesh the
-    custom call would force XLA to de-shard around it), and a batch small
-    enough that the kernel's VMEM working set (xw block + outputs + h/c
-    scratch, all O(B*Hp)) stays comfortably inside VMEM.  Everything else
-    — CPU tests, sharded inference, training — keeps the scan.  An
-    explicit "pallas" under sharding is refused rather than silently
-    degraded."""
+    "auto" (the default on inference entry points AND the training loop)
+    picks the fused kernel exactly where it is known to win: a real TPU
+    backend, an unsharded batch (the kernel is a single-device program —
+    under a data mesh the custom call would force XLA to de-shard around
+    it), and a batch small enough that the kernel's VMEM working set
+    (xw block + outputs + h/c scratch, all O(B*Hp)) stays comfortably
+    inside VMEM.  Everything else — CPU tests, sharded inference/training
+    — keeps the scan.  Training differentiates through the kernel via its
+    custom VJP; LC (window-space) training has no kernel path and scans
+    regardless.  An explicit "pallas" under sharding is refused rather
+    than silently degraded."""
     req = (requested or "auto").lower()
     if req == "scan":
         return "scan"
@@ -258,14 +540,160 @@ def pick_block_steps(t_len: int, target: int = 5) -> int:
     return 1
 
 
+def _budget_block_steps(t_len: int, step_bytes: int, target: int) -> int:
+    k_max = max(1, _VMEM_STREAM_BUDGET // (2 * step_bytes))
+    return pick_block_steps(t_len, min(target, int(k_max)))
+
+
 def auto_block_steps(t_len: int, b_sz: int, hp: int, compute_dtype,
                      out_dtype, target: int = 5) -> int:
     """Block size honoring the VMEM stream budget (double-buffered xw in
     compute dtype + both direction outputs in out dtype, per grid step)."""
-    step_bytes = 2 * b_sz * 4 * hp * jnp.dtype(compute_dtype).itemsize
-    step_bytes += 2 * b_sz * hp * jnp.dtype(out_dtype).itemsize
-    k_max = max(1, _VMEM_STREAM_BUDGET // (2 * step_bytes))
+    cd = jnp.dtype(compute_dtype).itemsize
+    od = jnp.dtype(out_dtype).itemsize
+    step_bytes = 2 * b_sz * 4 * hp * cd + 2 * b_sz * hp * od
+    return _budget_block_steps(t_len, step_bytes, target)
+
+
+def _train_fwd_block_steps(t_len: int, b_sz: int, hp: int, compute_dtype,
+                           out_dtype, target: int = 5) -> int:
+    """Like auto_block_steps, plus the f32 cell-state output streams."""
+    cd = jnp.dtype(compute_dtype).itemsize
+    od = jnp.dtype(out_dtype).itemsize
+    step_bytes = 2 * b_sz * 4 * hp * cd + 2 * b_sz * hp * (od + 4)
+    return _budget_block_steps(t_len, step_bytes, target)
+
+
+# The backward kernel carries more VMEM-resident state than the forward
+# (wh + the f32 dWh accumulator + dh/dc carries + the boundary blocks +
+# dgates temporaries), so its stream budget is tighter.  Measured on v5e
+# at the flagship shape: fp32 overflows at k=2 (stream 2.9 MB/step) and
+# compiles at k=1; 7 MB lands fp32 on k=1 and bf16 on k=2 — and bf16
+# k=2 already matches k=10 (3.37 vs 3.33 ms), so nothing is left on the
+# table by clamping early.
+_VMEM_BWD_BUDGET = 7 * 1024 * 1024
+
+
+def _bwd_block_steps(t_len: int, b_sz: int, hp: int, compute_dtype,
+                     out_dtype, target: int = 5) -> int:
+    """Backward-kernel budget: xw + dxw (compute dtype, 4Hp wide) plus the
+    h (out dtype), c (f32) and dout (compute dtype) streams per step."""
+    cd = jnp.dtype(compute_dtype).itemsize
+    od = jnp.dtype(out_dtype).itemsize
+    step_bytes = 2 * (2 * b_sz * 4 * hp * cd)
+    step_bytes += 2 * b_sz * hp * (od + 4 + cd)
+    k_max = max(1, _VMEM_BWD_BUDGET // (2 * step_bytes))
     return pick_block_steps(t_len, min(target, int(k_max)))
+
+
+def _project(pp: dict, x: jax.Array, compute_dtype):
+    """Hoisted whole-sequence input projection on PADDED params: returns
+    (x2 (2,B,T,D) compute dtype, xw (T,2,B,4Hp) compute dtype), dir 1
+    projected from flip(x) — the stream both kernels consume."""
+    xc = x.astype(compute_dtype)
+    x2 = jnp.stack([xc, jnp.flip(xc, axis=1)], axis=0)
+    xw = (
+        jnp.einsum(
+            "dbti,dig->dbtg", x2, pp["wx"], preferred_element_type=jnp.float32
+        )
+        + pp["b"][:, None, None, :]
+    ).astype(compute_dtype)
+    return x2, jnp.moveaxis(xw, 2, 0)
+
+
+def _assemble(out_f, out_b, hidden, x_dtype):
+    fwd = jnp.moveaxis(out_f[:, :, :hidden], 0, 1)  # (B, T, H)
+    bwd = jnp.moveaxis(out_b[:, :, :hidden], 0, 1)  # already original order
+    return jnp.concatenate([fwd, bwd], axis=-1).astype(x_dtype)
+
+
+def _unpad_gates(a, hidden: int, hp: int):
+    if hp == hidden:
+        return a
+    parts = jnp.split(a, 4, axis=-1)
+    return jnp.concatenate([p[..., :hidden] for p in parts], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _layer(params, x, compute_dtype, block_steps, out_dtype, interpret):
+    """Primal: the inference-path kernel (no residual streams)."""
+    hidden = params["wh"].shape[1]
+    pp, _ = pad_gate_params(params, compute_dtype)
+    _, xw_t = _project(pp, x, compute_dtype)
+    out_f, out_b = bilstm_recurrence(
+        xw_t, pp["wh"], block_steps=block_steps, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    return _assemble(out_f, out_b, hidden, x.dtype)
+
+
+def _layer_fwd(params, x, compute_dtype, block_steps, out_dtype, interpret):
+    """Differentiated forward: the kernel variant that also saves the
+    cell-state streams.  Residuals: padded params, the input, the xw
+    stream and the four recurrence output streams."""
+    b_sz, t_len, _ = x.shape
+    hidden = params["wh"].shape[1]
+    pp, _ = pad_gate_params(params, compute_dtype)
+    hp = _pad_up(hidden)
+    k = pick_block_steps(t_len, min(
+        block_steps,
+        _train_fwd_block_steps(t_len, b_sz, hp, compute_dtype, out_dtype),
+    ))
+    _, xw_t = _project(pp, x, compute_dtype)
+    out_f, out_b, c_f, c_b = bilstm_recurrence_train(
+        xw_t, pp["wh"], block_steps=k, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    y = _assemble(out_f, out_b, hidden, x.dtype)
+    return y, (pp, x, xw_t, out_f, out_b, c_f, c_b)
+
+
+def _layer_bwd(compute_dtype, block_steps, out_dtype, interpret, res, dy):
+    pp, x, xw_t, out_f, out_b, c_f, c_b = res
+    hp = pp["wh"].shape[1]
+    hidden = dy.shape[-1] // 2
+    b_sz, t_len, _ = dy.shape
+    k = pick_block_steps(t_len, min(
+        block_steps,
+        _bwd_block_steps(t_len, b_sz, hp, compute_dtype, out_dtype),
+    ))
+
+    # upstream grads -> per-direction padded streams in original order
+    dyf = dy[..., :hidden].astype(compute_dtype)
+    dyb = dy[..., hidden:].astype(compute_dtype)
+    if hp != hidden:
+        padw = ((0, 0), (0, 0), (0, hp - hidden))
+        dyf = jnp.pad(dyf, padw)
+        dyb = jnp.pad(dyb, padw)
+    dout_f = jnp.moveaxis(dyf, 1, 0)  # (T, B, Hp)
+    dout_b = jnp.moveaxis(dyb, 1, 0)
+
+    dxw, dwh_p = bilstm_recurrence_bwd(
+        xw_t, pp["wh"], out_f, out_b, c_f, c_b, dout_f, dout_b,
+        block_steps=k, interpret=interpret,
+    )
+
+    # dxw is in kernel-time layout (dir 1 time-reversed) — exactly the
+    # layout the projection produced from x2, so the weight/input grads
+    # are whole-sequence MXU matmuls with no re-ordering:
+    xc = x.astype(compute_dtype)
+    x2 = jnp.stack([xc, jnp.flip(xc, axis=1)], axis=0)  # (2, B, T, D)
+    dwx_p = jnp.einsum("dbti,tdbg->dig", x2, dxw,
+                       preferred_element_type=jnp.float32)
+    db_p = jnp.sum(dxw.astype(jnp.float32), axis=(0, 2))  # (2, 4Hp)
+    dx2 = jnp.einsum("tdbg,dig->dbti", dxw, pp["wx"],
+                     preferred_element_type=jnp.float32)
+    dx = (dx2[0] + jnp.flip(dx2[1], axis=1)).astype(x.dtype)
+
+    dparams = {
+        "wx": _unpad_gates(dwx_p, hidden, hp).astype(jnp.float32),
+        "wh": _unpad_gates(dwh_p[:, :hidden], hidden, hp),
+        "b": _unpad_gates(db_p, hidden, hp),
+    }
+    return dparams, dx
+
+
+_layer.defvjp(_layer_fwd, _layer_bwd)
 
 
 def bilstm_layer_pallas(
@@ -281,33 +709,19 @@ def bilstm_layer_pallas(
 
     Identical semantics (hoisted f32-accumulated input projection stored at
     compute dtype, f32 carries); the scan is replaced by the fused kernel.
-    `gate_dtype` is accepted for signature parity with core.bilstm_layer
-    but ignored: in-kernel gates never leave VMEM, so they are always
-    evaluated f32 (see _cell)."""
+    Differentiable via the custom VJP above — under `jax.grad` the forward
+    saves the cell-state streams and the backward runs the fused reverse
+    kernel.  `gate_dtype` is accepted for signature parity with
+    core.bilstm_layer but ignored: in-kernel gates never leave VMEM, so
+    they are always evaluated f32 (see _cell)."""
     del gate_dtype
     b_sz, t_len, _ = x.shape
     hidden = params["wh"].shape[1]
-    pp, hp = pad_gate_params(params, compute_dtype)
     if block_steps is None:
         block_steps = auto_block_steps(
             t_len, b_sz, _pad_up(hidden), compute_dtype, out_dtype
         )
-    xc = x.astype(compute_dtype)
-    x2 = jnp.stack([xc, jnp.flip(xc, axis=1)], axis=0)  # (2, B, T, D)
-    xw = (
-        jnp.einsum(
-            "dbti,dig->dbtg", x2, pp["wx"], preferred_element_type=jnp.float32
-        )
-        + pp["b"][:, None, None, :]
-    ).astype(compute_dtype)
-    xw_t = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4Hp)
-    out_f, out_b = bilstm_recurrence(
-        xw_t,
-        pp["wh"],
-        block_steps=block_steps,
-        out_dtype=out_dtype,
-        interpret=interpret,
-    )
-    fwd = jnp.moveaxis(out_f[:, :, :hidden], 0, 1)  # (B, T, H)
-    bwd = jnp.moveaxis(out_b[:, :, :hidden], 0, 1)  # already original order
-    return jnp.concatenate([fwd, bwd], axis=-1).astype(x.dtype)
+    if interpret is None:
+        interpret = _use_interpret()
+    return _layer(params, x, compute_dtype, int(block_steps), out_dtype,
+                  bool(interpret))

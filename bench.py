@@ -155,18 +155,22 @@ def measure_tpu(batch_size=BATCH, inner_iters=50, compute_dtype="float32",
 
 
 def measure_train_tpu(batch_size=BATCH, inner_iters=10,
-                      compute_dtype="bfloat16") -> dict:
+                      compute_dtype="bfloat16", lstm_impl="auto") -> dict:
     """Full jitted MTL train step (fwd+bwd+adam) throughput — the
     training-side perf figure (train_bench.py's measurement, captured here
     so the driver's BENCH_r*.json records it; BASELINE.md carries the
-    batch sweep)."""
+    batch sweep).  lstm_impl=auto rides the fused Pallas kernel's custom
+    VJP on an unsharded TPU, matching what `avsi training` now runs."""
     import jax
     import jax.numpy as jnp
 
     from avsi.models import registry
+    from avsi.ops import pallas_lstm
     from avsi.train import loop as loop_lib, state as state_lib
 
+    lstm_impl = pallas_lstm.resolve_impl(lstm_impl, batch_size=batch_size)
     config = _flagship_config(batch_size, compute_dtype)
+    config["lstm_impl"] = lstm_impl
     model = registry.get_model(config["model"])
     params = model.init(jax.random.PRNGKey(0), config)
     stats = (np.zeros(AF, np.float32), np.ones(AF, np.float32))
@@ -190,7 +194,8 @@ def measure_train_tpu(batch_size=BATCH, inner_iters=10,
     total = _measure_fetched(rep, st, batch, jax.random.PRNGKey(1))
     dt = max(total - floor, 1e-9) / inner_iters
     return {"batch": batch_size, "sec_per_step": dt,
-            "utt_per_sec": batch_size / dt, "compute_dtype": compute_dtype}
+            "utt_per_sec": batch_size / dt, "compute_dtype": compute_dtype,
+            "lstm_impl": lstm_impl}
 
 
 def measure_tf_cpu_baseline(batch_size=8, iters=3) -> dict:
@@ -367,6 +372,9 @@ def main():
                         round(train_mfu, 4) if train_mfu is not None else None
                     ),
                     "train_mfu_note": "fwd+bwd approximated as 3x fwd FLOPs",
+                    "train_lstm_impl": (
+                        train.get("lstm_impl", "scan") if train else None
+                    ),
                     "baseline_tf_cpu_utt_per_sec": (
                         round(base_utt, 3)
                         if base_utt is not None and np.isfinite(base_utt)

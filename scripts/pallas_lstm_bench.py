@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--d", type=int, default=500)
     ap.add_argument("--hidden", type=int, default=250)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd (jax.grad) instead of forward-only")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -72,23 +74,57 @@ def main():
         results[tag] = {"ms": round(ms, 4)}
         print(f"{tag:40s} {ms:8.3f} ms")
 
-    for dt_name, dt in [("bf16", jnp.bfloat16), ("fp32", jnp.float32)]:
-        timed(lambda p, v, _dt=dt: core.bilstm_layer(p, v, _dt),
-              f"scan_{dt_name}")
-        for k in (1, 2, 5, 10, 25):
-            timed(
-                lambda p, v, _dt=dt, _k=k: pallas_lstm.bilstm_layer_pallas(
-                    p, v, _dt, block_steps=_k
-                ),
-                f"pallas_{dt_name}_k{k}",
-            )
-        # bf16 output stream variant (halves the h write traffic)
-        timed(
-            lambda p, v, _dt=dt: pallas_lstm.bilstm_layer_pallas(
-                p, v, _dt, block_steps=5, out_dtype=jnp.bfloat16
-            ),
-            f"pallas_{dt_name}_k5_bf16out",
+    def timed_grad(layer_fn, tag):
+        # fwd+bwd: grad of a scalar loss wrt params and x, repeated with a
+        # data dependency through the x perturbation
+        grad_fn = jax.grad(
+            lambda p, v: jnp.sum(jnp.sin(layer_fn(p, v))), argnums=(0, 1)
         )
+
+        @jax.jit
+        def rep(params, x):
+            def body(i, carry):
+                gp, gx = grad_fn(params, x + carry * 1e-9)
+                return (jnp.sum(gx) + jnp.sum(gp["b"])) * 1e-9
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        try:
+            total = _measure(rep, params, x)
+        except Exception as e:
+            results[tag] = {"error": str(e)[:200]}
+            print(f"{tag:40s} FAILED: {str(e)[:120]}")
+            return
+        ms = max(total - floor, 0.0) / args.iters * 1e3
+        results[tag] = {"ms": round(ms, 4)}
+        print(f"{tag:40s} {ms:8.3f} ms")
+
+    for dt_name, dt in [("bf16", jnp.bfloat16), ("fp32", jnp.float32)]:
+        if not args.grad:
+            timed(lambda p, v, _dt=dt: core.bilstm_layer(p, v, _dt),
+                  f"scan_{dt_name}")
+            for k in (1, 2, 5, 10, 25):
+                timed(
+                    lambda p, v, _dt=dt, _k=k: pallas_lstm.bilstm_layer_pallas(
+                        p, v, _dt, block_steps=_k
+                    ),
+                    f"pallas_{dt_name}_k{k}",
+                )
+            # bf16 output stream variant (halves the h write traffic)
+            timed(
+                lambda p, v, _dt=dt: pallas_lstm.bilstm_layer_pallas(
+                    p, v, _dt, block_steps=5, out_dtype=jnp.bfloat16
+                ),
+                f"pallas_{dt_name}_k5_bf16out",
+            )
+        else:
+            timed_grad(lambda p, v, _dt=dt: core.bilstm_layer(p, v, _dt),
+                       f"grad_scan_{dt_name}")
+            for k in (1, 2, 3, 5, 10):
+                timed_grad(
+                    lambda p, v, _dt=dt, _k=k: pallas_lstm.bilstm_layer_pallas(
+                        p, v, _dt, block_steps=_k
+                    ),
+                    f"grad_pallas_{dt_name}_k{k}",
+                )
 
     if args.out:
         with open(args.out, "w") as f:

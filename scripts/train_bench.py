@@ -6,11 +6,15 @@ the fetch-based timing method (see CLAUDE.md: block_until_ready does not
 await under the axon relay).
 
 Usage: python scripts/train_bench.py [batch_size] [inner_iters]
+       [compute_dtype] [lstm_impl: auto|scan|pallas]
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -18,13 +22,18 @@ import jax
 import jax.numpy as jnp
 
 
-def main(batch_size=128, inner=10, compute_dtype="bfloat16"):
+def main(batch_size=128, inner=10, compute_dtype="bfloat16",
+         lstm_impl="auto"):
     from avsi.flagship import flagship_config, synthetic_batch
     from avsi.models import registry
+    from avsi.ops import pallas_lstm
     from avsi.train import loop as loop_lib, state as state_lib
 
     # single source of truth shared with bench.py / __graft_entry__.py
     config = flagship_config(batch_size, compute_dtype)
+    config["lstm_impl"] = pallas_lstm.resolve_impl(
+        lstm_impl, batch_size=batch_size
+    )
     model = registry.get_model(config["model"])
     params = model.init(jax.random.PRNGKey(0), config)
     stats = (np.zeros(257, np.float32), np.ones(257, np.float32))
@@ -71,6 +80,7 @@ def main(batch_size=128, inner=10, compute_dtype="bfloat16"):
             "sec_per_step": round(dt, 5),
             "model": "av-blstm-ssnn-ctc 3x250 (full step: fwd+bwd+adam)",
             "compute_dtype": compute_dtype,
+            "lstm_impl": config["lstm_impl"],
         },
     }
     print(json.dumps(out))
@@ -81,4 +91,5 @@ if __name__ == "__main__":
         int(sys.argv[1]) if len(sys.argv) > 1 else 128,
         int(sys.argv[2]) if len(sys.argv) > 2 else 10,
         sys.argv[3] if len(sys.argv) > 3 else "bfloat16",
+        sys.argv[4] if len(sys.argv) > 4 else "auto",
     )

@@ -129,6 +129,96 @@ def test_core_stack_impl_plumbing():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.parametrize("hidden,k", [(5, 3), (128, 5), (33, 3)])
+def test_grad_matches_scan(hidden, k):
+    # the custom VJP (fused backward kernel) against jax.grad of the scan:
+    # every gradient — wx, wh, b, and the input — to f32 roundoff,
+    # including padded gate layouts (H=5 -> Hp=128, H=33 -> 128)
+    rng = jax.random.PRNGKey(11)
+    params = _layer_params(rng, 7, hidden)
+    x = jax.random.normal(jax.random.PRNGKey(12), (3, 12, 7), jnp.float32)
+
+    def loss_scan(p, xx):
+        return jnp.sum(jnp.sin(core.bilstm_layer(p, xx, jnp.float32)))
+
+    def loss_pallas(p, xx):
+        return jnp.sum(jnp.sin(pallas_lstm.bilstm_layer_pallas(
+            p, xx, jnp.float32, block_steps=k, interpret=True)))
+
+    gs = jax.grad(loss_scan, argnums=(0, 1))(params, x)
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(params, x)
+    for name in ("wx", "wh", "b"):
+        assert gp[0][name].dtype == jnp.float32
+        scale = max(1.0, float(jnp.abs(gs[0][name]).max()))
+        np.testing.assert_allclose(
+            np.asarray(gp[0][name]), np.asarray(gs[0][name]),
+            atol=2e-5 * scale,
+        )
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               atol=2e-5)
+
+
+def test_grad_single_block():
+    # nblk == 1 exercises the zero boundary rows (no previous block)
+    rng = jax.random.PRNGKey(13)
+    params = _layer_params(rng, 4, 3)
+    x = jax.random.normal(jax.random.PRNGKey(14), (2, 6, 4), jnp.float32)
+
+    def loss(impl_pallas):
+        def f(p, xx):
+            if impl_pallas:
+                y = pallas_lstm.bilstm_layer_pallas(
+                    p, xx, jnp.float32, block_steps=6, interpret=True)
+            else:
+                y = core.bilstm_layer(p, xx, jnp.float32)
+            return jnp.sum(y * y)
+        return f
+
+    gs = jax.grad(loss(False))(params, x)
+    gp = jax.grad(loss(True))(params, x)
+    for name in ("wx", "wh", "b"):
+        np.testing.assert_allclose(
+            np.asarray(gp[name]), np.asarray(gs[name]), atol=2e-5)
+
+
+def test_train_step_matches_scan():
+    # full jitted train step (grads + adam) through the models' lstm_impl
+    # config key: pallas state == scan state after two steps — the exact
+    # seam train/loop.py's resolve_impl switches
+    from avsi.flagship import flagship_config, synthetic_batch
+    from avsi.models import registry
+    from avsi.train import loop as loop_lib, state as state_lib
+
+    def run(impl):
+        config = flagship_config(2, "float32", net_dim=[5, 5], audio_len=4800)
+        config["lstm_impl"] = impl
+        model = registry.get_model(config["model"])
+        params = model.init(jax.random.PRNGKey(0), config)
+        stats = (np.zeros(257, np.float32), np.ones(257, np.float32))
+        tx = state_lib.make_optimizer(config)
+        st = state_lib.TrainState(params, tx.init(params), jnp.int32(0))
+        step = jax.jit(loop_lib.make_train_step(model, tx, config, stats))
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic_batch(config, 2).items()}
+        for i in range(2):
+            st, ldict = step(st, batch, jax.random.PRNGKey(5))
+        return st, ldict
+
+    st_s, l_s = run("scan")
+    st_p, l_p = run("pallas")
+    np.testing.assert_allclose(float(l_p["loss"]), float(l_s["loss"]),
+                               rtol=1e-5)
+    flat_s = jax.tree_util.tree_leaves_with_path(st_s.params)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(st_p.params))
+    for path, leaf_s in flat_s:
+        # adam's per-element normalization amplifies f32 grad roundoff,
+        # so the post-update tolerance is looser than the raw-grad one
+        np.testing.assert_allclose(
+            np.asarray(flat_p[path]), np.asarray(leaf_s), atol=2e-5,
+            err_msg=str(path),
+        )
+
+
 def test_stacked_layers_match_scan_stack():
     rng = jax.random.PRNGKey(7)
     layers = core.blstm_stack_init(rng, 48, [128, 128])
