@@ -69,6 +69,7 @@ import jax.numpy as jnp
 
 from avsi.models import blstm as blstm_lib
 from avsi.models import core
+from avsi.ops import pallas_lstm
 from avsi.ops import passthrough as passthrough_ops
 from avsi.ops import stft as stft_ops
 from avsi.ops.phase import _princarg
@@ -182,6 +183,24 @@ def resolve_window(config: dict, chunk_frames, lookahead_frames) -> tuple[int, i
     return chunk, look
 
 
+def resolve_stream_impl(requested: str | None) -> str:
+    """Streaming's own `lstm_impl` policy: "auto" resolves to the SCAN
+    (unlike the full-sequence paths, where auto takes the fused kernel) —
+    the LC window kernel (`pallas_lstm.lc_bilstm_window_pallas`) is
+    equivalence-tested but not yet measured on-chip at window shapes, so
+    it is strictly opt-in via an explicit "pallas".  Callers must pass the
+    USER'S raw request, never a bundle-resolved config value (offline
+    bundles resolve auto -> pallas on TPU, which is not a streaming
+    opt-in)."""
+    req = (requested or "scan").lower()
+    if req in ("scan", "auto"):
+        return "scan"
+    if req == "pallas":
+        return "pallas"
+    raise ValueError(f"unknown lstm_impl {requested!r} "
+                     "(expected auto/scan/pallas)")
+
+
 def ctc_blank_id(params) -> int:
     """Blank label = last output of the ASR head (the reference trains CTC
     with blank as the extra final class; config.py adds the +1)."""
@@ -209,10 +228,11 @@ class _ProgSpec:
     StreamingInpainter with its live buffers."""
 
     __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "gate_dtype",
-                 "stats", "transcript", "phase_fill")
+                 "stats", "transcript", "phase_fill", "lstm_impl")
 
     def __init__(self, spec, int_layer, chunk, compute_dtype, stats,
-                 transcript=False, gate_dtype=None, phase_fill=False):
+                 transcript=False, gate_dtype=None, phase_fill=False,
+                 lstm_impl="scan"):
         self.spec = spec
         self.int_layer = int_layer
         self.chunk = chunk
@@ -223,6 +243,7 @@ class _ProgSpec:
         self.stats = stats
         self.transcript = transcript  # also emit CTC argmax ids per chunk
         self.phase_fill = phase_fill  # causal hole-phase extrapolation
+        self.lstm_impl = lstm_impl  # "scan" | "pallas" (LC window kernel)
 
 
 def _causal_fill(phase, known, carry):
@@ -292,10 +313,15 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
                 emb[:, None, :], (x.shape[0], x.shape[1], emb.shape[-1])
             )
             x = jnp.concatenate([x, tiled], axis=2)
-        x, nh, nc = _lc_bilstm_layer(
-            layer_params, x, ch, cc, prog.chunk, prog.compute_dtype,
-            prog.gate_dtype,
-        )
+        if prog.lstm_impl == "pallas":
+            x, nh, nc = pallas_lstm.lc_bilstm_window_pallas(
+                layer_params, x, ch, cc, prog.chunk, prog.compute_dtype
+            )
+        else:
+            x, nh, nc = _lc_bilstm_layer(
+                layer_params, x, ch, cc, prog.chunk, prog.compute_dtype,
+                prog.gate_dtype,
+            )
         new_carries.append((nh, nc))
 
     # incremental transcripts: CTC argmax over the emitted chunk frames
@@ -459,6 +485,7 @@ class StreamingInpainter:
         transcript: bool = False,
         phase_fill: bool = False,
         passthrough: bool = False,
+        lstm_impl: str = "scan",
     ):
         """chunk_frames/lookahead_frames default (None) to the model's
         TRAINED window when the config carries lc_chunk/lc_lookahead —
@@ -528,7 +555,9 @@ class StreamingInpainter:
         self._ctc_blank = ctc_blank_id(params) if self.spec.ctc else -1
         self.phase_fill = bool(phase_fill)
         self.passthrough = bool(passthrough)
-        key = (self.chunk, self.look, self.want_transcript, self.phase_fill)
+        self.lstm_impl = resolve_stream_impl(lstm_impl)
+        key = (self.chunk, self.look, self.want_transcript, self.phase_fill,
+               self.lstm_impl)
         if program_cache is not None and key in program_cache:
             self._step = program_cache[key]
         else:
@@ -548,6 +577,7 @@ class StreamingInpainter:
                 ),
                 transcript=self.want_transcript,
                 phase_fill=self.phase_fill,
+                lstm_impl=self.lstm_impl,
             )
             self._step = jax.jit(partial(_window_step, prog))
             if program_cache is not None:
@@ -966,6 +996,7 @@ def stream_utterances_lockstep(
     mesh=None,
     phase_fill: bool = False,
     passthrough: bool = False,
+    lstm_impl: str = "scan",
 ):
     """Serve B streams in lockstep: each window is ONE fused device
     dispatch covering every stream (the multi-tenant serving shape), and
@@ -1042,8 +1073,14 @@ def stream_utterances_lockstep(
     def _put(x, sharding):
         return jax.device_put(x, sharding) if sharding is not None else x
 
+    lstm_impl = resolve_stream_impl(lstm_impl)
+    if lstm_impl == "pallas" and mesh is not None:
+        raise ValueError(
+            "lstm_impl='pallas' is a single-device kernel and does not "
+            "partition over a fleet mesh; use lstm_impl='scan' with mesh"
+        )
     stats_j = (jnp.asarray(stats[0], jnp.float32), jnp.asarray(stats[1], jnp.float32))
-    key = ("raw", chunk, look, transcript, bool(phase_fill))
+    key = ("raw", chunk, look, transcript, bool(phase_fill), lstm_impl)
     if program_cache is not None and key in program_cache:
         step = program_cache[key]
     else:
@@ -1054,6 +1091,7 @@ def stream_utterances_lockstep(
             stats=stats_j,
             transcript=transcript,
             phase_fill=bool(phase_fill),
+            lstm_impl=lstm_impl,
         )
         step = jax.jit(partial(_window_step_raw, prog))
         if program_cache is not None:

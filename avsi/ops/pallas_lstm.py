@@ -298,6 +298,146 @@ def bilstm_recurrence_train(
     )(xw, wh)
 
 
+def _kernel_carry(xw_ref, wh_ref, hc0_ref, out_f_ref, out_b_ref, c_f_ref,
+                  c_b_ref, h_scr, c_scr, *, k_steps):
+    """`_kernel_train` with externally supplied initial carries — the
+    LC-BLSTM window variant (streaming serving): the forward direction
+    resumes from the previous window's emit-boundary state, the backward
+    direction's zero init arrives as hc0[_, 1] = 0 from the wrapper."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[...] = hc0_ref[0]
+        c_scr[...] = hc0_ref[1]
+
+    wh_f = wh_ref[0]
+    wh_b = wh_ref[1]
+    hf, cf = h_scr[0], c_scr[0]
+    hb, cb = h_scr[1], c_scr[1]
+    for k in range(k_steps):
+        hf, cf = _cell(xw_ref[k, 0].astype(jnp.float32), hf, cf, wh_f)
+        hb, cb = _cell(xw_ref[k, 1].astype(jnp.float32), hb, cb, wh_b)
+        out_f_ref[k] = hf.astype(out_f_ref.dtype)
+        out_b_ref[k_steps - 1 - k] = hb.astype(out_b_ref.dtype)
+        c_f_ref[k] = cf
+        c_b_ref[k_steps - 1 - k] = cb
+    h_scr[0] = hf
+    c_scr[0] = cf
+    h_scr[1] = hb
+    c_scr[1] = cb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_steps", "out_dtype", "interpret")
+)
+def bilstm_recurrence_carry(
+    xw: jax.Array,
+    wh: jax.Array,
+    hc0: jax.Array,
+    block_steps: int = 5,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """`bilstm_recurrence_train` with initial carries.
+
+    hc0: (2, 2, B, Hp) f32 — hc0[0] = initial h per direction, hc0[1] =
+    initial c per direction (dir 0 forward, dir 1 backward/time-reversed).
+    Returns (out_f, out_b, c_f, c_b) exactly like the train recurrence."""
+    t_len, ndir, b_sz, four_hp = xw.shape
+    assert ndir == 2 and four_hp % (4 * _LANE) == 0, (ndir, four_hp)
+    hp = four_hp // 4
+    assert t_len % block_steps == 0, (t_len, block_steps)
+    assert hc0.shape == (2, 2, b_sz, hp), (hc0.shape, (2, 2, b_sz, hp))
+    nblk = t_len // block_steps
+    if interpret is None:
+        interpret = _use_interpret()
+    k = block_steps
+    fwd_map = lambda t: (t, 0, 0)
+    bwd_map = lambda t, _n=nblk: (_n - 1 - t, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_kernel_carry, k_steps=k),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((k, 2, b_sz, four_hp), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, four_hp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, b_sz, hp), lambda t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, b_sz, hp), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), bwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b_sz, hp), bwd_map, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b_sz, hp), jnp.float32),
+            pltpu.VMEM((2, b_sz, hp), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b_sz, hp), out_dtype),
+            jax.ShapeDtypeStruct((t_len, b_sz, hp), out_dtype),
+            jax.ShapeDtypeStruct((t_len, b_sz, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b_sz, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xw, wh, hc0)
+
+
+def lc_bilstm_window_pallas(
+    params: dict,
+    x: jax.Array,
+    carry_h: jax.Array,
+    carry_c: jax.Array,
+    emit: int,
+    compute_dtype=jnp.float32,
+    block_steps: int | None = None,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Drop-in for `infer/streaming._lc_bilstm_layer` on the fused kernel.
+
+    One LC-BLSTM window (B, W, D) -> (B, W, 2H): the forward direction
+    resumes from (carry_h, carry_c) (B, H) f32, the backward direction is
+    zero-initialized at frame W-1 (the lookahead truncation), and the
+    returned carries are the forward state after frame `emit - 1` — the
+    same contract as the scan layer.  Numerics deviation (shared with the
+    full-sequence `bilstm_layer_pallas`): in-kernel gates are evaluated
+    f32 regardless of the config gate_dtype because they never leave VMEM
+    (see `_cell`) — under bf16 gates this differs from the scan-served
+    function by ~bf16 roundoff per step (the full-sequence path measured
+    3e-8 of output scale on chip)."""
+    b_sz, w_len, _ = x.shape
+    hidden = params["wh"].shape[1]
+    hp = _pad_up(hidden)
+    pp, _ = pad_gate_params(params, compute_dtype)
+    if block_steps is None:
+        block_steps = _train_fwd_block_steps(
+            w_len, b_sz, hp, compute_dtype, jnp.float32
+        )
+    if interpret is None:
+        interpret = _use_interpret()
+    _, xw_t = _project(pp, x, compute_dtype)
+    h0 = carry_h.astype(jnp.float32)
+    c0 = carry_c.astype(jnp.float32)
+    if hp != hidden:
+        padw = ((0, 0), (0, hp - hidden))
+        h0 = jnp.pad(h0, padw)
+        c0 = jnp.pad(c0, padw)
+    zero = jnp.zeros_like(h0)
+    hc0 = jnp.stack(
+        [jnp.stack([h0, zero], axis=0), jnp.stack([c0, zero], axis=0)], axis=0
+    )  # (2=h|c, 2=dir, B, Hp)
+    out_f, out_b, c_f, _ = bilstm_recurrence_carry(
+        xw_t, pp["wh"], hc0, block_steps=int(block_steps),
+        out_dtype=jnp.float32, interpret=interpret,
+    )
+    out = _assemble(out_f, out_b, hidden, x.dtype)
+    return out, out_f[emit - 1, :, :hidden], c_f[emit - 1, :, :hidden]
+
+
 def _bwd_dir(xw_j, dh_in, dh_rec, dc, h_prev, c_prev, c_t, wh_d):
     """One direction, one reverse step.  dh/dc carries, h_prev, c_* are
     f32 (B, Hp/4Hp); wh_d is compute dtype.  Gate pre-activations are

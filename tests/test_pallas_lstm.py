@@ -230,3 +230,90 @@ def test_stacked_layers_match_scan_stack():
             layer, out, jnp.float32, block_steps=5, interpret=True
         )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+# ----------------------------------------------------------- LC window kernel
+
+
+@pytest.mark.parametrize("hidden", [250, 128, 5])
+def test_lc_window_matches_scan_layer(hidden):
+    """lc_bilstm_window_pallas == streaming._lc_bilstm_layer: same output
+    window, same emit-boundary forward carry (f32 gates on both sides)."""
+    from avsi.infer import streaming
+
+    rng = jax.random.PRNGKey(11)
+    params = _layer_params(rng, 24, hidden)
+    x = jax.random.normal(jax.random.PRNGKey(12), (3, 24, 24), jnp.float32)
+    ch = jax.random.normal(jax.random.PRNGKey(13), (3, hidden), jnp.float32)
+    cc = jax.random.normal(jax.random.PRNGKey(14), (3, hidden), jnp.float32)
+    ref, rh, rc = streaming._lc_bilstm_layer(
+        params, x, ch, cc, 8, jnp.float32, jnp.float32
+    )
+    got, gh, gc = pallas_lstm.lc_bilstm_window_pallas(
+        params, x, ch, cc, 8, jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(rh), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), atol=2e-5)
+
+
+def test_lc_window_chained_matches_scan():
+    """Three consecutive windows with carried state: the kernel composes
+    across window boundaries exactly like the scan layer."""
+    from avsi.infer import streaming
+
+    rng = jax.random.PRNGKey(21)
+    hidden, emit, look = 33, 4, 5
+    w = emit + look
+    params = _layer_params(rng, 10, hidden)
+    xs = jax.random.normal(jax.random.PRNGKey(22), (3, 2, w, 10), jnp.float32)
+    ch_s = cc_s = ch_p = cc_p = jnp.zeros((2, hidden), jnp.float32)
+    for i in range(3):
+        x = xs[i % xs.shape[0]]
+        ref, ch_s, cc_s = streaming._lc_bilstm_layer(
+            params, x, ch_s, cc_s, emit, jnp.float32, jnp.float32
+        )
+        got, ch_p, cc_p = pallas_lstm.lc_bilstm_window_pallas(
+            params, x, ch_p, cc_p, emit, jnp.float32, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, err_msg=f"window {i}")
+    np.testing.assert_allclose(np.asarray(ch_p), np.asarray(ch_s), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(cc_p), np.asarray(cc_s), atol=5e-5)
+
+
+def test_lc_window_bf16_close_to_scan():
+    """bf16 compute: the kernel's f32 in-VMEM gate evaluation vs the scan's
+    bf16 gate stream — agreement is bf16-loose, same as the full-sequence
+    kernel's documented deviation."""
+    from avsi.infer import streaming
+
+    rng = jax.random.PRNGKey(31)
+    params = _layer_params(rng, 16, 128)
+    x = jax.random.normal(jax.random.PRNGKey(32), (2, 12, 16), jnp.float32)
+    ch = jnp.zeros((2, 128), jnp.float32)
+    cc = jnp.zeros((2, 128), jnp.float32)
+    ref, rh, rc = streaming._lc_bilstm_layer(
+        params, x, ch, cc, 6, jnp.bfloat16
+    )
+    got, gh, gc = pallas_lstm.lc_bilstm_window_pallas(
+        params, x, ch, cc, 6, jnp.bfloat16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(ref, dtype=np.float32),
+                               atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(rh), atol=3e-2)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), atol=3e-2)
+
+
+def test_resolve_stream_impl():
+    from avsi.infer import streaming
+
+    assert streaming.resolve_stream_impl(None) == "scan"
+    assert streaming.resolve_stream_impl("scan") == "scan"
+    # streaming's auto stays on the scan (opt-in kernel, unmeasured on-chip
+    # at window shapes) — unlike the full-sequence resolve_impl
+    assert streaming.resolve_stream_impl("auto") == "scan"
+    assert streaming.resolve_stream_impl("pallas") == "pallas"
+    with pytest.raises(ValueError):
+        streaming.resolve_stream_impl("cudnn")

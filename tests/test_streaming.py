@@ -543,3 +543,59 @@ def test_lockstep_sharded_fleet_matches_unsharded():
             config, stats, params, waves[:3], masks[:3], videos[:3],
             chunk_frames=5, lookahead_frames=7, mesh=mesh,
         )
+
+
+def test_lockstep_pallas_impl_matches_scan():
+    """lstm_impl='pallas' on the lockstep fleet: the LC window rides the
+    fused kernel (interpret mode off TPU) and must reproduce the scan
+    fleet's audio and transcripts (f32: same math, kernel-padded gates)."""
+    config, spec, params, stats, _ = _setup("av-blstm-ssnn-ctc")
+    b = synth_batch(config, batch_size=2, seed=13, gap=(4, 11))
+    waves = np.asarray(b["target_sources"])
+    masks = np.array(b["masks"][:, :, 0])
+    videos = np.asarray(b["video_features"])
+    masks[1, 15:22] = 0.0
+
+    base_wav, base_tr = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos,
+        chunk_frames=5, lookahead_frames=7, transcript=True,
+    )
+    got_wav, got_tr = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos,
+        chunk_frames=5, lookahead_frames=7, transcript=True,
+        lstm_impl="pallas",
+    )
+    np.testing.assert_allclose(got_wav, base_wav, atol=2e-4, rtol=0)
+    assert got_tr == base_tr
+
+
+def test_single_stream_pallas_impl_matches_scan():
+    """StreamingInpainter(lstm_impl='pallas'): sample-for-sample equal to
+    the scan-served stream, including the carried state across pushes."""
+    config, spec, params, stats, batch = _setup("a-blstm")
+    wave, frame_mask, video = _streaming_inputs(batch)
+    inp_s = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=5, lookahead_frames=7
+    )
+    ref = streaming.stream_utterance(inp_s, wave, frame_mask, None)
+    inp_p = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=5, lookahead_frames=7,
+        lstm_impl="pallas",
+    )
+    got = streaming.stream_utterance(inp_p, wave, frame_mask, None)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=0)
+
+
+def test_lockstep_pallas_refuses_mesh():
+    from avsi.parallel import mesh as mesh_lib
+
+    config, spec, params, stats, _ = _setup("a-blstm")
+    b = synth_batch(config, batch_size=4, seed=14, gap=(4, 11))
+    waves = np.asarray(b["target_sources"])
+    masks = np.asarray(b["masks"][:, :, 0])
+    with pytest.raises(ValueError, match="single-device"):
+        streaming.stream_utterances_lockstep(
+            config, stats, params, waves, masks,
+            chunk_frames=5, lookahead_frames=7,
+            mesh=mesh_lib.get_mesh(4), lstm_impl="pallas",
+        )
