@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--fleet", type=int, default=0,
                     help="also bench N lockstep streams through one "
                     "batched window program (multi-tenant serving shape)")
+    ap.add_argument("--lstm_impl", default="scan",
+                    help="LC window recurrence: scan (default) or pallas "
+                    "(the fused window kernel, single-device only)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +53,7 @@ def main():
     inp = streaming.StreamingInpainter(
         config, stats, params,
         chunk_frames=args.chunk, lookahead_frames=args.look,
+        lstm_impl=args.lstm_impl,
     )
 
     rng = np.random.RandomState(0)
@@ -83,7 +87,7 @@ def main():
         streaming.stream_utterances_lockstep(  # compile
             config, stats, params, waves, fmask, vids,
             chunk_frames=args.chunk, lookahead_frames=args.look,
-            mesh=fleet_mesh, program_cache=pcache,
+            mesh=fleet_mesh, program_cache=pcache, lstm_impl=args.lstm_impl,
         )
         ts = []
         for _ in range(args.reps):
@@ -91,7 +95,7 @@ def main():
             fo = streaming.stream_utterances_lockstep(
                 config, stats, params, waves, fmask, vids,
                 chunk_frames=args.chunk, lookahead_frames=args.look,
-                mesh=fleet_mesh, program_cache=pcache,
+                mesh=fleet_mesh, program_cache=pcache, lstm_impl=args.lstm_impl,
             )
             ts.append(time.time() - t0)
         fdt = min(ts)
@@ -119,6 +123,7 @@ def main():
         "audio_ms_per_window": 12 * args.chunk,
         "real_time_factor": round(3.0 / dt, 2),
         "model": args.model,
+        "lstm_impl": args.lstm_impl,
         "n_windows": n_windows,
         "utterance_s_wall": round(dt, 3),
     }))
