@@ -23,6 +23,31 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_survives_initialized_backend(monkeypatch):
+    """Round-4 regression (MULTICHIP_r04.json): the driver process had
+    already initialized a (broken) TPU backend, and the old in-process
+    dryrun limped onto it.  The subprocess worker must be immune to the
+    caller's JAX state AND to hostile env vars: a pre-initialized backend
+    here (jax.devices() above), JAX_PLATFORMS pointing elsewhere, and an
+    XLA_FLAGS with the wrong device count must all be overridden."""
+    import __graft_entry__ as ge
+
+    jax.devices()  # caller's backend is live (conftest: CPU)
+    monkeypatch.setenv("JAX_PLATFORMS", "definitely-not-a-platform")
+    monkeypatch.setenv("XLA_FLAGS", "")  # no host-device-count flag
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_failure_is_diagnosed(monkeypatch):
+    """A worker failure must surface as RuntimeError carrying the worker's
+    stderr tail, not as a silent pass or an opaque assert."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setattr(ge.sys, "executable", "/bin/false")
+    with pytest.raises(RuntimeError, match="dryrun_multichip worker failed"):
+        ge.dryrun_multichip(8)
+
+
 def test_entry_compiles():
     import __graft_entry__ as ge
 
