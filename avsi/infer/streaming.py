@@ -519,7 +519,19 @@ class StreamingInpainter:
         frame but depends on that unseen mask — is causally unavailable:
         those known samples stay 100 % original and the gap stays 100 %
         model output (a hard splice instead of a fade —
-        tests/test_passthrough.py pins both behaviors)."""
+        tests/test_passthrough.py pins both behaviors).
+
+        lstm_impl: "scan" (default) | "auto" | "pallas".  NOTE: unlike
+        every full-sequence entry point, streaming's "auto" resolves to
+        the SCAN — the fused LC window kernel is strictly opt-in via an
+        explicit "pallas" until window-shape timing shows a win
+        (`resolve_stream_impl`; scripts/stream_impl_ab.py).  Numerics
+        caveat for "pallas" under bf16-gate configs (gate_dtype follows a
+        bfloat16 compute_dtype): in-kernel gates are always evaluated f32
+        (they never leave VMEM — ops/pallas_lstm.py:_cell), so the served
+        function deviates from the scan-trained one by ~bf16 roundoff per
+        step; the scan path preserves train==serve gate quantization
+        exactly.  f32 configs are bit-identical either way."""
         self.spec = blstm_lib.parse_model_name(config["model"])
         self.want_transcript = bool(transcript)
         if self.want_transcript and not self.spec.ctc:
@@ -1024,7 +1036,13 @@ def stream_utterances_lockstep(
     across a whole slice (streams are independent; GSPMD partitions with
     zero collectives).  The reference has no serving at all (SURVEY §2.4);
     this is the multi-chip extension of the avsi-only fleet path.
-    Requires B divisible by the `data` axis size."""
+    Requires B divisible by the `data` axis size.
+
+    lstm_impl: "scan" (default) | "auto" | "pallas" — same policy and
+    caveats as StreamingInpainter: "auto" resolves to the scan (the LC
+    window kernel is explicit opt-in), and under bf16-gate configs
+    "pallas" serves f32-evaluated gates (~bf16-roundoff/step deviation
+    from the scan-trained function; see StreamingInpainter.__init__)."""
     spec = blstm_lib.parse_model_name(config["model"])
     af = int(config["audio_feat_dim"])
     vf = int(config["video_feat_dim"])
