@@ -33,15 +33,18 @@ from avsi.utils import wav as wavio
 
 
 def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False,
-                      lstm_impl: str = "auto", sharded: bool = False):
+                      lstm_impl: str = "auto", sharded: bool = False,
+                      mesh=None):
     """Load (config, stats, model, params) from a self-contained ckpt dir.
 
     `lstm_impl` selects the BLSTM recurrence for this forward-only bundle:
-    "auto" (default) resolves to the fused Pallas kernel on an unsharded
-    TPU backend and the lax.scan everywhere else (ops/pallas_lstm.py,
-    measured +24% end-to-end on the flagship in bf16); "scan"/"pallas"
-    force it.  (Training resolves its own `lstm_impl` in train/loop.py —
-    the kernel is differentiable via a custom VJP.)"""
+    "auto" (default) resolves to the fused Pallas kernel on a TPU backend
+    — including data-sharded paths when the `mesh` is supplied (the kernel
+    partitions via shard_map over the mesh's `data` axis) — and the
+    lax.scan everywhere else (ops/pallas_lstm.py, measured +24% end-to-end
+    on the flagship in bf16); "scan"/"pallas" force it.  (Training
+    resolves its own `lstm_impl` in train/loop.py — the kernel is
+    differentiable via a custom VJP.)"""
     from avsi.ops import pallas_lstm
     from avsi.utils import cache as _cache
 
@@ -49,7 +52,12 @@ def load_model_bundle(model_path: str, norm: bool = True, is_asr: bool = False,
     config = config_lib.check_trainconfiguration(
         config_lib.load_configfile(os.path.join(model_path, "config.txt"))
     )
-    config["lstm_impl"] = pallas_lstm.resolve_impl(lstm_impl, sharded=sharded)
+    config["lstm_impl"] = pallas_lstm.resolve_impl(
+        lstm_impl, sharded=sharded, mesh=mesh
+    )
+    if config["lstm_impl"] == "pallas" and mesh is not None:
+        # runtime-only key (never serialized: bundles copy config.txt)
+        config["lstm_mesh"] = mesh
     if norm:
         stats = stats_lib.load_stats(
             os.path.join(model_path, "audio_features_mean.npy"),
@@ -122,10 +130,6 @@ def infer(
     twin of `avsi serve --data_shards` / the training mesh.  Sharded ==
     single-device output is asserted in tests/test_parallel.py."""
     batch_size = batch_size or 1
-    config, stats, model, params = load_model_bundle(
-        model_path, norm, lstm_impl=lstm_impl,
-        sharded=bool(data_shards and int(data_shards) > 1),
-    )
     mesh = shard = None
     if data_shards and int(data_shards) > 1:
         if batch_size % int(data_shards):
@@ -134,6 +138,11 @@ def infer(
             )
         mesh = mesh_lib.get_mesh(int(data_shards))
         shard = mesh_lib.batch_sharding(mesh)
+    config, stats, model, params = load_model_bundle(
+        model_path, norm, lstm_impl=lstm_impl,
+        sharded=mesh is not None, mesh=mesh,
+    )
+    if mesh is not None:
         params = mesh_lib.replicate(params, mesh)
     dm = reader_lib.DataManager(
         num_audio_samples=config["audio_len"],

@@ -183,19 +183,47 @@ def resolve_window(config: dict, chunk_frames, lookahead_frames) -> tuple[int, i
     return chunk, look
 
 
-def resolve_stream_impl(requested: str | None) -> str:
-    """Streaming's own `lstm_impl` policy: "auto" resolves to the SCAN
-    (unlike the full-sequence paths, where auto takes the fused kernel) —
-    the LC window kernel (`pallas_lstm.lc_bilstm_window_pallas`) is
-    equivalence-tested but not yet measured on-chip at window shapes, so
-    it is strictly opt-in via an explicit "pallas".  Callers must pass the
-    USER'S raw request, never a bundle-resolved config value (offline
-    bundles resolve auto -> pallas on TPU, which is not a streaming
-    opt-in)."""
+def resolve_stream_impl(
+    requested: str | None, gate_dtype=None, mesh=None
+) -> str:
+    """Streaming's own `lstm_impl` policy, distinct from the full-sequence
+    `pallas_lstm.resolve_impl` (callers must pass the USER'S raw request,
+    never a bundle-resolved config value).
+
+    "auto" picks the fused LC window kernel
+    (`pallas_lstm.lc_bilstm_window_pallas`) exactly where it is measured
+    faster AND serves the trained function bit-for-bit: a TPU backend
+    with f32 gates (window-shape device timing, scripts/stream_impl_ab.py
+    -> lc_pallas_r4.json re-measured r5: 0.094 -> 0.055 ms/window at
+    B=16, 0.272 -> 0.244 at B=128).  It falls back to the scan under
+    bf16-gate configs — in-kernel gates are always f32 (they never leave
+    VMEM), so under bf16 gates the kernel deviates ~bf16-roundoff/step
+    from the scan-trained function, and auto never trades train==serve
+    quantization for speed (explicit "pallas" may, documented) — and
+    under a fleet mesh, where the window kernel has no shard_map path yet
+    (explicit "pallas" + mesh is refused)."""
+    import jax.numpy as _jnp
+
     req = (requested or "scan").lower()
-    if req in ("scan", "auto"):
+    if req == "scan":
+        return "scan"
+    bf16_gates = gate_dtype is not None and (
+        _jnp.dtype(gate_dtype) == _jnp.dtype(_jnp.bfloat16)
+    )
+    if req == "auto":
+        if (
+            jax.default_backend() == "tpu"
+            and not bf16_gates
+            and mesh is None
+        ):
+            return "pallas"
         return "scan"
     if req == "pallas":
+        if mesh is not None:
+            raise ValueError(
+                "lstm_impl='pallas' has no shard_map path for the LC window "
+                "kernel yet; use lstm_impl='scan' with mesh"
+            )
         return "pallas"
     raise ValueError(f"unknown lstm_impl {requested!r} "
                      "(expected auto/scan/pallas)")
@@ -485,7 +513,7 @@ class StreamingInpainter:
         transcript: bool = False,
         phase_fill: bool = False,
         passthrough: bool = False,
-        lstm_impl: str = "scan",
+        lstm_impl: str = "auto",
     ):
         """chunk_frames/lookahead_frames default (None) to the model's
         TRAINED window when the config carries lc_chunk/lc_lookahead —
@@ -521,17 +549,18 @@ class StreamingInpainter:
         model output (a hard splice instead of a fade —
         tests/test_passthrough.py pins both behaviors).
 
-        lstm_impl: "scan" (default) | "auto" | "pallas".  NOTE: unlike
-        every full-sequence entry point, streaming's "auto" resolves to
-        the SCAN — the fused LC window kernel is strictly opt-in via an
-        explicit "pallas" until window-shape timing shows a win
-        (`resolve_stream_impl`; scripts/stream_impl_ab.py).  Numerics
-        caveat for "pallas" under bf16-gate configs (gate_dtype follows a
-        bfloat16 compute_dtype): in-kernel gates are always evaluated f32
-        (they never leave VMEM — ops/pallas_lstm.py:_cell), so the served
-        function deviates from the scan-trained one by ~bf16 roundoff per
-        step; the scan path preserves train==serve gate quantization
-        exactly.  f32 configs are bit-identical either way."""
+        lstm_impl: "auto" (default) | "scan" | "pallas".  "auto" serves
+        the fused LC window kernel on a TPU backend with f32 gates —
+        measured faster at window shapes (0.094 -> 0.055 ms/window at
+        B=16; scripts/stream_impl_ab.py -> lc_pallas_r4.json) and
+        bit-identical to the scan there — and the scan everywhere else.
+        Numerics caveat for an explicit "pallas" under bf16-gate configs
+        (gate_dtype follows a bfloat16 compute_dtype): in-kernel gates
+        are always evaluated f32 (they never leave VMEM —
+        ops/pallas_lstm.py:_cell), so the served function deviates from
+        the scan-trained one by ~bf16 roundoff per step; "auto" therefore
+        keeps the scan under bf16 gates (train==serve gate quantization
+        preserved) and only an explicit "pallas" trades it for speed."""
         self.spec = blstm_lib.parse_model_name(config["model"])
         self.want_transcript = bool(transcript)
         if self.want_transcript and not self.spec.ctc:
@@ -567,13 +596,13 @@ class StreamingInpainter:
         self._ctc_blank = ctc_blank_id(params) if self.spec.ctc else -1
         self.phase_fill = bool(phase_fill)
         self.passthrough = bool(passthrough)
-        self.lstm_impl = resolve_stream_impl(lstm_impl)
+        cdt, gdt = blstm_lib._dtypes(config)
+        self.lstm_impl = resolve_stream_impl(lstm_impl, gate_dtype=gdt)
         key = (self.chunk, self.look, self.want_transcript, self.phase_fill,
                self.lstm_impl)
         if program_cache is not None and key in program_cache:
             self._step = program_cache[key]
         else:
-            cdt, gdt = blstm_lib._dtypes(config)
             prog = _ProgSpec(
                 spec=self.spec,
                 int_layer=self.int_layer,
@@ -1008,7 +1037,7 @@ def stream_utterances_lockstep(
     mesh=None,
     phase_fill: bool = False,
     passthrough: bool = False,
-    lstm_impl: str = "scan",
+    lstm_impl: str = "auto",
 ):
     """Serve B streams in lockstep: each window is ONE fused device
     dispatch covering every stream (the multi-tenant serving shape), and
@@ -1038,11 +1067,14 @@ def stream_utterances_lockstep(
     this is the multi-chip extension of the avsi-only fleet path.
     Requires B divisible by the `data` axis size.
 
-    lstm_impl: "scan" (default) | "auto" | "pallas" — same policy and
-    caveats as StreamingInpainter: "auto" resolves to the scan (the LC
-    window kernel is explicit opt-in), and under bf16-gate configs
-    "pallas" serves f32-evaluated gates (~bf16-roundoff/step deviation
-    from the scan-trained function; see StreamingInpainter.__init__)."""
+    lstm_impl: "auto" (default) | "scan" | "pallas" — same policy and
+    caveats as StreamingInpainter ("auto": the fused LC window kernel on
+    TPU with f32 gates, scan otherwise), plus one fleet-specific rule:
+    under a mesh the window kernel has no shard_map path yet, so "auto"
+    degrades to the scan and an explicit "pallas" is refused.  Under
+    bf16-gate configs an explicit "pallas" serves f32-evaluated gates
+    (~bf16-roundoff/step deviation from the scan-trained function; see
+    StreamingInpainter.__init__)."""
     spec = blstm_lib.parse_model_name(config["model"])
     af = int(config["audio_feat_dim"])
     vf = int(config["video_feat_dim"])
@@ -1091,18 +1123,13 @@ def stream_utterances_lockstep(
     def _put(x, sharding):
         return jax.device_put(x, sharding) if sharding is not None else x
 
-    lstm_impl = resolve_stream_impl(lstm_impl)
-    if lstm_impl == "pallas" and mesh is not None:
-        raise ValueError(
-            "lstm_impl='pallas' is a single-device kernel and does not "
-            "partition over a fleet mesh; use lstm_impl='scan' with mesh"
-        )
+    cdt, gdt = blstm_lib._dtypes(config)
+    lstm_impl = resolve_stream_impl(lstm_impl, gate_dtype=gdt, mesh=mesh)
     stats_j = (jnp.asarray(stats[0], jnp.float32), jnp.asarray(stats[1], jnp.float32))
     key = ("raw", chunk, look, transcript, bool(phase_fill), lstm_impl)
     if program_cache is not None and key in program_cache:
         step = program_cache[key]
     else:
-        cdt, gdt = blstm_lib._dtypes(config)
         prog = _ProgSpec(
             spec=spec, int_layer=int_layer, chunk=chunk,
             compute_dtype=cdt, gate_dtype=gdt,

@@ -108,9 +108,11 @@ def forward(
     if k > 1:
         net_in = _stack_frames(net_in, k)
         logit_lengths = -(-logit_lengths // k)
+    impl = str(config.get("lstm_impl", "scan") or "scan")
     rnn_out = core.blstm_stack(
         params["blstm"], net_in, compute_dtype, gate_dtype,
-        impl=str(config.get("lstm_impl", "scan") or "scan"),
+        impl=impl,
+        mesh=config.get("lstm_mesh") if impl == "pallas" else None,
     )
     rnn_out = core.dropout(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train

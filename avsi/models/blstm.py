@@ -261,8 +261,11 @@ def forward(
     spec = spec or parse_model_name(config["model"])
     compute_dtype, gate_dtype = _dtypes(config)
     # lstm_impl="pallas" (set by the inference entry points and the training
-    # loop on an unsharded TPU): fused Pallas recurrence instead of the scan
+    # loop on TPU): fused Pallas recurrence instead of the scan; with
+    # lstm_mesh set (data-sharded paths) the kernel rides shard_map over
+    # the mesh's data axis (core.bilstm_layer)
     impl = str(config.get("lstm_impl", "scan") or "scan")
+    mesh = config.get("lstm_mesh") if impl == "pallas" else None
     # latency-controlled training (lc_chunk/lc_lookahead config keys): the
     # BLSTM backward context is truncated EXACTLY like the streaming
     # serving path, so the trained function == the served function
@@ -312,20 +315,22 @@ def forward(
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm"], jnp.concatenate([net_in, tiled], axis=2), compute_dtype,
-            gate_dtype, impl=impl,
+            gate_dtype, impl=impl, mesh=mesh,
         )
     elif emb is not None:
         mid = core.blstm_stack(
-            params["blstm1"], net_in, compute_dtype, gate_dtype, impl=impl
+            params["blstm1"], net_in, compute_dtype, gate_dtype, impl=impl,
+            mesh=mesh,
         )
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm2"], jnp.concatenate([mid, tiled], axis=2), compute_dtype,
-            gate_dtype, impl=impl,
+            gate_dtype, impl=impl, mesh=mesh,
         )
     else:
         rnn_out = core.blstm_stack(
-            params["blstm"], net_in, compute_dtype, gate_dtype, impl=impl
+            params["blstm"], net_in, compute_dtype, gate_dtype, impl=impl,
+            mesh=mesh,
         )
 
     rnn_out = core.dropout(

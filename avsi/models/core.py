@@ -81,6 +81,7 @@ def bilstm_layer(
     compute_dtype=jnp.float32,
     gate_dtype=None,
     impl: str = "scan",
+    mesh=None,
 ) -> jax.Array:
     """Bidirectional LSTM layer: (B, T, D) -> (B, T, 2H).
 
@@ -90,12 +91,20 @@ def bilstm_layer(
     the original fp32-everything path).
 
     impl="pallas" replaces the scan with the fused Pallas kernel
-    (ops/pallas_lstm.py) — differentiable (custom VJP) but single-device,
-    selected via the `lstm_impl` config key on inference paths and the
-    training loop; sharded/off-TPU paths keep the scan."""
+    (ops/pallas_lstm.py) — differentiable (custom VJP), selected via the
+    `lstm_impl` config key on inference paths and the training loop.
+    With a mesh (the `lstm_mesh` config key on data-sharded paths) the
+    kernel partitions over the mesh's `data` axis via shard_map — per
+    shard it is the same single-device program
+    (pallas_lstm.bilstm_layer_pallas_sharded); tensor-parallel/multi-host/
+    off-TPU paths keep the scan (resolve_impl)."""
     if impl == "pallas":
         from avsi.ops import pallas_lstm
 
+        if mesh is not None:
+            return pallas_lstm.bilstm_layer_pallas_sharded(
+                params, x, mesh, compute_dtype, gate_dtype
+            )
         return pallas_lstm.bilstm_layer_pallas(
             params, x, compute_dtype, gate_dtype
         )
@@ -367,6 +376,7 @@ def blstm_stack(
     gate_dtype=None,
     lc: tuple[int, int] | None = None,
     impl: str = "scan",
+    mesh=None,
 ) -> jax.Array:
     """Stacked bidirectional LSTM: (B, T, D) -> (B, T, 2*H_last).
 
@@ -383,7 +393,9 @@ def blstm_stack(
         )
     out = x
     for layer in layers:
-        out = bilstm_layer(layer, out, compute_dtype, gate_dtype, impl=impl)
+        out = bilstm_layer(
+            layer, out, compute_dtype, gate_dtype, impl=impl, mesh=mesh
+        )
     return out
 
 

@@ -625,42 +625,117 @@ def bilstm_recurrence_bwd(
     return dxw, dwh
 
 
+def bilstm_layer_pallas_sharded(
+    params: dict,
+    x: jax.Array,
+    mesh,
+    compute_dtype=jnp.float32,
+    gate_dtype=None,
+) -> jax.Array:
+    """`bilstm_layer_pallas` partitioned over the mesh's `data` axis.
+
+    Per shard the kernel is the same single-device program — exactly what
+    `shard_map` expresses: params replicated (in_spec P()), the batch
+    partitioned (P("data")), zero collectives in the forward.  Under
+    `jax.grad` the custom VJP runs per-shard and shard_map's transpose
+    inserts the one needed collective, the psum of dparams over `data` —
+    the same all-reduce the scan path's GSPMD sharding produces.  This
+    closes the r4 carve-out where every sharded path forfeited the fused
+    kernel (+24% inference / +59% train step); the reference's cuDNN
+    kernel ran wherever the graph ran (models.py:95-104).
+
+    check_vma=False: the custom_vjp carries no varying-manual-axes
+    annotations (and the pallas_call body cannot be vma-inferred); the
+    replicated-params transpose is still psum-correct — asserted against
+    `jax.grad` of the scan in tests/test_pallas_lstm.py.
+
+    Requires a mesh whose `model` axis (if any) is size 1: the kernel
+    wants whole parameters, so tensor-parallel layouts keep the scan.
+    Batch must divide the `data` axis size (the standard mesh contract).
+    """
+    if "model" in getattr(mesh, "axis_names", ()) and mesh.shape["model"] > 1:
+        raise ValueError(
+            "bilstm_layer_pallas_sharded needs whole (replicated) params; "
+            "tensor-parallel meshes keep lstm_impl='scan'"
+        )
+    from jax.sharding import PartitionSpec as P
+
+    other = tuple(a for a in mesh.axis_names if a != "data")
+    pspec = P(*([None] * len(other))) if other else P()
+
+    def body(p, xs):
+        return bilstm_layer_pallas(p, xs, compute_dtype, gate_dtype)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pspec, P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )(params, x)
+
+
 def resolve_impl(
     requested: str | None,
     sharded: bool = False,
     batch_size: int | None = None,
+    mesh=None,
+    multihost: bool = False,
 ) -> str:
     """Resolve an `lstm_impl` request to "scan" or "pallas".
 
     "auto" (the default on inference entry points AND the training loop)
     picks the fused kernel exactly where it is known to win: a real TPU
-    backend, an unsharded batch (the kernel is a single-device program —
-    under a data mesh the custom call would force XLA to de-shard around
-    it), and a batch small enough that the kernel's VMEM working set
+    backend, whole (non-tensor-parallel) parameters, a single host, and a
+    PER-DEVICE batch small enough that the kernel's VMEM working set
     (xw block + outputs + h/c scratch, all O(B*Hp)) stays comfortably
-    inside VMEM.  Everything else — CPU tests, sharded inference/training
-    — keeps the scan.  Training differentiates through the kernel via its
-    custom VJP; LC (window-space) training has no kernel path and scans
-    regardless.  An explicit "pallas" under sharding is refused rather
+    inside VMEM.  Data-sharded paths ride the kernel too, via
+    `bilstm_layer_pallas_sharded` (shard_map over `data`; pass `mesh`) —
+    the r4 all-sharding carve-out is gone.  What keeps the scan: CPU
+    tests, tensor-parallel meshes (the kernel wants whole params),
+    multi-host runs (shard_map composes in principle but cross-host
+    numerics are unmeasurable in this environment — documented residual),
+    and oversized per-device batches.  Training differentiates through
+    the kernel via its custom VJP; LC (window-space) training has its own
+    window kernel, resolved separately (`streaming.resolve_stream_impl`).
+    An explicit "pallas" under an unsupported layout is refused rather
     than silently degraded."""
     req = (requested or "auto").lower()
+    tp = (
+        mesh is not None
+        and "model" in getattr(mesh, "axis_names", ())
+        and mesh.shape["model"] > 1
+    )
     if req == "scan":
         return "scan"
     if req == "pallas":
-        if sharded:
+        if tp:
             raise ValueError(
-                "lstm_impl='pallas' is a single-device kernel and does not "
-                "partition over a data mesh; use lstm_impl='scan' with "
-                "data_shards, or drop the sharding"
+                "lstm_impl='pallas' needs whole parameters; tensor-parallel "
+                "meshes (num_model_shards > 1) keep lstm_impl='scan'"
+            )
+        if multihost:
+            raise ValueError(
+                "lstm_impl='pallas' is not validated across hosts; "
+                "multi-host runs keep lstm_impl='scan'"
+            )
+        if sharded and mesh is None:
+            raise ValueError(
+                "lstm_impl='pallas' under sharding needs the mesh (the "
+                "kernel partitions via shard_map over its data axis)"
             )
         return "pallas"
     if req != "auto":
         raise ValueError(f"unknown lstm_impl {requested!r} "
                          "(expected auto/scan/pallas)")
-    if sharded or jax.default_backend() != "tpu":
+    if multihost or tp or jax.default_backend() != "tpu":
         return "scan"
-    if batch_size is not None and int(batch_size) > 512:
+    if sharded and mesh is None:
         return "scan"
+    if batch_size is not None:
+        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if int(batch_size) // max(1, n_data) > 512:
+            return "scan"
     return "pallas"
 
 

@@ -68,11 +68,8 @@ class InpaintingService:
 
         self._lstm_impl = lstm_impl
         self._sharded = bool(data_shards and int(data_shards) > 1)
-        self.config, stats, model, self.params = load_model_bundle(
-            model_path, norm, lstm_impl=lstm_impl, sharded=self._sharded
-        )
-        self._shard = self._repl = None
-        if data_shards and int(data_shards) > 1:
+        self._shard = self._repl = self._mesh = None
+        if self._sharded:
             from jax.sharding import NamedSharding, PartitionSpec
 
             from avsi.parallel import mesh as mesh_lib
@@ -82,9 +79,14 @@ class InpaintingService:
                     f"micro_batch {micro_batch} not divisible by "
                     f"data_shards {data_shards}"
                 )
-            mesh = mesh_lib.get_mesh(int(data_shards))
-            self._shard = NamedSharding(mesh, PartitionSpec("data"))
-            self._repl = NamedSharding(mesh, PartitionSpec())
+            self._mesh = mesh_lib.get_mesh(int(data_shards))
+            self._shard = NamedSharding(self._mesh, PartitionSpec("data"))
+            self._repl = NamedSharding(self._mesh, PartitionSpec())
+        self.config, stats, model, self.params = load_model_bundle(
+            model_path, norm, lstm_impl=lstm_impl, sharded=self._sharded,
+            mesh=self._mesh,
+        )
+        if self._repl is not None:
             self.params = jax.device_put(self.params, self._repl)
         self.stats = stats
         self.micro_batch = micro_batch
@@ -143,7 +145,7 @@ class InpaintingService:
 
         cfg, stats, model, params = load_model_bundle(
             model_path or self._model_path, self._norm,
-            lstm_impl=self._lstm_impl, sharded=self._sharded,
+            lstm_impl=self._lstm_impl, sharded=self._sharded, mesh=self._mesh,
         )
         for key in ("model", "audio_len", "audio_feat_dim", "video_feat_dim",
                     "net_dim", "integration_layer"):
@@ -303,8 +305,12 @@ class InpaintingService:
             program_cache=cache, transcript=transcript,
             phase_fill=phase_fill, embedding=embedding,
             passthrough=self._passthrough,
+            lstm_impl=self._lstm_impl,
         )
-        if (inp.chunk, inp.look, inp.want_transcript, inp.phase_fill) not in known:
+        # full program-cache key (incl. lstm_impl — a 4-tuple here would
+        # never match the 5-tuple keys and the warmup would run per open)
+        if (inp.chunk, inp.look, inp.want_transcript, inp.phase_fill,
+                inp.lstm_impl) not in known:
             # fresh (chunk, look, transcript) key: jax.jit is lazy, so the
             # compile would otherwise fire on the stream's FIRST PUSH —
             # inside the device lock, stalling every other request behind a

@@ -353,19 +353,26 @@ def train(config_file: str, is_asr: bool = False, corpus_cache: dict | None = No
         )
 
     # BLSTM recurrence implementation for this run: "auto" (default) takes
-    # the fused Pallas kernel — now differentiable via its custom VJP
-    # (ops/pallas_lstm.py) — on an unsharded TPU, and the lax.scan under a
-    # mesh / multi-host / off-TPU (the kernel is a single-device program).
-    # Measured at the flagship shape: layer fwd+bwd 5.62 -> 3.38 ms bf16,
-    # 7.31 -> 4.82 ms fp32.  LC training (lc_chunk) has its own window-
-    # space path and always scans regardless of this key.
+    # the fused Pallas kernel — differentiable via its custom VJP
+    # (ops/pallas_lstm.py) — on a single-host TPU, including data-sharded
+    # meshes (shard_map over the data axis; the per-shard program is the
+    # same single-device kernel and the dparams psum is the transpose of
+    # the replicated in_spec).  The lax.scan remains under tensor
+    # parallelism (the kernel wants whole params), multi-host, and
+    # off-TPU.  Measured at the flagship shape: layer fwd+bwd 5.62 ->
+    # 3.38 ms bf16, 7.31 -> 4.82 ms fp32.  LC training (lc_chunk) has its
+    # own window-space path and always scans regardless of this key.
     from avsi.ops import pallas_lstm
 
     config["lstm_impl"] = pallas_lstm.resolve_impl(
         config.get("lstm_impl", "auto"),
         sharded=use_mesh or multihost,
         batch_size=int(config.get("batch_size", 0)) or None,
+        mesh=mesh if use_mesh else None,
+        multihost=multihost,
     )
+    if config["lstm_impl"] == "pallas" and use_mesh:
+        config["lstm_mesh"] = mesh  # runtime-only key, never serialized
 
     train_step = jax.jit(make_train_step(model, tx, config, stats), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, config, stats, is_asr))

@@ -88,17 +88,53 @@ def test_pad_gate_params_zero_pad_rows():
 
 
 def test_resolve_impl():
+    from avsi.parallel import mesh as mesh_lib
+
     # conftest forces CPU: auto must resolve to the scan off-TPU
     assert pallas_lstm.resolve_impl("auto") == "scan"
     assert pallas_lstm.resolve_impl(None) == "scan"
     assert pallas_lstm.resolve_impl("scan") == "scan"
     # explicit pallas is honored (the caller owns the backend choice)...
     assert pallas_lstm.resolve_impl("pallas") == "pallas"
-    # ...except under sharding, where the single-device kernel is refused
-    with pytest.raises(ValueError, match="does not\n?\\s*partition"):
+    # ...including under a data mesh (shard_map path) when the mesh is
+    # supplied...
+    data_mesh = mesh_lib.get_mesh(8)
+    assert pallas_lstm.resolve_impl(
+        "pallas", sharded=True, mesh=data_mesh) == "pallas"
+    # ...but refused when the caller claims sharding without a mesh, under
+    # tensor parallelism (the kernel wants whole params), or multi-host
+    with pytest.raises(ValueError, match="needs the mesh"):
         pallas_lstm.resolve_impl("pallas", sharded=True)
+    tp_mesh = mesh_lib.get_mesh(4, model_shards=2)
+    with pytest.raises(ValueError, match="whole parameters"):
+        pallas_lstm.resolve_impl("pallas", sharded=True, mesh=tp_mesh)
+    with pytest.raises(ValueError, match="across hosts"):
+        pallas_lstm.resolve_impl("pallas", multihost=True)
     with pytest.raises(ValueError, match="unknown lstm_impl"):
         pallas_lstm.resolve_impl("cudnn")
+    # auto degrades (never raises) on the unsupported layouts
+    assert pallas_lstm.resolve_impl("auto", sharded=True) == "scan"
+    assert pallas_lstm.resolve_impl(
+        "auto", sharded=True, mesh=tp_mesh) == "scan"
+    assert pallas_lstm.resolve_impl("auto", multihost=True) == "scan"
+
+
+def test_resolve_impl_auto_on_tpu(monkeypatch):
+    """The auto policy's TPU branch (simulated backend): data meshes ride
+    the kernel, the VMEM batch ceiling applies PER DEVICE."""
+    from avsi.parallel import mesh as mesh_lib
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    data_mesh = mesh_lib.get_mesh(8)
+    assert pallas_lstm.resolve_impl("auto") == "pallas"
+    assert pallas_lstm.resolve_impl(
+        "auto", sharded=True, mesh=data_mesh) == "pallas"
+    # 4096 global / 8 shards = 512 per device: at the ceiling, kernel OK
+    assert pallas_lstm.resolve_impl(
+        "auto", sharded=True, batch_size=4096, mesh=data_mesh) == "pallas"
+    # 600 unsharded exceeds the per-device ceiling
+    assert pallas_lstm.resolve_impl("auto", batch_size=600) == "scan"
+    # sharded-without-mesh still degrades to the scan even on TPU
     assert pallas_lstm.resolve_impl("auto", sharded=True) == "scan"
 
 
@@ -306,14 +342,148 @@ def test_lc_window_bf16_close_to_scan():
     np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), atol=3e-2)
 
 
-def test_resolve_stream_impl():
+def test_resolve_stream_impl(monkeypatch):
     from avsi.infer import streaming
+    from avsi.parallel import mesh as mesh_lib
 
     assert streaming.resolve_stream_impl(None) == "scan"
     assert streaming.resolve_stream_impl("scan") == "scan"
-    # streaming's auto stays on the scan (opt-in kernel, unmeasured on-chip
-    # at window shapes) — unlike the full-sequence resolve_impl
+    # off-TPU (conftest CPU) auto stays on the scan
     assert streaming.resolve_stream_impl("auto") == "scan"
     assert streaming.resolve_stream_impl("pallas") == "pallas"
     with pytest.raises(ValueError):
         streaming.resolve_stream_impl("cudnn")
+
+    mesh = mesh_lib.get_mesh(8)
+    # the LC window kernel has no shard_map path: explicit pallas + mesh
+    # is refused, auto + mesh degrades
+    with pytest.raises(ValueError, match="no shard_map path"):
+        streaming.resolve_stream_impl("pallas", mesh=mesh)
+    assert streaming.resolve_stream_impl("auto", mesh=mesh) == "scan"
+
+    # TPU branch (simulated backend): auto serves the kernel ONLY where it
+    # is bit-identical to the trained function — f32 gates, no mesh
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert streaming.resolve_stream_impl("auto") == "pallas"
+    assert streaming.resolve_stream_impl(
+        "auto", gate_dtype=jnp.float32) == "pallas"
+    assert streaming.resolve_stream_impl(
+        "auto", gate_dtype=jnp.bfloat16) == "scan"
+    assert streaming.resolve_stream_impl("auto", mesh=mesh) == "scan"
+    # explicit pallas may trade gate quantization for speed (documented)
+    assert streaming.resolve_stream_impl(
+        "pallas", gate_dtype=jnp.bfloat16) == "pallas"
+
+
+# ------------------------------------------------------- sharded (shard_map)
+
+
+def test_sharded_layer_matches_scan():
+    """bilstm_layer_pallas_sharded on the 8-device mesh == the scan layer:
+    per shard the kernel is the same single-device program (interpret mode
+    here), shard_map contributes only the partitioning."""
+    from avsi.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_mesh(8)
+    rng = jax.random.PRNGKey(11)
+    params = _layer_params(rng, 40, 96)
+    x = jax.random.normal(jax.random.PRNGKey(12), (8, 10, 40), jnp.float32)
+    ref = core.bilstm_layer(params, x, jnp.float32)
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    )
+    got = jax.jit(
+        lambda p, xx: pallas_lstm.bilstm_layer_pallas_sharded(
+            p, xx, mesh, jnp.float32
+        )
+    )(params, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_sharded_layer_grad_matches_scan():
+    """jax.grad through shard_map + the custom VJP: dparams must come back
+    psummed over the data axis (the transpose of the replicated in_spec)
+    and dx partitioned — both equal to the scan gradients."""
+    from avsi.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_mesh(8)
+    rng = jax.random.PRNGKey(13)
+    params = _layer_params(rng, 24, 64)
+    x = jax.random.normal(jax.random.PRNGKey(14), (8, 12, 24), jnp.float32)
+
+    def loss_scan(p, xx):
+        return jnp.sum(core.bilstm_layer(p, xx, jnp.float32) ** 2)
+
+    def loss_sharded(p, xx):
+        y = pallas_lstm.bilstm_layer_pallas_sharded(p, xx, mesh, jnp.float32)
+        return jnp.sum(y ** 2)
+
+    gp_ref, gx_ref = jax.grad(loss_scan, argnums=(0, 1))(params, x)
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    )
+    gp, gx = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(params, xs)
+    for k in ("wx", "wh", "b"):
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(gp_ref[k]), atol=3e-4, rtol=1e-4,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_ref), atol=3e-4
+    )
+
+
+def test_sharded_train_step_matches_scan():
+    """The models' config seam under a mesh: a full jitted train step with
+    lstm_impl='pallas' + lstm_mesh equals the scan step on the same sharded
+    inputs — the exact path train/loop.py now enables on data meshes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avsi.flagship import flagship_config, synthetic_batch
+    from avsi.models import registry
+    from avsi.parallel import mesh as mesh_lib
+    from avsi.train import loop as loop_lib, state as state_lib
+
+    mesh = mesh_lib.get_mesh(8)
+
+    def run(impl):
+        config = flagship_config(8, "float32", net_dim=[5, 5], audio_len=4800)
+        config["lstm_impl"] = impl
+        if impl == "pallas":
+            config["lstm_mesh"] = mesh
+        model = registry.get_model(config["model"])
+        params = model.init(jax.random.PRNGKey(0), config)
+        stats = (np.zeros(257, np.float32), np.ones(257, np.float32))
+        tx = state_lib.make_optimizer(config)
+        st = state_lib.TrainState(params, tx.init(params), jnp.int32(0))
+        st = jax.device_put(st, NamedSharding(mesh, P()))
+        step = jax.jit(loop_lib.make_train_step(model, tx, config, stats))
+        batch = {
+            k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("data")))
+            for k, v in synthetic_batch(config, 8).items()
+        }
+        st, ldict = step(st, batch, jax.device_put(
+            jax.random.PRNGKey(5), NamedSharding(mesh, P())))
+        return st, ldict
+
+    st_s, l_s = run("scan")
+    st_p, l_p = run("pallas")
+    np.testing.assert_allclose(float(l_p["loss"]), float(l_s["loss"]),
+                               rtol=1e-5)
+    flat_s = jax.tree_util.tree_leaves_with_path(st_s.params)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(st_p.params))
+    for path, leaf_s in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[path]), np.asarray(leaf_s), atol=2e-5,
+            err_msg=str(path),
+        )
+
+
+def test_sharded_rejects_tensor_parallel_mesh():
+    from avsi.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_mesh(4, model_shards=2)
+    params = _layer_params(jax.random.PRNGKey(15), 8, 16)
+    x = jnp.zeros((4, 6, 8), jnp.float32)
+    with pytest.raises(ValueError, match="whole \\(replicated\\) params"):
+        pallas_lstm.bilstm_layer_pallas_sharded(params, x, mesh, jnp.float32)

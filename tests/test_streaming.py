@@ -593,7 +593,7 @@ def test_lockstep_pallas_refuses_mesh():
     b = synth_batch(config, batch_size=4, seed=14, gap=(4, 11))
     waves = np.asarray(b["target_sources"])
     masks = np.asarray(b["masks"][:, :, 0])
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="no shard_map path"):
         streaming.stream_utterances_lockstep(
             config, stats, params, waves, masks,
             chunk_frames=5, lookahead_frames=7,
