@@ -286,6 +286,7 @@ def parse_args(argv=None):
                    help="keep original samples on known frames (raised-cosine "
                         "crossfade at gap boundaries); default = reference-"
                         "faithful full resynthesis")
+    _add_gap_atten_flags(p)
     _add_lstm_impl_flag(p)
 
     p = sub.add_parser("fixture", description="Generate a synthetic GRID-like corpus (not in reference).")
@@ -466,7 +467,8 @@ def main(argv=None):
             max_streams=args.max_streams, stream_idle_s=args.stream_idle_s,
             micro_batch=args.micro_batch, phase_recon=args.phase_recon,
             gl_iters=args.gl_iters, data_shards=args.data_shards,
-            passthrough=args.passthrough, lstm_impl=args.lstm_impl,
+            passthrough=args.passthrough, gap_atten=_gap_atten_opts(args),
+            lstm_impl=args.lstm_impl,
         )
         server.serve_forever()
     elif name == "fixture":

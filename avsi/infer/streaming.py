@@ -71,6 +71,7 @@ from avsi.models import blstm as blstm_lib
 from avsi.models import core
 from avsi.ops import pallas_lstm
 from avsi.ops import passthrough as passthrough_ops
+from avsi.ops import postfilter as postfilter_ops
 from avsi.ops import stft as stft_ops
 from avsi.ops.phase import _princarg
 
@@ -229,6 +230,21 @@ def resolve_stream_impl(
                      "(expected auto/scan/pallas)")
 
 
+def _norm_gap_atten(gap_atten) -> tuple | None:
+    """Validate/normalize a gap-atten request to (alpha, trust, ramp) —
+    the hashable static form the program cache keys on — or None (off,
+    incl. alpha >= 1, the CLI's 'disabled' convention)."""
+    if not gap_atten:
+        return None
+    alpha = float(gap_atten["alpha"])
+    if alpha >= 1.0:
+        return None
+    if not 0.0 <= alpha:
+        raise ValueError(f"gap_atten alpha must be in [0, 1), got {alpha}")
+    return (alpha, int(gap_atten.get("trust", 34)),
+            int(gap_atten.get("ramp", 16)))
+
+
 def ctc_blank_id(params) -> int:
     """Blank label = last output of the ASR head (the reference trains CTC
     with blank as the extra final class; config.py adds the +1)."""
@@ -256,11 +272,12 @@ class _ProgSpec:
     StreamingInpainter with its live buffers."""
 
     __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "gate_dtype",
-                 "stats", "transcript", "phase_fill", "lstm_impl")
+                 "stats", "transcript", "phase_fill", "lstm_impl",
+                 "gap_atten")
 
     def __init__(self, spec, int_layer, chunk, compute_dtype, stats,
                  transcript=False, gate_dtype=None, phase_fill=False,
-                 lstm_impl="scan"):
+                 lstm_impl="scan", gap_atten=None):
         self.spec = spec
         self.int_layer = int_layer
         self.chunk = chunk
@@ -272,6 +289,9 @@ class _ProgSpec:
         self.transcript = transcript  # also emit CTC argmax ids per chunk
         self.phase_fill = phase_fill  # causal hole-phase extrapolation
         self.lstm_impl = lstm_impl  # "scan" | "pallas" (LC window kernel)
+        # None or (alpha, trust, ramp): causal deep-gap attenuation; the
+        # window input then carries a "gap_ld" (B,) left-distance plane
+        self.gap_atten = gap_atten
 
 
 def _causal_fill(phase, known, carry):
@@ -375,6 +395,18 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
         prediction = inference
 
     mean, std = prog.stats
+    if prog.gap_atten is not None:
+        # causal deep-gap attenuation (ops/postfilter.py): exact left
+        # distance carried by the host ("gap_ld"), right edge visible
+        # within the lookahead; additive log(gain)/std on GAP bins only —
+        # the streaming twin of apply_gap_attenuation
+        alpha, trust, ramp = prog.gap_atten
+        gain = postfilter_ops.causal_window_gain(
+            window["mask"], window["gap_ld"], alpha, trust, ramp
+        )[:, : prog.chunk]
+        nb = prediction.shape[-1]
+        delta = jnp.log(jnp.maximum(gain, 1e-6))[:, :, None] / std[None, None, :nb]
+        prediction = prediction + delta * (1.0 - m_emit)
     mag = jnp.exp(prediction * std + mean)  # (B, C, af)
     re = window["re"][:, : prog.chunk]
     im = window["im"][:, : prog.chunk]
@@ -443,6 +475,8 @@ def _window_step_raw(prog, params, raw, carries, prev, ssnn_sum, ssnn_cnt):
     }
     if "embedding" in raw:
         window["embedding"] = raw["embedding"]
+    if "gap_ld" in raw:
+        window["gap_ld"] = raw["gap_ld"]
     if prog.spec.conditioning == "ssnn":
         masked_ext = sn_ext * raw["mask_ext"][:, :, None]
         # w_len + _DELTA_N fold rows, not w_len: at the non-final->final
@@ -514,6 +548,7 @@ class StreamingInpainter:
         phase_fill: bool = False,
         passthrough: bool = False,
         lstm_impl: str = "auto",
+        gap_atten: dict | None = None,
     ):
         """chunk_frames/lookahead_frames default (None) to the model's
         TRAINED window when the config carries lc_chunk/lc_lookahead —
@@ -560,7 +595,18 @@ class StreamingInpainter:
         ops/pallas_lstm.py:_cell), so the served function deviates from
         the scan-trained one by ~bf16 roundoff per step; "auto" therefore
         keeps the scan under bf16 gates (train==serve gate quantization
-        preserved) and only an explicit "pallas" trades it for speed."""
+        preserved) and only an explicit "pallas" trades it for speed.
+
+        gap_atten: None (off) or {"alpha": a, "trust": t, "ramp": r} —
+        the causal deep-gap attenuation postfilter, the live twin of the
+        offline `--gap_atten` lever (ops/postfilter.py; mitigates the
+        1600 ms PER inversion, atten_ladder_r4.json).  Left gap-edge
+        distance is exact (carried across windows); the right edge is
+        seen within the lookahead, beyond which frames stay attenuated
+        where offline would ramp back up — suppressing strictly MORE of
+        the proven-harmful deep-gap content, never less.  Identical to
+        the offline postfilter at whole-utterance windows
+        (tests/test_postfilter.py)."""
         self.spec = blstm_lib.parse_model_name(config["model"])
         self.want_transcript = bool(transcript)
         if self.want_transcript and not self.spec.ctc:
@@ -596,10 +642,11 @@ class StreamingInpainter:
         self._ctc_blank = ctc_blank_id(params) if self.spec.ctc else -1
         self.phase_fill = bool(phase_fill)
         self.passthrough = bool(passthrough)
+        self.gap_atten = _norm_gap_atten(gap_atten)
         cdt, gdt = blstm_lib._dtypes(config)
         self.lstm_impl = resolve_stream_impl(lstm_impl, gate_dtype=gdt)
         key = (self.chunk, self.look, self.want_transcript, self.phase_fill,
-               self.lstm_impl)
+               self.lstm_impl, self.gap_atten)
         if program_cache is not None and key in program_cache:
             self._step = program_cache[key]
         else:
@@ -619,6 +666,7 @@ class StreamingInpainter:
                 transcript=self.want_transcript,
                 phase_fill=self.phase_fill,
                 lstm_impl=self.lstm_impl,
+                gap_atten=self.gap_atten,
             )
             self._step = jax.jit(partial(_window_step, prog))
             if program_cache is not None:
@@ -671,6 +719,10 @@ class StreamingInpainter:
         self._orig = np.zeros((0,), np.float32)
         self._orig_base = 0
         self._pt_prev_known = 1.0
+        # causal gap-atten carry: distance-since-last-known after the last
+        # emitted frame (frame -1 counts as unknown, postfilter.gap_depth
+        # edge convention)
+        self._gap_ld = 1_000_000
 
     # ------------------------------------------------------------------- api
 
@@ -868,6 +920,8 @@ class StreamingInpainter:
             window["video"] = jnp.zeros((1, self.window, self.vf), jnp.float32)
         if self._ext_emb is not None:
             window["embedding"] = self._ext_emb
+        if self.gap_atten is not None:
+            window["gap_ld"] = jnp.asarray([self._gap_ld], jnp.int32)
         if fold is not None:
             feats, masks, n_valid = fold
             window["ssnn_feats"] = jnp.asarray(feats)[None]
@@ -882,6 +936,14 @@ class StreamingInpainter:
         self._carry = carries
         self._prev_dev = prev_dev
         self._ssnn_sum, self._ssnn_cnt = s_sum, s_cnt
+        if self.gap_atten is not None:
+            # advance the left-distance carry over the emitted frames (the
+            # host has their masks — no device fetch on the latency path)
+            lo = self._frames_out - self._buf_base
+            for m in self._mask_buf[lo : lo + n_emit]:
+                self._gap_ld = 0 if m > 0.5 else min(
+                    self._gap_ld + 1, 1_000_000
+                )
         for k in fr:
             fr[k] = fr[k][n_emit:]
         # ONE device->host fetch per window (each fetch is a full tunnel
@@ -1038,6 +1100,7 @@ def stream_utterances_lockstep(
     phase_fill: bool = False,
     passthrough: bool = False,
     lstm_impl: str = "auto",
+    gap_atten: dict | None = None,
 ):
     """Serve B streams in lockstep: each window is ONE fused device
     dispatch covering every stream (the multi-tenant serving shape), and
@@ -1074,7 +1137,12 @@ def stream_utterances_lockstep(
     degrades to the scan and an explicit "pallas" is refused.  Under
     bf16-gate configs an explicit "pallas" serves f32-evaluated gates
     (~bf16-roundoff/step deviation from the scan-trained function; see
-    StreamingInpainter.__init__)."""
+    StreamingInpainter.__init__).
+
+    gap_atten: same causal deep-gap attenuation as StreamingInpainter
+    ({"alpha": a, "trust": t, "ramp": r} or None) — per-window left
+    distances are precomputed host-side from the full masks, so the fleet
+    matches the single-stream class window for window."""
     spec = blstm_lib.parse_model_name(config["model"])
     af = int(config["audio_feat_dim"])
     vf = int(config["video_feat_dim"])
@@ -1125,8 +1193,10 @@ def stream_utterances_lockstep(
 
     cdt, gdt = blstm_lib._dtypes(config)
     lstm_impl = resolve_stream_impl(lstm_impl, gate_dtype=gdt, mesh=mesh)
+    gap_atten = _norm_gap_atten(gap_atten)
     stats_j = (jnp.asarray(stats[0], jnp.float32), jnp.asarray(stats[1], jnp.float32))
-    key = ("raw", chunk, look, transcript, bool(phase_fill), lstm_impl)
+    key = ("raw", chunk, look, transcript, bool(phase_fill), lstm_impl,
+           gap_atten)
     if program_cache is not None and key in program_cache:
         step = program_cache[key]
     else:
@@ -1137,6 +1207,7 @@ def stream_utterances_lockstep(
             transcript=transcript,
             phase_fill=bool(phase_fill),
             lstm_impl=lstm_impl,
+            gap_atten=gap_atten,
         )
         step = jax.jit(partial(_window_step_raw, prog))
         if program_cache is not None:
@@ -1196,6 +1267,12 @@ def stream_utterances_lockstep(
     # Matching on t_frames alone would mark that window non-final and
     # diverge from the class's fold timing / t_end clamp.
     real_frames = max(0, (n_samples - FRAME_LENGTH) // FRAME_STEP + 1)
+    lds = None
+    if gap_atten is not None:
+        # left-distance state after each frame, from the TRUE masks (the
+        # EXT context and pad_end frames never feed gap depth; the class's
+        # carry advances over exactly these emitted-frame masks)
+        lds = postfilter_ops.left_distances_np(fm)
     for t0 in range(0, t_frames, chunk):
         final = t0 + window_n > real_frames  # the class's flush-window condition
         raw = {
@@ -1214,6 +1291,13 @@ def stream_utterances_lockstep(
         }
         if ext_emb is not None:
             raw["embedding"] = ext_emb
+        if lds is not None:
+            ld0 = (
+                lds[:, t0 - 1]
+                if t0 > 0
+                else np.full((b_sz,), 1_000_000, np.int32)
+            )
+            raw["gap_ld"] = _put(jnp.asarray(ld0, jnp.int32), shard)
         if spec.conditioning == "ssnn":
             visible = min(t0 + window_n, t_frames)
             upto = visible if final else max(0, visible - _DELTA_N)

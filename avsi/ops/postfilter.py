@@ -61,6 +61,59 @@ def gap_attenuation_gain(
     return 1.0 - (1.0 - float(alpha)) * g
 
 
+def causal_window_gain(
+    win_known: jax.Array,
+    left_dist: jax.Array,
+    alpha: float,
+    trust: int = 34,
+    ramp: int = 16,
+) -> jax.Array:
+    """Gap-attenuation gain for one streaming LC window (B, W).
+
+    The causal twin of `gap_attenuation_gain`: the LEFT gap-edge distance
+    is exact (carried across windows as `left_dist` (B,) int32, the
+    distance-since-last-known state after the frame preceding the
+    window), and the RIGHT edge is visible only within the window's
+    lookahead — beyond it the nearest known frame is assumed absent
+    (reverse-scan init _BIG), so deep-gap frames whose gap END lies past
+    the lookahead stay attenuated where the offline filter would already
+    be ramping back up.  That error direction is deliberate: it only ever
+    suppresses MORE of the content the r4 ladder proved harmful
+    (atten_ladder_r4.json), never less, and vanishes whenever the gap end
+    is within the lookahead.  At a whole-utterance window with
+    left_dist=_BIG this equals `gap_attenuation_gain` exactly
+    (tests/test_postfilter.py)."""
+    known = (win_known > 0.5).T  # (W, B)
+
+    def step(carry, k):
+        d = jnp.where(k, 0, jnp.minimum(carry + 1, _BIG))
+        return d, d
+
+    _, fwd = jax.lax.scan(step, left_dist.astype(jnp.int32), known)
+    init = jnp.full((known.shape[1],), _BIG, jnp.int32)
+    _, bwd = jax.lax.scan(step, init, known, reverse=True)
+    depth = jnp.minimum(fwd, bwd).T.astype(jnp.float32)
+    g = jnp.clip((depth - float(trust)) / float(max(ramp, 1)), 0.0, 1.0)
+    return 1.0 - (1.0 - float(alpha)) * g
+
+
+def left_distances_np(frame_known):
+    """Host-side causal left-distance ladder: (B, T) known -> (B, T) int32
+    distance-since-last-known AFTER each frame (the `left_dist` carry a
+    window starting at frame t+1 consumes).  Frame -1 counts as unknown
+    (_BIG init), matching `gap_depth`'s utterance-edge convention."""
+    import numpy as np
+
+    fk = np.asarray(frame_known) > 0.5
+    b, t = fk.shape
+    out = np.empty((b, t), np.int32)
+    d = np.full((b,), int(_BIG), np.int32)
+    for i in range(t):
+        d = np.where(fk[:, i], 0, np.minimum(d + 1, int(_BIG)))
+        out[:, i] = d
+    return out
+
+
 def apply_gap_attenuation(
     outputs: dict, batch: dict, stats_j: tuple,
     alpha: float, trust: int = 34, ramp: int = 16,

@@ -26,7 +26,10 @@ visual models append f16 video rows to each push payload, CTC models can
 request framed incremental transcripts with `transcript=1`):
 
   POST /stream/open?chunk=8&look=16  -> {"id": ..., "frame_step": 192, ...}
-      (blstm-*-emb models: the open body carries the float32 speaker vector)
+      (blstm-*-emb models: the open body carries the float32 speaker vector;
+       &atten=0.5[&atten_trust=34&atten_ramp=16] turns the causal deep-gap
+       attenuation on for this stream, &atten=1 forces it off — absent, the
+       service-wide --gap_atten default applies)
   POST /stream/<id>   body: [int32 n_samples][int32 n_frames]
       [n_samples x int16 wave][n_frames x uint8 frame_mask]
   -> 200, body: int16 enhanced samples ready so far (possibly empty)
@@ -56,6 +59,7 @@ class InpaintingService:
         norm: bool = True,
         data_shards: int = 0,
         passthrough: bool = False,
+        gap_atten: dict | None = None,
         lstm_impl: str = "auto",
     ):
         """data_shards > 1 shards the /enhance micro-batch over a `data`
@@ -106,9 +110,15 @@ class InpaintingService:
         self._phase_recon = phase_recon
         self._gl_iters = gl_iters
         self._passthrough = bool(passthrough)
+        # service-wide deep-gap attenuation default ({"alpha","trust",
+        # "ramp"} or None): applied to /enhance batches (offline
+        # postfilter) and to new streams (causal twin) unless a
+        # /stream/open?atten= override says otherwise
+        self._gap_atten = gap_atten or None
         self._step = jax.jit(
             make_infer_step(model, self.config, stats, False, phase_recon, gl_iters,
-                            passthrough=self._passthrough)
+                            passthrough=self._passthrough,
+                            gap_atten=self._gap_atten)
         )
         self._stream_programs: dict = {}
         self._lock = threading.Lock()
@@ -181,6 +191,7 @@ class InpaintingService:
                 make_infer_step(
                     model, cfg, stats, False, self._phase_recon, self._gl_iters,
                     passthrough=self._passthrough,
+                    gap_atten=self._gap_atten,
                 )
             )
             # compile + warm OUTSIDE the serving lock so in-flight requests
@@ -277,7 +288,8 @@ class InpaintingService:
                     lookahead_frames: int | None = None,
                     transcript: bool = False,
                     phase_fill: bool = False,
-                    embedding: np.ndarray | None = None):
+                    embedding: np.ndarray | None = None,
+                    gap_atten: dict | None = "service-default"):
         """A live LC-BLSTM stream sharing this service's warm weights (and,
         across streams with the same chunk/lookahead/transcript/fill, the
         compiled window program). chunk/lookahead default to the model's
@@ -289,9 +301,15 @@ class InpaintingService:
         infer/streaming.py's module docstring — hence opt-in).
         `embedding` supplies the external 512-d speaker vector that
         blstm-*-emb models condition on (required for them, rejected
-        otherwise); over HTTP it rides the /stream/open body."""
+        otherwise); over HTTP it rides the /stream/open body.
+        `gap_atten` overrides the service-wide causal deep-gap
+        attenuation for this stream ({"alpha","trust","ramp"}, or None to
+        force off); the sentinel default keeps the service setting.  Over
+        HTTP: /stream/open?atten=0.5[&atten_trust=34&atten_ramp=16]."""
         from avsi.infer.streaming import StreamingInpainter
 
+        if gap_atten == "service-default":
+            gap_atten = self._gap_atten
         # snapshot a coherent (config, stats, params, cache) set under the
         # lock — a concurrent /reload must not hand us new stats with old
         # params — but construct (trace/compile) outside it
@@ -306,11 +324,12 @@ class InpaintingService:
             phase_fill=phase_fill, embedding=embedding,
             passthrough=self._passthrough,
             lstm_impl=self._lstm_impl,
+            gap_atten=gap_atten,
         )
-        # full program-cache key (incl. lstm_impl — a 4-tuple here would
-        # never match the 5-tuple keys and the warmup would run per open)
+        # full program-cache key (incl. lstm_impl/gap_atten — a partial
+        # tuple here would never match and the warmup would run per open)
         if (inp.chunk, inp.look, inp.want_transcript, inp.phase_fill,
-                inp.lstm_impl) not in known:
+                inp.lstm_impl, inp.gap_atten) not in known:
             # fresh (chunk, look, transcript) key: jax.jit is lazy, so the
             # compile would otherwise fire on the stream's FIRST PUSH —
             # inside the device lock, stalling every other request behind a
@@ -430,6 +449,19 @@ def serve(
                 look = int(q["look"][0]) if "look" in q else None
                 transcript = bool(int(q.get("transcript", ["0"])[0]))
                 fill = bool(int(q.get("fill", ["0"])[0]))
+                # atten=0.5 turns the causal deep-gap attenuation on for
+                # this stream (atten=1 forces it OFF, overriding any
+                # service-wide --gap_atten); absent -> service default
+                gap_atten = "service-default"
+                if "atten" in q:
+                    alpha = float(q["atten"][0])
+                    if not 0.0 <= alpha <= 1.0:
+                        raise ValueError("atten must be in [0,1]")
+                    gap_atten = None if alpha >= 1.0 else {
+                        "alpha": alpha,
+                        "trust": int(q.get("atten_trust", ["34"])[0]),
+                        "ramp": int(q.get("atten_ramp", ["16"])[0]),
+                    }
                 if chunk is not None and not 1 <= chunk <= 256:
                     raise ValueError("chunk must be in [1,256]")
                 if look is not None and not 0 <= look <= 256:
@@ -485,7 +517,8 @@ def serve(
                     return
                 try:
                     inp = service.open_stream(chunk, look, transcript=transcript,
-                                              phase_fill=fill, embedding=emb)
+                                              phase_fill=fill, embedding=emb,
+                                              gap_atten=gap_atten)
                 except Exception:
                     with streams_lock:
                         streams.pop(sid, None)
@@ -498,6 +531,7 @@ def serve(
                     "id": sid, "chunk_frames": inp.chunk, "lookahead_frames": inp.look,
                     "frame_step": 192, "frame_length": 384,
                     "video_feat_dim": vf, "transcript": transcript,
+                    "gap_atten": inp.gap_atten,
                 }).encode())
                 return
             sid = parts[0]

@@ -129,3 +129,85 @@ def test_cli_gap_atten_default_off():
     assert _gap_atten_opts(parse_args(base)) is None
     got = _gap_atten_opts(parse_args(base + ["--gap_atten", "0.25"]))
     assert got == {"alpha": 0.25, "trust": 34, "ramp": 16}
+
+
+# ------------------------------------------------- causal (streaming) variant
+
+
+def test_left_distances_np_matches_scan():
+    rng = np.random.default_rng(5)
+    fk = (rng.random((3, 50)) > 0.4).astype(np.float32)
+    got = pf.left_distances_np(fk)
+    big = 10**6
+    for b in range(3):
+        d = big
+        for i in range(50):
+            d = 0 if fk[b, i] > 0.5 else min(d + 1, big)
+            assert got[b, i] == d
+
+
+def test_causal_whole_window_equals_offline():
+    """One window covering the whole utterance with the edge-init left
+    distance reproduces gap_attenuation_gain exactly."""
+    rng = np.random.default_rng(6)
+    fk = (rng.random((2, 60)) > 0.5).astype(np.float32)
+    fk[1, 10:40] = 0.0  # one long gap
+    off = np.asarray(pf.gap_attenuation_gain(
+        jnp.asarray(fk), alpha=0.3, trust=5, ramp=4))
+    got = np.asarray(pf.causal_window_gain(
+        jnp.asarray(fk), jnp.full((2,), 10**6, jnp.int32),
+        alpha=0.3, trust=5, ramp=4))
+    np.testing.assert_allclose(got, off, atol=1e-7)
+
+
+def _chained_causal_gains(fk, chunk, look, alpha, trust, ramp):
+    """Emulate the streaming schedule: per window k, gain over
+    fk[kC : kC+W] (pad ones) with the carried left distance; collect the
+    emitted-chunk gains."""
+    t = fk.shape[1]
+    lds = pf.left_distances_np(fk)
+    out = np.ones_like(fk)
+    big = 10**6
+    for t0 in range(0, t, chunk):
+        win = fk[:, t0 : t0 + chunk + look]
+        if win.shape[1] < chunk + look:
+            win = np.pad(win, ((0, 0), (0, chunk + look - win.shape[1])),
+                         constant_values=1.0)
+        ld0 = lds[:, t0 - 1] if t0 > 0 else np.full(fk.shape[0], big, np.int32)
+        g = np.asarray(pf.causal_window_gain(
+            jnp.asarray(win), jnp.asarray(ld0, jnp.int32),
+            alpha=alpha, trust=trust, ramp=ramp))
+        n = min(chunk, t - t0)
+        out[:, t0 : t0 + n] = g[:, :n]
+    return out
+
+
+def test_causal_chained_exact_when_gap_within_lookahead():
+    """Any gap no longer than the lookahead is fully visible from every
+    window that touches it, so the chained causal gains equal offline."""
+    fk = np.ones((1, 64), np.float32)
+    fk[0, 20:32] = 0.0  # 12-frame gap <= lookahead 16
+    off = np.asarray(pf.gap_attenuation_gain(
+        jnp.asarray(fk), alpha=0.2, trust=2, ramp=3))
+    got = _chained_causal_gains(fk, chunk=8, look=16, alpha=0.2, trust=2,
+                                ramp=3)
+    assert (off < 1.0).any()  # the filter actually fires in this setup
+    np.testing.assert_allclose(got, off, atol=1e-7)
+
+
+def test_causal_chained_never_under_attenuates():
+    """With a gap end beyond the lookahead the causal gains may only be
+    LOWER than offline (suppress more of the proven-harmful deep content,
+    never less), equal in the deep interior (both at the alpha floor)."""
+    fk = np.ones((1, 96), np.float32)
+    fk[0, 16:56] = 0.0  # 40-frame gap >> lookahead
+    off = np.asarray(pf.gap_attenuation_gain(
+        jnp.asarray(fk), alpha=0.25, trust=4, ramp=4))
+    got = _chained_causal_gains(fk, chunk=8, look=16, alpha=0.25, trust=4,
+                                ramp=4)
+    assert np.all(got <= off + 1e-7)
+    # deep interior: both at the floor
+    np.testing.assert_allclose(got[0, 30:40], 0.25, atol=1e-7)
+    np.testing.assert_allclose(off[0, 30:40], 0.25, atol=1e-7)
+    # known frames untouched in both
+    np.testing.assert_array_equal(got[0, fk[0] > 0.5], 1.0)

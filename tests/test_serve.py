@@ -657,3 +657,48 @@ def test_service_enhance_data_shards(model_dir):
     with pytest.raises(ValueError):
         InpaintingService(model_dir, micro_batch=3, phase_recon="none",
                           data_shards=2)
+
+
+def test_stream_gap_atten_override(model_dir):
+    """Service-wide --gap_atten reaches streams by default; a per-open
+    override (HTTP: /stream/open?atten=) can force it off or change it.
+    The attenuation itself is equivalence-tested in test_streaming.py —
+    here we pin the serve plumbing + the open-reply echo."""
+    import json as json_lib
+
+    from avsi.serve import InpaintingService, serve
+
+    ga = {"alpha": 0.0, "trust": 2, "ramp": 2}
+    svc = InpaintingService(
+        model_dir, micro_batch=2, phase_recon="none", gap_atten=ga
+    )
+    inp = svc.open_stream()
+    assert inp.gap_atten == (0.0, 2, 2)  # service default applied
+    assert svc.open_stream(gap_atten=None).gap_atten is None  # forced off
+    assert svc.open_stream(
+        gap_atten={"alpha": 0.5}
+    ).gap_atten == (0.5, 34, 16)  # per-open override with defaults
+
+    server = serve(model_dir, port=0, micro_batch=2, phase_recon="none")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body=b""):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    try:
+        info = json_lib.loads(
+            post("/stream/open?chunk=4&look=6&atten=0.5&atten_trust=3")
+        )
+        assert info["gap_atten"] == [0.5, 3, 16]
+        info_off = json_lib.loads(post("/stream/open?chunk=4&look=6&atten=1"))
+        assert info_off["gap_atten"] is None
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/stream/open?atten=1.5")
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()

@@ -599,3 +599,100 @@ def test_lockstep_pallas_refuses_mesh():
             chunk_frames=5, lookahead_frames=7,
             mesh=mesh_lib.get_mesh(4), lstm_impl="pallas",
         )
+
+
+# ----------------------------------------------------- causal gap attenuation
+
+
+def test_gap_atten_whole_window_matches_offline_postfilter():
+    """chunk=T/look=0 (one window covering the utterance): the causal
+    gap-atten stream equals the offline forward + apply_gap_attenuation
+    pipeline — the VERDICT-prescribed whole-utterance equivalence."""
+    import jax.numpy as jnp
+
+    from avsi.ops import postfilter as pf
+
+    ga = dict(alpha=0.1, trust=1, ramp=2)  # fires inside the (6,13) gap
+    config, spec, params, stats, batch = _setup("av-blstm-ssnn-ctc")
+    out = blstm_lib.forward(params, batch, config, stats, spec=spec, train=False)
+    stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
+    out = pf.apply_gap_attenuation(out, batch, stats_j, **ga)
+    off = np.asarray(blstm_lib.enhanced_sources(
+        out, batch, config, stats, oracle_phase=False)[0])
+
+    wave, frame_mask, video = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=T, lookahead_frames=0,
+        gap_atten=ga,
+    )
+    got = streaming.stream_utterance(inp, wave, frame_mask, video)
+    scale = np.max(np.abs(off)) + 1e-12
+    np.testing.assert_allclose(got, off[: T * 192], atol=2e-3 * scale, rtol=0)
+
+
+def test_gap_atten_off_below_trust_active_when_deep():
+    """Default trust leaves the short-gap stream bit-identical; a small
+    trust attenuates the gap interior (and only it)."""
+    config, spec, params, stats, batch = _setup("a-blstm")
+    wave, frame_mask, video = _streaming_inputs(batch)
+
+    def run(ga):
+        inp = streaming.StreamingInpainter(
+            config, stats, params, chunk_frames=5, lookahead_frames=7,
+            gap_atten=ga,
+        )
+        return streaming.stream_utterance(inp, wave, frame_mask, video)
+
+    base = run(None)
+    # the (6,13) gap is 7 frames deep at most 3: default trust=34 -> no-op
+    np.testing.assert_array_equal(
+        run(dict(alpha=0.0, trust=34, ramp=16)), base)
+    # alpha>=1 (the CLI 'off' convention) is a no-op too, same program
+    np.testing.assert_array_equal(run(dict(alpha=1.0)), base)
+    # trust=0/alpha=0: the gap interior is driven toward the -120 dB floor
+    att = run(dict(alpha=0.0, trust=0, ramp=1))
+    gap = slice(8 * 192, 11 * 192)  # frames 8..10, interior of (6,13)
+    assert np.mean(att[gap] ** 2) < 0.05 * (np.mean(base[gap] ** 2) + 1e-9)
+    # known-region samples away from the gap are untouched
+    np.testing.assert_allclose(att[: 4 * 192], base[: 4 * 192], atol=1e-4)
+
+
+def test_gap_atten_lockstep_matches_single_stream():
+    ga = dict(alpha=0.2, trust=1, ramp=2)
+    config, spec, params, stats, _ = _setup("av-blstm-ssnn-ctc")
+    b = synth_batch(config, batch_size=3, seed=9, gap=(4, 11))
+    waves = np.asarray(b["target_sources"])
+    masks = np.array(b["masks"][:, :, 0])
+    videos = np.asarray(b["video_features"])
+    masks[1, 15:22] = 0.0
+    masks[2, :] = 1.0  # gap-free stream: must be untouched by the filter
+
+    got = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks, videos,
+        chunk_frames=5, lookahead_frames=7, gap_atten=ga,
+    )
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=5, lookahead_frames=7,
+        gap_atten=ga,
+    )
+    for i in range(3):
+        single = streaming.stream_utterance(inp, waves[i], masks[i], videos[i])
+        np.testing.assert_allclose(got[i], single, atol=2e-4, rtol=0)
+
+
+def test_gap_atten_push_size_invariance():
+    """The left-distance carry must advance identically whatever the push
+    granularity — the same invariance contract as passthrough."""
+    config, spec, params, stats, batch = _setup("a-blstm")
+    wave, frame_mask, video = _streaming_inputs(batch)
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=5, lookahead_frames=7,
+        gap_atten=dict(alpha=0.0, trust=2, ramp=2),
+    )
+    outs = [
+        streaming.stream_utterance(inp, wave, frame_mask, video,
+                                   samples_per_push=n)
+        for n in (173, 1536, len(wave))
+    ]
+    for other in outs[1:]:
+        np.testing.assert_allclose(outs[0], other, atol=1e-5, rtol=0)
