@@ -113,6 +113,7 @@ def forward(
         params["blstm"], net_in, compute_dtype, gate_dtype,
         impl=impl,
         mesh=config.get("lstm_mesh") if impl == "pallas" else None,
+        forward_only=not train,
     )
     rnn_out = core.dropout(
         rng, rnn_out, float(config.get("dropout_rate", 0.0)), deterministic=not train

@@ -315,22 +315,22 @@ def forward(
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm"], jnp.concatenate([net_in, tiled], axis=2), compute_dtype,
-            gate_dtype, impl=impl, mesh=mesh,
+            gate_dtype, impl=impl, mesh=mesh, forward_only=not train,
         )
     elif emb is not None:
         mid = core.blstm_stack(
             params["blstm1"], net_in, compute_dtype, gate_dtype, impl=impl,
-            mesh=mesh,
+            mesh=mesh, forward_only=not train,
         )
         tiled = jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t, emb.shape[1]))
         rnn_out = core.blstm_stack(
             params["blstm2"], jnp.concatenate([mid, tiled], axis=2), compute_dtype,
-            gate_dtype, impl=impl, mesh=mesh,
+            gate_dtype, impl=impl, mesh=mesh, forward_only=not train,
         )
     else:
         rnn_out = core.blstm_stack(
             params["blstm"], net_in, compute_dtype, gate_dtype, impl=impl,
-            mesh=mesh,
+            mesh=mesh, forward_only=not train,
         )
 
     rnn_out = core.dropout(

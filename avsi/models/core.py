@@ -377,6 +377,7 @@ def blstm_stack(
     lc: tuple[int, int] | None = None,
     impl: str = "scan",
     mesh=None,
+    forward_only: bool = False,
 ) -> jax.Array:
     """Stacked bidirectional LSTM: (B, T, D) -> (B, T, 2*H_last).
 
@@ -385,11 +386,28 @@ def blstm_stack(
     embedding injection between stacks, use lc_blstm_stack directly with
     the full flattened layer_seq — chaining two lc blstm_stack calls would
     re-finalize the lookahead frames at the stack boundary, which is NOT
-    what the streaming server does."""
+    what the streaming server does.
+
+    forward_only=True (inference/eval, no grad will flow) + impl="pallas"
+    takes the fully-fused stack (pallas_lstm.blstm_stack_pallas): the
+    inter-layer hidden stream never touches HBM.  Training keeps the
+    per-layer custom-VJP kernels (the hoisted xw stream IS the VJP
+    residual); the fused-stack kernels carry no VJP and would fail loudly
+    (not silently wrongly) under jax.grad."""
     if lc is not None:
         return lc_blstm_stack(
             [(layer, False) for layer in layers], x, None, lc[0], lc[1],
             compute_dtype, gate_dtype,
+        )
+    if impl == "pallas" and forward_only:
+        from avsi.ops import pallas_lstm
+
+        if mesh is not None:
+            return pallas_lstm.blstm_stack_pallas_sharded(
+                layers, x, mesh, compute_dtype, gate_dtype
+            )
+        return pallas_lstm.blstm_stack_pallas(
+            layers, x, compute_dtype, gate_dtype
         )
     out = x
     for layer in layers:
