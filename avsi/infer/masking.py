@@ -43,18 +43,20 @@ def make_mask_step(num_audio_samples: int | None, stats, audio_feat_dim: int = 2
         re, im = re[:, :t, :f], im[:, :t, :f]
         mag = jnp.sqrt(re * re + im * im)
         masked_mag = mag * masks
-        if oracle_phase:
-            phase = jnp.arctan2(im, re)
-        else:
-            phase = jnp.arctan2(im * masks, re * masks)
+        if not oracle_phase:
+            re = re * masks
+            im = im * masks
         nbins = fft_length // 2 + 1
         pad = nbins - f
         if pad > 0:
             zp = ((0, 0), (0, 0), (0, pad))
             masked_mag = jnp.pad(masked_mag, zp)
-            phase = jnp.pad(phase, zp)
-        wav = stft_ops.waveform_from_mag_phase(
-            masked_mag, phase, num_samples=num_samples,
+            re = jnp.pad(re, zp)
+            im = jnp.pad(im, zp)
+        # phase-free resynthesis (stft.waveform_from_mag_complex): same
+        # math as arctan2 -> cos/sin, minus the transcendentals
+        wav = stft_ops.waveform_from_mag_complex(
+            masked_mag, re, im, num_samples=num_samples,
             frame_length=frame_length, frame_step=frame_step,
             fft_length=fft_length,
         )

@@ -391,13 +391,16 @@ def enhanced_sources(
     mean, std = stats
     mag = jnp.exp(outputs["prediction"] * std + mean)
     re, im = outputs["stft_re"], outputs["stft_im"]
-    if oracle_phase:
-        phase = jnp.arctan2(im, re)
-    else:
-        phase = jnp.arctan2(im * batch["masks"], re * batch["masks"])
-    return stft_ops.waveform_from_mag_phase(
+    if not oracle_phase:
+        re = re * batch["masks"]
+        im = im * batch["masks"]
+    # phase-free resynthesis: arctan2 -> cos/sin round-trips through three
+    # VPU transcendentals per bin; normalizing (re, im) directly is the
+    # same math (stft.waveform_from_mag_complex, zero bins -> angle 0)
+    return stft_ops.waveform_from_mag_complex(
         mag,
-        phase,
+        re,
+        im,
         num_samples=int(config["audio_len"]),
         frame_length=FRAME_LENGTH,
         frame_step=FRAME_STEP,

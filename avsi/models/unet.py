@@ -220,19 +220,23 @@ def enhanced_sources(
     mean, std = stats
     mag = jnp.exp(outputs["prediction"] * std + mean)
     re, im = outputs["stft_re"], outputs["stft_im"]
-    if oracle_phase:
-        phase = jnp.arctan2(im, re)
-    else:
-        phase = jnp.arctan2(im * batch["masks"], re * batch["masks"])
-    # pad magnitude/phase back to the full bin count for reconstruction
+    if not oracle_phase:
+        re = re * batch["masks"]
+        im = im * batch["masks"]
+    # pad magnitude/phase pair back to the full bin count; phase-free
+    # resynthesis (stft.waveform_from_mag_complex) — same math as
+    # arctan2 -> cos/sin, minus three transcendentals per bin
     nbins = FFT_LENGTH // 2 + 1
     pad = nbins - mag.shape[-1]
     if pad > 0:
-        mag = jnp.pad(mag, ((0, 0), (0, 0), (0, pad)))
-        phase = jnp.pad(phase, ((0, 0), (0, 0), (0, pad)))
-    return stft_ops.waveform_from_mag_phase(
+        zp = ((0, 0), (0, 0), (0, pad))
+        mag = jnp.pad(mag, zp)
+        re = jnp.pad(re, zp)
+        im = jnp.pad(im, zp)
+    return stft_ops.waveform_from_mag_complex(
         mag,
-        phase,
+        re,
+        im,
         num_samples=int(config["audio_len"]),
         frame_length=FRAME_LENGTH,
         frame_step=FRAME_STEP,

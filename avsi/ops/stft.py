@@ -230,6 +230,37 @@ def waveform_from_mag_phase(
     return istft_real_imag(re, im, frame_length, frame_step, fft_length, num_samples)
 
 
+def waveform_from_mag_complex(
+    mag: jax.Array,
+    re: jax.Array,
+    im: jax.Array,
+    num_samples: int = 48000,
+    frame_length: int = 384,
+    frame_step: int = 192,
+    fft_length: int = 512,
+) -> jax.Array:
+    """`waveform_from_mag_phase(mag, arctan2(im, re))` without the
+    transcendental round-trip: the phase term only ever re-enters as
+    (cos, sin) = (re, im)/|z|, so normalize the complex pair directly —
+    one rsqrt per bin instead of arctan2 + cos + sin (three VPU
+    transcendentals over B*T*F bins on the resynthesis hot path).
+    Zero bins (|z| == 0, e.g. masked hole phase where re = im = +-0.0)
+    reproduce IEEE arctan2 exactly — including the signed-zero case the
+    reference convention quietly depends on: re * mask keeps re's SIGN in
+    the zero, and arctan2(+-0, -0.0) = +-pi, so hole bins whose original
+    real part was negative resynthesize with cos = -1 (i.e. -mag), not
+    +mag.  (Caught by the streaming-vs-offline equivalence suite when a
+    first version mapped every zero bin to angle 0.)"""
+    p2 = re * re + im * im
+    inv = jnp.where(p2 > 0.0, jax.lax.rsqrt(jnp.maximum(p2, 1e-30)), 0.0)
+    zero_c = jnp.where(jnp.signbit(re), -1.0, 1.0)
+    c = jnp.where(p2 > 0.0, re * inv, zero_c)
+    s = im * inv
+    return istft_real_imag(
+        mag * c, mag * s, frame_length, frame_step, fft_length, num_samples
+    )
+
+
 def preemphasis(x: jax.Array, alpha: float = 0.95) -> jax.Array:
     """Reference `preemphasis` (audio_processing.py:19-22)."""
     shifted = jnp.pad(x[..., :-1], [(0, 0)] * (x.ndim - 1) + [(1, 0)])

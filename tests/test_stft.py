@@ -102,3 +102,37 @@ def test_preemphasis_matches_reference_semantics():
     xn = np.asarray(x)
     want = xn - 0.95 * np.concatenate([np.zeros((2, 1)), xn[:, :-1]], axis=1)
     np.testing.assert_allclose(y, want, atol=1e-6)
+
+
+def test_waveform_from_mag_complex_equals_mag_phase():
+    """The phase-free resynthesis (normalize the complex pair) must equal
+    the arctan2 -> cos/sin path bin for bin — including zero bins, where
+    arctan2(0, 0) = 0 means (cos, sin) = (1, 0)."""
+    import jax.numpy as jnp
+
+    from avsi.ops import stft as stft_ops
+
+    rng = np.random.RandomState(11)
+    b, t, f = 2, 12, 257
+    re = rng.randn(b, t, f).astype(np.float32) * 100
+    im = rng.randn(b, t, f).astype(np.float32) * 100
+    mag = np.abs(rng.randn(b, t, f)).astype(np.float32) * 50
+    # zero out a frame block via MULTIPLICATION (the masked-hole phase
+    # convention): signed zeros survive, and arctan2(+-0, -0.0) = +-pi
+    # flips those bins to -mag — the complex path must reproduce it
+    re[:, 4:7] *= 0.0
+    im[:, 4:7] *= 0.0
+    assert np.signbit(re[:, 4:7]).any()  # the hostile case is present
+    n = (t - 1) * 192 + 384
+    ref = stft_ops.waveform_from_mag_phase(
+        jnp.asarray(mag), jnp.arctan2(jnp.asarray(im), jnp.asarray(re)),
+        num_samples=n, frame_length=384, frame_step=192, fft_length=512,
+    )
+    got = stft_ops.waveform_from_mag_complex(
+        jnp.asarray(mag), jnp.asarray(re), jnp.asarray(im),
+        num_samples=n, frame_length=384, frame_step=192, fft_length=512,
+    )
+    scale = np.abs(np.asarray(ref)).max() + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5 * scale, rtol=0
+    )
