@@ -23,8 +23,9 @@ def _add_lstm_impl_flag(p):
     p.add_argument("--lstm_impl", default="auto",
                    choices=["auto", "scan", "pallas"],
                    help="BLSTM recurrence for this forward-only run: auto "
-                        "(default) = fused Pallas kernel on an unsharded "
-                        "TPU, lax.scan everywhere else")
+                        "(default) = fused Pallas kernels on TPU, incl. "
+                        "data-sharded meshes (shard_map); lax.scan "
+                        "elsewhere (CPU, tensor-parallel, multi-host)")
 
 
 def _add_gap_atten_flags(p):
