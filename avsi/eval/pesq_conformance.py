@@ -100,17 +100,24 @@ def _loudness_gain(gain: float):
 
 
 def score_native(probes, mode="nb", gain: float | None = None):
-    """{name: raw_mos} with the native model (optionally at a trial gain)."""
+    """Native scores on the scale the binary reports for `mode`:
+    nb -> raw P.862 MOS, wb -> P.862.2 MOS-LQO (pesq_measure returns
+    (raw, lqo); picking by mode keeps the delta/refit scale-consistent
+    with score_binary)."""
+    idx = 0 if mode == "nb" else 1
     ctx = _loudness_gain(gain) if gain is not None else contextlib.nullcontext()
     with ctx:
         return {
-            name: pesq_mod.pesq_measure(ref, deg, FS, mode=mode)[0]
+            name: pesq_mod.pesq_measure(ref, deg, FS, mode=mode)[idx]
             for name, ref, deg in probes
         }
 
 
 def score_binary(probes, pesq_bin, mode="nb", workdir=None):
-    """{name: raw_mos (nb) / mos_lqo (wb)} via the external ITU binary."""
+    """{name: score} via the external ITU binary — raw MOS in nb mode,
+    MOS-LQO in wb mode (pesq_eval's first element is already the
+    mode-appropriate scale: metrics.py parses '(Raw MOS, MOS-LQO)' for nb
+    and '(MOS-LQO)' for wb)."""
     out = {}
     with tempfile.TemporaryDirectory(dir=workdir) as td:
         for name, ref, deg in probes:
@@ -118,9 +125,9 @@ def score_binary(probes, pesq_bin, mode="nb", workdir=None):
             dp = os.path.join(td, f"{name}_deg.wav")
             wavio.write_wav_int16(rp, np.clip(ref, -32768, 32767), FS)
             wavio.write_wav_int16(dp, np.clip(deg, -32768, 32767), FS)
-            raw, lqo = metrics_lib.pesq_eval(rp, dp, pesq_bin_path=pesq_bin,
+            score, _ = metrics_lib.pesq_eval(rp, dp, pesq_bin_path=pesq_bin,
                                              mode=mode)
-            out[name] = raw if mode == "nb" else raw  # nb: raw MOS; wb: LQO
+            out[name] = score
     return out
 
 

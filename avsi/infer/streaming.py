@@ -399,10 +399,19 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
         # causal deep-gap attenuation (ops/postfilter.py): exact left
         # distance carried by the host ("gap_ld"), right edge visible
         # within the lookahead; additive log(gain)/std on GAP bins only —
-        # the streaming twin of apply_gap_attenuation
+        # the streaming twin of apply_gap_attenuation.  Rows past the real
+        # stream ("gap_valid": flush-window fill rows, lockstep pad
+        # frames) count as UNKNOWN for depth — the offline gap_depth edge
+        # convention — else their known-fill would fake a gap-terminating
+        # edge and un-attenuate the tail of an end-of-utterance gap
+        # (r5 review finding).
         alpha, trust, ramp = prog.gap_atten
+        w_len = window["mask"].shape[1]
+        known = window["mask"] * (
+            jnp.arange(w_len) < window["gap_valid"]
+        )[None, :]
         gain = postfilter_ops.causal_window_gain(
-            window["mask"], window["gap_ld"], alpha, trust, ramp
+            known, window["gap_ld"], alpha, trust, ramp
         )[:, : prog.chunk]
         nb = prediction.shape[-1]
         delta = jnp.log(jnp.maximum(gain, 1e-6))[:, :, None] / std[None, None, :nb]
@@ -477,6 +486,7 @@ def _window_step_raw(prog, params, raw, carries, prev, ssnn_sum, ssnn_cnt):
         window["embedding"] = raw["embedding"]
     if "gap_ld" in raw:
         window["gap_ld"] = raw["gap_ld"]
+        window["gap_valid"] = raw["gap_valid"]
     if prog.spec.conditioning == "ssnn":
         masked_ext = sn_ext * raw["mask_ext"][:, :, None]
         # w_len + _DELTA_N fold rows, not w_len: at the non-final->final
@@ -922,6 +932,8 @@ class StreamingInpainter:
             window["embedding"] = self._ext_emb
         if self.gap_atten is not None:
             window["gap_ld"] = jnp.asarray([self._gap_ld], jnp.int32)
+            # rows past `buffered` are flush fill, not stream frames
+            window["gap_valid"] = jnp.asarray(buffered, jnp.int32)
         if fold is not None:
             feats, masks, n_valid = fold
             window["ssnn_feats"] = jnp.asarray(feats)[None]
@@ -1298,6 +1310,9 @@ def stream_utterances_lockstep(
                 else np.full((b_sz,), 1_000_000, np.int32)
             )
             raw["gap_ld"] = _put(jnp.asarray(ld0, jnp.int32), shard)
+            raw["gap_valid"] = _put(
+                jnp.asarray(min(t_frames - t0, window_n), jnp.int32), repl
+            )
         if spec.conditioning == "ssnn":
             visible = min(t0 + window_n, t_frames)
             upto = visible if final else max(0, visible - _DELTA_N)

@@ -965,10 +965,11 @@ def blstm_stack_pallas(
     k0 = _fused_block_steps(t_len, b_sz, d_in, hp, compute_dtype,
                             compute_dtype)
     xt = jnp.moveaxis(x.astype(compute_dtype), 1, 0)
-    last_dtype = compute_dtype if len(layers) > 1 else jnp.float32
     of, ob = bilstm_fused_proj(
         xt, pp0["wx"], pp0["b"], pp0["wh"], block_steps=k0,
-        out_dtype=last_dtype if len(layers) == 1 else compute_dtype,
+        # f32 when this is also the LAST layer (assemble consumes it);
+        # compute dtype for inter-layer streams
+        out_dtype=jnp.float32 if len(layers) == 1 else compute_dtype,
         interpret=interpret,
     )
     hidden = hidden0

@@ -252,7 +252,10 @@ def waveform_from_mag_complex(
     +mag.  (Caught by the streaming-vs-offline equivalence suite when a
     first version mapped every zero bin to angle 0.)"""
     p2 = re * re + im * im
-    inv = jnp.where(p2 > 0.0, jax.lax.rsqrt(jnp.maximum(p2, 1e-30)), 0.0)
+    # rsqrt on the UNCLAMPED power (the discarded p2 == 0 lane yields inf,
+    # masked by the where): a lower clamp would under-normalize subnormal
+    # |z|^2 toward zero output where arctan2 still recovers the angle
+    inv = jnp.where(p2 > 0.0, jax.lax.rsqrt(p2), 0.0)
     zero_c = jnp.where(jnp.signbit(re), -1.0, 1.0)
     c = jnp.where(p2 > 0.0, re * inv, zero_c)
     s = im * inv

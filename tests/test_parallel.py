@@ -34,7 +34,10 @@ def test_dryrun_multichip_survives_initialized_backend(monkeypatch):
 
     jax.devices()  # caller's backend is live (conftest: CPU)
     monkeypatch.setenv("JAX_PLATFORMS", "definitely-not-a-platform")
-    monkeypatch.setenv("XLA_FLAGS", "")  # no host-device-count flag
+    # a hostile SMALLER device count must be stripped, not kept
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=2"
+    )
     ge.dryrun_multichip(8)
 
 

@@ -162,8 +162,10 @@ def test_causal_whole_window_equals_offline():
 
 def _chained_causal_gains(fk, chunk, look, alpha, trust, ramp):
     """Emulate the streaming schedule: per window k, gain over
-    fk[kC : kC+W] (pad ones) with the carried left distance; collect the
-    emitted-chunk gains."""
+    fk[kC : kC+W] with the carried left distance; collect the
+    emitted-chunk gains.  Rows past the utterance pad as UNKNOWN (0) —
+    the streaming code masks fill/pad rows out of the depth computation
+    ("gap_valid"), matching offline gap_depth's edge convention."""
     t = fk.shape[1]
     lds = pf.left_distances_np(fk)
     out = np.ones_like(fk)
@@ -172,7 +174,7 @@ def _chained_causal_gains(fk, chunk, look, alpha, trust, ramp):
         win = fk[:, t0 : t0 + chunk + look]
         if win.shape[1] < chunk + look:
             win = np.pad(win, ((0, 0), (0, chunk + look - win.shape[1])),
-                         constant_values=1.0)
+                         constant_values=0.0)
         ld0 = lds[:, t0 - 1] if t0 > 0 else np.full(fk.shape[0], big, np.int32)
         g = np.asarray(pf.causal_window_gain(
             jnp.asarray(win), jnp.asarray(ld0, jnp.int32),
@@ -211,3 +213,18 @@ def test_causal_chained_never_under_attenuates():
     np.testing.assert_allclose(off[0, 30:40], 0.25, atol=1e-7)
     # known frames untouched in both
     np.testing.assert_array_equal(got[0, fk[0] > 0.5], 1.0)
+
+
+def test_causal_chained_exact_for_end_of_utterance_gap():
+    """A gap running to the utterance end has NO right edge in either
+    convention (offline treats the edge as unknown; streaming treats
+    fill/pad rows as unknown), so chained causal gains equal offline
+    exactly even though the gap end is never 'visible'."""
+    fk = np.ones((1, 64), np.float32)
+    fk[0, 40:] = 0.0  # gap to the end
+    off = np.asarray(pf.gap_attenuation_gain(
+        jnp.asarray(fk), alpha=0.25, trust=4, ramp=4))
+    got = _chained_causal_gains(fk, chunk=8, look=16, alpha=0.25, trust=4,
+                                ramp=4)
+    assert off[0, -1] == 0.25  # offline holds the floor through the tail
+    np.testing.assert_allclose(got, off, atol=1e-7)

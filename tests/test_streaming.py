@@ -696,3 +696,52 @@ def test_gap_atten_push_size_invariance():
     ]
     for other in outs[1:]:
         np.testing.assert_allclose(outs[0], other, atol=1e-5, rtol=0)
+
+
+def test_gap_atten_holds_through_end_of_stream_gap():
+    """r5 review regression: a gap running to the END of the utterance
+    must stay attenuated through the tail — flush-window fill rows and
+    pad frames are NOT a gap-terminating known edge (offline gap_depth
+    treats utterance edges as unknown).  Pre-fix, the known-filled pad
+    rows faked a right edge and the last trust+ramp gap frames passed
+    through at full level."""
+    config, spec, params, stats, batch = _setup("a-blstm")
+    wave, frame_mask, video = _streaming_inputs(batch)
+    mask = np.array(frame_mask)
+    mask[15:] = 0.0  # gap runs to the end of the 25-frame utterance
+
+    def run(ga):
+        inp = streaming.StreamingInpainter(
+            config, stats, params, chunk_frames=5, lookahead_frames=7,
+            gap_atten=ga,
+        )
+        return streaming.stream_utterance(inp, wave, mask, video)
+
+    base = run(None)
+    att = run(dict(alpha=0.0, trust=0, ramp=1))
+    # the very tail of the gap (last 3 frames) is driven to the floor too
+    tail = slice(22 * 192, 25 * 192)
+    assert np.mean(att[tail] ** 2) < 0.05 * (np.mean(base[tail] ** 2) + 1e-9)
+    # and matches the offline postfilter exactly at a whole-utterance
+    # window (the equivalence contract, now including the edge case)
+    import jax.numpy as jnp
+
+    from avsi.ops import postfilter as pf
+
+    b2 = dict(batch)
+    b2["masks"] = np.broadcast_to(
+        mask[None, :, None], batch["masks"].shape
+    ).astype(np.float32)
+    out = blstm_lib.forward(params, b2, config, stats, spec=spec, train=False)
+    stats_j = (jnp.asarray(stats[0]), jnp.asarray(stats[1]))
+    out = pf.apply_gap_attenuation(out, b2, stats_j, alpha=0.1, trust=1,
+                                   ramp=2)
+    off = np.asarray(blstm_lib.enhanced_sources(
+        out, b2, config, stats, oracle_phase=False)[0])
+    inp = streaming.StreamingInpainter(
+        config, stats, params, chunk_frames=T, lookahead_frames=0,
+        gap_atten=dict(alpha=0.1, trust=1, ramp=2),
+    )
+    got = streaming.stream_utterance(inp, wave, mask, video)
+    scale = np.max(np.abs(off)) + 1e-12
+    np.testing.assert_allclose(got, off[: T * 192], atol=2e-3 * scale, rtol=0)
