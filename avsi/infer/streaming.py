@@ -200,30 +200,33 @@ def resolve_stream_impl(
     bf16-gate configs — in-kernel gates are always f32 (they never leave
     VMEM), so under bf16 gates the kernel deviates ~bf16-roundoff/step
     from the scan-trained function, and auto never trades train==serve
-    quantization for speed (explicit "pallas" may, documented) — and
-    under a fleet mesh, where the window kernel has no shard_map path yet
-    (explicit "pallas" + mesh is refused)."""
+    quantization for speed (explicit "pallas" may, documented).  Fleet
+    meshes ride the kernel too via shard_map over the `data` axis
+    (`pallas_lstm.lc_window_pallas_sharded`); tensor-parallel meshes keep
+    the scan (the kernel wants whole params — explicit "pallas" is
+    refused there)."""
     import jax.numpy as _jnp
 
     req = (requested or "scan").lower()
+    tp = (
+        mesh is not None
+        and "model" in getattr(mesh, "axis_names", ())
+        and mesh.shape["model"] > 1
+    )
     if req == "scan":
         return "scan"
     bf16_gates = gate_dtype is not None and (
         _jnp.dtype(gate_dtype) == _jnp.dtype(_jnp.bfloat16)
     )
     if req == "auto":
-        if (
-            jax.default_backend() == "tpu"
-            and not bf16_gates
-            and mesh is None
-        ):
+        if jax.default_backend() == "tpu" and not bf16_gates and not tp:
             return "pallas"
         return "scan"
     if req == "pallas":
-        if mesh is not None:
+        if tp:
             raise ValueError(
-                "lstm_impl='pallas' has no shard_map path for the LC window "
-                "kernel yet; use lstm_impl='scan' with mesh"
+                "lstm_impl='pallas' needs whole parameters; tensor-parallel "
+                "fleet meshes keep lstm_impl='scan'"
             )
         return "pallas"
     raise ValueError(f"unknown lstm_impl {requested!r} "
@@ -273,11 +276,11 @@ class _ProgSpec:
 
     __slots__ = ("spec", "int_layer", "chunk", "compute_dtype", "gate_dtype",
                  "stats", "transcript", "phase_fill", "lstm_impl",
-                 "gap_atten")
+                 "gap_atten", "mesh")
 
     def __init__(self, spec, int_layer, chunk, compute_dtype, stats,
                  transcript=False, gate_dtype=None, phase_fill=False,
-                 lstm_impl="scan", gap_atten=None):
+                 lstm_impl="scan", gap_atten=None, mesh=None):
         self.spec = spec
         self.int_layer = int_layer
         self.chunk = chunk
@@ -292,6 +295,9 @@ class _ProgSpec:
         # None or (alpha, trust, ramp): causal deep-gap attenuation; the
         # window input then carries a "gap_ld" (B,) left-distance plane
         self.gap_atten = gap_atten
+        # fleet mesh (lockstep only): with lstm_impl="pallas" the window
+        # kernel partitions over its data axis via shard_map
+        self.mesh = mesh
 
 
 def _causal_fill(phase, known, carry):
@@ -362,9 +368,15 @@ def _window_step(prog, params, window, carries, prev, ssnn_sum, ssnn_cnt):
             )
             x = jnp.concatenate([x, tiled], axis=2)
         if prog.lstm_impl == "pallas":
-            x, nh, nc = pallas_lstm.lc_bilstm_window_pallas(
-                layer_params, x, ch, cc, prog.chunk, prog.compute_dtype
-            )
+            if prog.mesh is not None:
+                x, nh, nc = pallas_lstm.lc_window_pallas_sharded(
+                    layer_params, x, ch, cc, prog.chunk, prog.mesh,
+                    prog.compute_dtype,
+                )
+            else:
+                x, nh, nc = pallas_lstm.lc_bilstm_window_pallas(
+                    layer_params, x, ch, cc, prog.chunk, prog.compute_dtype
+                )
         else:
             x, nh, nc = _lc_bilstm_layer(
                 layer_params, x, ch, cc, prog.chunk, prog.compute_dtype,
@@ -1144,12 +1156,13 @@ def stream_utterances_lockstep(
 
     lstm_impl: "auto" (default) | "scan" | "pallas" — same policy and
     caveats as StreamingInpainter ("auto": the fused LC window kernel on
-    TPU with f32 gates, scan otherwise), plus one fleet-specific rule:
-    under a mesh the window kernel has no shard_map path yet, so "auto"
-    degrades to the scan and an explicit "pallas" is refused.  Under
-    bf16-gate configs an explicit "pallas" serves f32-evaluated gates
-    (~bf16-roundoff/step deviation from the scan-trained function; see
-    StreamingInpainter.__init__).
+    TPU with f32 gates, scan otherwise).  Fleet meshes ride the kernel
+    too: per window the kernel partitions over the `data` axis via
+    shard_map (`pallas_lstm.lc_window_pallas_sharded` — per shard the
+    same single-device program); tensor-parallel meshes keep the scan.
+    Under bf16-gate configs an explicit "pallas" serves f32-evaluated
+    gates (~bf16-roundoff/step deviation from the scan-trained function;
+    see StreamingInpainter.__init__).
 
     gap_atten: same causal deep-gap attenuation as StreamingInpainter
     ({"alpha": a, "trust": t, "ramp": r} or None) — per-window left
@@ -1208,7 +1221,7 @@ def stream_utterances_lockstep(
     gap_atten = _norm_gap_atten(gap_atten)
     stats_j = (jnp.asarray(stats[0], jnp.float32), jnp.asarray(stats[1], jnp.float32))
     key = ("raw", chunk, look, transcript, bool(phase_fill), lstm_impl,
-           gap_atten)
+           gap_atten, mesh if lstm_impl == "pallas" else None)
     if program_cache is not None and key in program_cache:
         step = program_cache[key]
     else:
@@ -1220,6 +1233,7 @@ def stream_utterances_lockstep(
             phase_fill=bool(phase_fill),
             lstm_impl=lstm_impl,
             gap_atten=gap_atten,
+            mesh=mesh if lstm_impl == "pallas" else None,
         )
         step = jax.jit(partial(_window_step_raw, prog))
         if program_cache is not None:

@@ -994,6 +994,42 @@ def blstm_stack_pallas(
     return _assemble(of, ob, hidden, x.dtype)
 
 
+def lc_window_pallas_sharded(
+    params: dict,
+    x: jax.Array,
+    carry_h: jax.Array,
+    carry_c: jax.Array,
+    emit: int,
+    mesh,
+    compute_dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """`lc_bilstm_window_pallas` partitioned over the mesh's `data` axis
+    (streams are independent: params replicated, the window batch and
+    both carries partitioned; per shard the same single-device window
+    kernel).  Closes the r5 'no shard_map path for the LC window kernel'
+    carve-out: multi-chip lockstep fleets now serve the fused window
+    recurrence too.  Forward-only (serving path, no VJP)."""
+    if "model" in getattr(mesh, "axis_names", ()) and mesh.shape["model"] > 1:
+        raise ValueError(
+            "lc_window_pallas_sharded needs whole (replicated) params; "
+            "tensor-parallel meshes keep lstm_impl='scan'"
+        )
+    from jax.sharding import PartitionSpec as P
+
+    def body(p, xs, ch, cc):
+        return lc_bilstm_window_pallas(
+            p, xs, ch, cc, emit, compute_dtype
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    )(params, x, carry_h, carry_c)
+
+
 def blstm_stack_pallas_sharded(
     layers: list[dict],
     x: jax.Array,

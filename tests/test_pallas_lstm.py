@@ -355,21 +355,24 @@ def test_resolve_stream_impl(monkeypatch):
         streaming.resolve_stream_impl("cudnn")
 
     mesh = mesh_lib.get_mesh(8)
-    # the LC window kernel has no shard_map path: explicit pallas + mesh
-    # is refused, auto + mesh degrades
-    with pytest.raises(ValueError, match="no shard_map path"):
-        streaming.resolve_stream_impl("pallas", mesh=mesh)
-    assert streaming.resolve_stream_impl("auto", mesh=mesh) == "scan"
+    tp_mesh = mesh_lib.get_mesh(4, model_shards=2)
+    # fleet data meshes ride the kernel (shard_map); TP meshes keep the
+    # scan and refuse an explicit pallas
+    assert streaming.resolve_stream_impl("pallas", mesh=mesh) == "pallas"
+    with pytest.raises(ValueError, match="whole parameters"):
+        streaming.resolve_stream_impl("pallas", mesh=tp_mesh)
+    assert streaming.resolve_stream_impl("auto", mesh=tp_mesh) == "scan"
 
     # TPU branch (simulated backend): auto serves the kernel ONLY where it
-    # is bit-identical to the trained function — f32 gates, no mesh
+    # is bit-identical to the trained function — f32 gates
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert streaming.resolve_stream_impl("auto") == "pallas"
     assert streaming.resolve_stream_impl(
         "auto", gate_dtype=jnp.float32) == "pallas"
     assert streaming.resolve_stream_impl(
         "auto", gate_dtype=jnp.bfloat16) == "scan"
-    assert streaming.resolve_stream_impl("auto", mesh=mesh) == "scan"
+    assert streaming.resolve_stream_impl("auto", mesh=mesh) == "pallas"
+    assert streaming.resolve_stream_impl("auto", mesh=tp_mesh) == "scan"
     # explicit pallas may trade gate quantization for speed (documented)
     assert streaming.resolve_stream_impl(
         "pallas", gate_dtype=jnp.bfloat16) == "pallas"

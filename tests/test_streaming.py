@@ -586,18 +586,33 @@ def test_single_stream_pallas_impl_matches_scan():
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=0)
 
 
-def test_lockstep_pallas_refuses_mesh():
+def test_lockstep_pallas_sharded_fleet_matches_scan():
+    """The LC window kernel rides a fleet mesh via shard_map (r5: the
+    last kernel carve-out closed): sharded pallas fleet == unsharded scan
+    fleet sample for sample (kernel interpret mode on the CPU mesh)."""
     from avsi.parallel import mesh as mesh_lib
 
     config, spec, params, stats, _ = _setup("a-blstm")
     b = synth_batch(config, batch_size=4, seed=14, gap=(4, 11))
     waves = np.asarray(b["target_sources"])
     masks = np.asarray(b["masks"][:, :, 0])
-    with pytest.raises(ValueError, match="no shard_map path"):
+    ref = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks,
+        chunk_frames=5, lookahead_frames=7, lstm_impl="scan",
+    )
+    got = streaming.stream_utterances_lockstep(
+        config, stats, params, waves, masks,
+        chunk_frames=5, lookahead_frames=7,
+        mesh=mesh_lib.get_mesh(4), lstm_impl="pallas",
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=0)
+
+    # tensor-parallel meshes keep the scan: explicit pallas refused
+    with pytest.raises(ValueError, match="whole parameters"):
         streaming.stream_utterances_lockstep(
             config, stats, params, waves, masks,
             chunk_frames=5, lookahead_frames=7,
-            mesh=mesh_lib.get_mesh(4), lstm_impl="pallas",
+            mesh=mesh_lib.get_mesh(2, model_shards=2), lstm_impl="pallas",
         )
 
 
