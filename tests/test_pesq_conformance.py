@@ -107,3 +107,16 @@ def test_run_end_to_end_with_shim_binary(tmp_path):
     assert report["shipped_rms"] < 0.05, report  # int16 round-trip only
     for row in report["probes"].values():
         assert abs(row["delta"]) < 0.1, report
+
+
+def test_native_wb_mode_scores_on_lqo_scale():
+    """r5 review regression: wb-mode native scores must be MOS-LQO (the
+    scale the binary reports in wb), not raw P.862 MOS."""
+    probes = conf.probe_battery()[:1]
+    name = probes[0][0]
+    from avsi.eval import pesq as pesq_mod
+
+    raw, lqo = pesq_mod.pesq_measure(probes[0][1], probes[0][2], conf.FS,
+                                     mode="wb")
+    got = conf.score_native(probes, mode="wb")[name]
+    assert got == lqo and got != raw
