@@ -54,3 +54,18 @@ def test_missing_required_args_exit(name):
         pytest.skip("all args optional except dest")
     with pytest.raises(SystemExit):
         parse_args([name] + required.get(name, []))
+
+
+@pytest.mark.parametrize("name", ["inference", "inference_siasr", "serve"])
+def test_gap_atten_flags(name):
+    """--gap_atten rides every surface that can apply the postfilter —
+    incl. `serve` since r5 (service-wide default for /enhance + streams)."""
+    from avsi.cli import _gap_atten_opts
+
+    args = parse_args([name] + CASES[name])
+    assert _gap_atten_opts(args) is None  # 1.0 = off by default
+    args = parse_args(
+        [name] + CASES[name]
+        + ["--gap_atten", "0.5", "--gap_atten_trust", "20"]
+    )
+    assert _gap_atten_opts(args) == {"alpha": 0.5, "trust": 20, "ramp": 16}
