@@ -696,5 +696,7 @@ def serve(
         orig_shutdown()
 
     server.shutdown = _shutdown
-    print(f"avsi inpainting service on http://{host}:{port} (model {service.config['model']})")
+    # the BOUND port (port=0 asks the OS for an ephemeral one)
+    print(f"avsi inpainting service on http://{host}:{server.server_address[1]} "
+          f"(model {service.config['model']})")
     return server  # caller runs serve_forever()
