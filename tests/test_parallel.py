@@ -329,3 +329,34 @@ def test_tp_checkpoint_roundtrip(tmp_path):
         # two adam steps near init keep the drift within the same budget
         # test_model_sharded_step_matches_single_device uses
         np.testing.assert_allclose(np.asarray(a), b, atol=2e-4)
+
+
+def test_sharded_eval_step_pallas_matches_scan():
+    """The EVAL seam under a mesh: forward(train=False) with
+    lstm_impl='pallas' + lstm_mesh takes the fused-stack shard_map path
+    (core.blstm_stack forward_only) — per-sample losses must equal the
+    scan's on the same sharded inputs."""
+    cfg = tiny_config(model="av-blstm-ssnn-ctc", net_dim=(8, 8), audio_len=4800)
+    batch = synth_batch(cfg, batch_size=8)
+    model = registry.get_model(cfg["model"])
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    stats = identity_stats()
+    mesh = mesh_lib.get_mesh(8)
+    sb = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+          for k, v in mesh_lib.device_batch(batch).items()}
+    pr = jax.device_put(params, NamedSharding(mesh, P()))
+
+    def run(impl):
+        c = dict(cfg, lstm_impl=impl)
+        if impl == "pallas":
+            c["lstm_mesh"] = mesh
+        step = jax.jit(loop_lib.make_eval_step(model, c, stats))
+        return step(pr, sb)
+
+    ref = run("scan")
+    got = run("pallas")
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=1e-4, rtol=1e-4,
+            err_msg=k,
+        )
