@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_DOT_KW = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+# DFT/iDFT matmul precision: HIGH = bf16_3x on TPU (f32 everywhere else —
+# CPU ignores the flag, so the golden tests vs tf.signal are untouched).
+# Measured r5 on v5e at the flagship shape: HIGHEST -> HIGH saves
+# 0.70 ms/batch (-14% end-to-end inference) at 1.4e-5 RELATIVE STFT error
+# — two orders below the <1e-3 front-end parity target and below int16
+# quantization (3e-5 of full scale) on the reconstruction side.
+_DOT_KW = dict(precision=jax.lax.Precision.HIGH, preferred_element_type=jnp.float32)
 
 
 def hann_window(length: int, dtype=np.float64) -> np.ndarray:
