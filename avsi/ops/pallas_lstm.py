@@ -1156,13 +1156,17 @@ def auto_block_steps(t_len: int, b_sz: int, hp: int, compute_dtype,
 
 
 def _fused_block_steps(t_len: int, b_sz: int, d_in: int, hp: int,
-                       compute_dtype, out_dtype, target: int = 2) -> int:
+                       compute_dtype, out_dtype,
+                       target: int | None = None) -> int:
     """Block size for the fused projection+recurrence kernel.  Streams per
     step: both direction x blocks (compute dtype, D wide) + both h output
-    blocks.  Measured at the flagship shape (layer_profile r5): k=2 beats
-    k=5 (0.77 vs 0.85 ms) and k=10 overflows VMEM (the wx/wh weights
-    already hold ~3 MB), so the target defaults low and the budget is
-    tighter than the unfused kernel's."""
+    blocks.  Measured on v5e (layer_profile r5): at B=128 k=2 beats k=5
+    (0.77 vs 0.85 ms) and k=10 overflows VMEM (the wx/wh weights already
+    hold ~3 MB); at B=32 the smaller per-step streams flip it — k=10
+    beats k=2 by 21% (0.44 vs 0.56 ms for the 3-layer stack) — so the
+    target is batch-adaptive and the VMEM budget still caps it."""
+    if target is None:
+        target = 2 if b_sz >= 128 else 10
     cd = jnp.dtype(compute_dtype).itemsize
     od = jnp.dtype(out_dtype).itemsize
     step_bytes = 2 * b_sz * d_in * cd + 2 * b_sz * hp * od

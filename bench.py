@@ -44,7 +44,16 @@ from avsi.flagship import (  # noqa: E402  (single source of truth, shared with 
 
 BASELINE_CACHE = os.path.join(REPO, "baseline_tf_cpu.json")
 
-BATCH = 128  # measured sweet spot: 2 dirs x 128 = 256 sublane tiles; ~4% over B=256, ~40% over B=512 (bf16, inner_iters=50)
+# Measured sweet spots (bench_sweep_r5.json + repeated A/B): with the r5
+# fully-fused stack + batch-adaptive block size, INFERENCE peaks at B=32
+# (k=10 blocks; ~40k utt/s bf16 vs ~34k at the old B=128 spot — smaller
+# per-step VMEM streams let far larger grid blocks amortize the loop).
+# TRAINING keeps B=128 (its hoisted-xw kernels were tuned there and the
+# bwd kernel's VMEM pressure grows with B).
+BATCH = 32
+TRAIN_BATCH = 128
+# inference inner_iters scale with 128/B so the repeat loop stays well
+# above the fluctuating tunnel floor (~25-35 ms) at small batches
 
 
 def _host_batch(batch_size, seed=0):
@@ -154,7 +163,7 @@ def measure_tpu(batch_size=BATCH, inner_iters=50, compute_dtype="float32",
     }
 
 
-def measure_train_tpu(batch_size=BATCH, inner_iters=10,
+def measure_train_tpu(batch_size=TRAIN_BATCH, inner_iters=10,
                       compute_dtype="bfloat16", lstm_impl="auto") -> dict:
     """Full jitted MTL train step (fwd+bwd+adam) throughput — the
     training-side perf figure (train_bench.py's measurement, captured here
@@ -306,10 +315,12 @@ def main():
     # headline: the shipping inference path (lstm_impl auto-resolves to the
     # fused Pallas recurrence on an unsharded TPU — avsi/ops/pallas_lstm.py);
     # the scan leg is kept for provenance vs earlier rounds' figures
-    runs = {dt: measure_tpu(args.batch, compute_dtype=dt)
+    iters = max(50, 50 * 128 // max(1, args.batch))
+    runs = {dt: measure_tpu(args.batch, inner_iters=iters, compute_dtype=dt)
             for dt in ("float32", "bfloat16")}
     try:
-        scan_run = measure_tpu(args.batch, compute_dtype="bfloat16",
+        scan_run = measure_tpu(args.batch, inner_iters=iters,
+                               compute_dtype="bfloat16",
                                lstm_impl="scan")
     except Exception as e:  # never let the provenance leg kill the bench
         print(f"scan provenance leg failed: {e}", file=sys.stderr)
@@ -329,7 +340,7 @@ def main():
 
     # training-side figure (verdict r3 weak #7: driver-captured, not prose)
     try:
-        train = measure_train_tpu(args.batch)
+        train = measure_train_tpu(TRAIN_BATCH)
     except Exception as e:  # never let the train leg kill the bench line
         print(f"train measurement failed: {e}", file=sys.stderr)
         train = None
